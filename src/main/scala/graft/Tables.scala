@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.api._
+
+/** Loaders + the standard catalog over the driver's TPC-H-ish test tables.
+  *
+  * Relations mirror staticql's config-declared relation kinds
+  * (reference: README "relations", src/SourceConfigResolver.ts:22-31) mapped
+  * onto the star schema. Small dimensions (region, nation, supplier, part,
+  * customer) carry a broadcast hint: at 100 TB the facts (lineitem, orders,
+  * events, documents) are huge but these dims stay broadcastable.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long;
+    // read it that way and convert to a proper timestamp column.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events")
+      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    else df
+  }
+
+  /** Spark session tuned for the local[32] harness; the same settings scale out
+    * unchanged (AQE re-plans partition counts on a real cluster).
+    */
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** The queryable catalog for a scale-factor directory. Slug = primary key
+    * (lineitem gets a synthetic `slug` since its key is composite).
+    */
+  def catalog(spark: SparkSession, dir: String): Catalog = {
+    def t(n: String) = load(spark, dir, n)
+    val lineitem = t("lineitem")
+      .withColumn("slug", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+    new Catalog(Seq(
+      SourceDef("region", t("region"), slugField = "r_regionkey", broadcastHint = true,
+        relations = Map(
+          "nations" -> HasMany("nations", "nation", "r_regionkey", "n_regionkey"),
+          "customers" -> HasManyThrough("customers", "customer", "nation",
+            sourceLocalKey = "r_regionkey", throughForeignKey = "n_regionkey",
+            throughLocalKey = "n_nationkey", targetForeignKey = "c_nationkey"))),
+      SourceDef("nation", t("nation"), slugField = "n_nationkey", broadcastHint = true,
+        relations = Map(
+          "region" -> BelongsTo("region", "region", "n_regionkey", "r_regionkey"))),
+      SourceDef("customer", t("customer"), slugField = "c_custkey", broadcastHint = true,
+        relations = Map(
+          "nation" -> HasOne("nation", "nation", "c_nationkey", "n_nationkey"),
+          "orders" -> HasMany("orders", "orders", "c_custkey", "o_custkey"),
+          "region" -> HasOneThrough("region", "region", "nation",
+            sourceLocalKey = "c_nationkey", throughForeignKey = "n_nationkey",
+            throughLocalKey = "n_regionkey", targetForeignKey = "r_regionkey"))),
+      SourceDef("supplier", t("supplier"), slugField = "s_suppkey", broadcastHint = true,
+        relations = Map(
+          "nation" -> HasOne("nation", "nation", "s_nationkey", "n_nationkey"),
+          "region" -> HasOneThrough("region", "region", "nation",
+            sourceLocalKey = "s_nationkey", throughForeignKey = "n_nationkey",
+            throughLocalKey = "n_regionkey", targetForeignKey = "r_regionkey"))),
+      SourceDef("part", t("part"), slugField = "p_partkey", broadcastHint = true,
+        relations = Map(
+          "lineitems" -> HasMany("lineitems", "lineitem", "p_partkey", "l_partkey"))),
+      SourceDef("orders", t("orders"), slugField = "o_orderkey",
+        relations = Map(
+          "customer" -> BelongsTo("customer", "customer", "o_custkey", "c_custkey"),
+          "lineitems" -> HasMany("lineitems", "lineitem", "o_orderkey", "l_orderkey"))),
+      SourceDef("lineitem", lineitem, slugField = "slug",
+        relations = Map(
+          "part" -> BelongsTo("part", "part", "l_partkey", "p_partkey"),
+          "supplier" -> BelongsTo("supplier", "supplier", "l_suppkey", "s_suppkey"),
+          "order" -> BelongsTo("order", "orders", "l_orderkey", "o_orderkey"))),
+      SourceDef("events", t("events"), slugField = "event_id"),
+      SourceDef("documents", t("documents"), slugField = "doc_id"),
+      SourceDef("embeddings", t("embeddings"), slugField = "vec_id")
+    ))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.api
+
+import java.nio.charset.StandardCharsets
+import java.util.Base64
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Page metadata, mirroring the reference's `PageInfo`
+  * (reference: src/utils/pagenation.ts:1-6).
+  */
+final case class PageInfo(
+    hasNextPage: Boolean,
+    hasPreviousPage: Boolean,
+    startCursor: Option[String],
+    endCursor: Option[String]
+)
+
+/** A decoded pagination cursor: the order-key value and the unique slug of the
+  * boundary row. Encoded form is base64(JSON {"order":{key:value},"slug":slug}),
+  * wire-compatible with the reference (reference: src/utils/pagenation.ts:84,98).
+  */
+final case class Cursor(orderKey: String, orderValue: String, slug: String)
+
+object Cursor {
+  private def esc(s: String): String = s.flatMap {
+    case '"'           => "\\\""
+    case '\\'          => "\\\\"
+    case '\n'          => "\\n"
+    case '\r'          => "\\r"
+    case '\t'          => "\\t"
+    case c if c < ' '  => f"\\u${c.toInt}%04x"
+    case c             => c.toString
+  }
+
+  def encode(c: Cursor): String = {
+    val json =
+      s"""{"order":{"${esc(c.orderKey)}":"${esc(c.orderValue)}"},"slug":"${esc(c.slug)}"}"""
+    Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Minimal parser for the exact cursor shape we (and the reference) emit. */
+  def decode(cursor: String): Cursor =
+    try {
+      val json = new String(Base64.getDecoder.decode(cursor), StandardCharsets.UTF_8)
+      var i = 0
+      def ws(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
+      def expect(ch: Char): Unit = { ws(); require(json(i) == ch, s"expected $ch"); i += 1 }
+      def str(): String = {
+        ws(); require(json(i) == '"', "expected string"); i += 1
+        val sb = new StringBuilder
+        while (json(i) != '"') {
+          if (json(i) == '\\') {
+            i += 1
+            json(i) match {
+              case 'n' => sb += '\n'
+              case 't' => sb += '\t'
+              case 'r' => sb += '\r'
+              case 'u' => sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar; i += 4
+              case c   => sb += c
+            }
+          } else sb += json(i)
+          i += 1
+        }
+        i += 1
+        sb.toString
+      }
+      var orderKey = ""; var orderValue = ""; var slug = ""
+      expect('{')
+      var done = false
+      while (!done) {
+        val k = str(); expect(':')
+        k match {
+          case "order" => expect('{'); orderKey = str(); expect(':'); orderValue = str(); expect('}')
+          case "slug"  => slug = str()
+          case _       => str()
+        }
+        ws()
+        if (json(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      Cursor(orderKey, orderValue, slug)
+    } catch { case _: Throwable => throw new IllegalArgumentException("Invalid cursor") }
+}
+
+sealed trait PageDirection
+case object After extends PageDirection
+case object Before extends PageDirection
+
+/** One materialized page plus its `PageInfo`. */
+final case class PageResult(data: Seq[Row], pageInfo: PageInfo)
+
+/** Keyset (seek-method) cursor pagination.
+  *
+  * The reference paginates by slicing an in-memory matched index array
+  * (src/utils/pagenation.ts:60-78) — O(offset) and single-node. At 100 TB the
+  * only scale-safe equivalent is keyset pagination: a pushdown-friendly range
+  * predicate on the total order `(orderKey <dir>, slug <dir>)` plus
+  * `LIMIT pageSize+1`, so page cost is O(page) regardless of depth and the
+  * predicate reaches the parquet scan.
+  */
+object Pagination {
+
+  /** Strict "beyond the cursor" predicate in the scan direction. */
+  private def beyond(orderCol: Column, slugCol: Column, typedVal: Column, slugLit: Column, forward: Boolean): Column =
+    if (forward) (orderCol > typedVal) || (orderCol === typedVal && slugCol > slugLit)
+    else (orderCol < typedVal) || (orderCol === typedVal && slugCol < slugLit)
+
+  /** The page as a lazy DataFrame (exactly `pageSize` rows, display order).
+    * `descending` refers to the user-requested order on `orderField`; the slug
+    * tiebreak always follows the same direction so the total order is coherent.
+    */
+  def pageDf(
+      df: DataFrame,
+      orderField: String,
+      slugField: String,
+      descending: Boolean,
+      pageSize: Int,
+      cursor: Option[Cursor],
+      direction: PageDirection
+  ): DataFrame =
+    scanPage(df, orderField, slugField, descending, pageSize, cursor, direction)
+
+  /** Like [[pageDf]] but scanning `pageSize+1` rows (still re-sorted to display
+    * order) — callers use the extra row to compute hasNext/hasPrev. For Before
+    * pages the extra row is the FIRST row in display order.
+    */
+  def probeDf(
+      df: DataFrame,
+      orderField: String,
+      slugField: String,
+      descending: Boolean,
+      pageSize: Int,
+      cursor: Option[Cursor],
+      direction: PageDirection
+  ): DataFrame =
+    scanPage(df, orderField, slugField, descending, pageSize, cursor, direction, probe = true)
+
+  private def scanPage(
+      df: DataFrame,
+      orderField: String,
+      slugField: String,
+      descending: Boolean,
+      pageSize: Int,
+      cursor: Option[Cursor],
+      direction: PageDirection,
+      probe: Boolean = false
+  ): DataFrame = {
+    val orderCol   = col(orderField)
+    val slugCol    = col(slugField)
+    val displayAsc = !descending
+    // After scans in display order; Before scans the reversed display order
+    // (to take the pageSize rows nearest the cursor on its "previous" side).
+    val scanAsc = displayAsc == (direction == After)
+    val filtered = cursor match {
+      case Some(c) =>
+        val typedVal = lit(c.orderValue).cast(df.schema(orderField).dataType)
+        val slugLit  = lit(c.slug).cast(df.schema(slugField).dataType)
+        df.filter(beyond(orderCol, slugCol, typedVal, slugLit, forward = scanAsc))
+      case None => df
+    }
+    val scanned =
+      if (scanAsc) filtered.orderBy(orderCol.asc, slugCol.asc)
+      else filtered.orderBy(orderCol.desc, slugCol.desc)
+    val limited = scanned.limit(if (probe) pageSize + 1 else pageSize)
+    // Before-pages were scanned in reverse; re-sort the (already limited)
+    // result back to display order.
+    if (direction == Before) {
+      if (displayAsc) limited.orderBy(orderCol.asc, slugCol.asc)
+      else limited.orderBy(orderCol.desc, slugCol.desc)
+    } else limited
+  }
+
+  /** Materialize one page with PageInfo. The only collect in the engine — of an
+    * already-limited `pageSize+1` probe (allowed: final page materialization).
+    */
+  def exec(
+      df: DataFrame,
+      orderField: String,
+      slugField: String,
+      descending: Boolean,
+      pageSize: Int,
+      cursor: Option[Cursor],
+      direction: PageDirection
+  ): PageResult = {
+    val probe = probeDf(df, orderField, slugField, descending, pageSize, cursor, direction).collect()
+    // For Before, the probe row (if present) is the *first* in display order.
+    val hasExtra = probe.length > pageSize
+    val page = direction match {
+      case After             => probe.take(pageSize)
+      case Before if hasExtra => probe.drop(1)
+      case Before            => probe
+    }
+    val hasNext = direction match {
+      case After  => hasExtra
+      case Before => cursor.isDefined
+    }
+    val hasPrev = direction match {
+      case After  => cursor.isDefined
+      case Before => hasExtra
+    }
+    def cursorOf(r: Row): String = {
+      val ov = r.getAs[Any](r.fieldIndex(orderField))
+      val sv = r.getAs[Any](r.fieldIndex(slugField))
+      Cursor.encode(Cursor(orderField, String.valueOf(ov), String.valueOf(sv)))
+    }
+    PageResult(
+      page.toSeq,
+      PageInfo(
+        hasNext,
+        hasPrev,
+        page.headOption.map(cursorOf),
+        page.lastOption.map(cursorOf)
+      )
+    )
+  }
+}

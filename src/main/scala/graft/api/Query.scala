@@ -1,0 +1,206 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Filter operators — the reference's full operator set
+  * (reference: src/QueryBuilder.ts:28 `type Operator = "eq" | "startsWith" | "in"`).
+  */
+sealed trait FilterOp
+case object Eq extends FilterOp
+case object StartsWith extends FilterOp
+case object In extends FilterOp
+
+final case class QFilter(field: String, op: FilterOp, values: Seq[String])
+
+/** A registered queryable source: a DataFrame plus the metadata the reference
+  * keeps in `staticql.config.json` (slug field, relations, indexed fields).
+  *
+  * `indexedFields = None` means every field is filterable (columnar parquet *is*
+  * the index); `Some(set)` reproduces the reference's "needs index" guard
+  * (reference: src/QueryBuilder.ts:316-327).
+  * `broadcastHint = true` marks a small dimension that should broadcast in joins.
+  */
+final case class SourceDef(
+    name: String,
+    df: DataFrame,
+    slugField: String = "slug",
+    relations: Map[String, Relation] = Map.empty,
+    indexedFields: Option[Set[String]] = None,
+    broadcastHint: Boolean = false
+)
+
+/** The set of queryable sources. Entry point: `catalog.from("herbs")`. */
+final class Catalog(defs: Seq[SourceDef]) {
+  val sources: Map[String, SourceDef] = defs.map(d => d.name -> d).toMap
+  def apply(name: String): SourceDef =
+    sources.getOrElse(name, throw new IllegalArgumentException(s"Source not found: $name"))
+  def from(name: String): QueryBuilder = new QueryBuilder(this, apply(name))
+}
+
+/** Chainable query builder with the reference's surface —
+  * `where/join/orderBy/cursor/pageSize/exec/peek/find`
+  * (reference: src/QueryBuilder.ts:43-200) — emitting one declarative Spark
+  * plan per query so Catalyst fuses filter + project + sort + limit and pushes
+  * predicates into the parquet scan.
+  *
+  * Scale design: filtering and keyset pagination run on the *base* source only;
+  * relation joins apply to the already-limited page (the reference similarly
+  * joins only loaded page records). Relation *filters* become semi-joins, so
+  * the base never materializes foreign data just to filter.
+  */
+final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
+  private var filters: Vector[QFilter]    = Vector.empty
+  private var joins: Vector[String]       = Vector.empty
+  private var orderKey: String            = src.slugField
+  private var orderDesc: Boolean          = false
+  private var cursorValue: Option[String] = None
+  private var cursorDir: PageDirection    = After
+  private var pageSz: Int                 = 20
+
+  def where(field: String, op: FilterOp, value: String): QueryBuilder = {
+    filters :+= QFilter(field, op, Seq(value)); this
+  }
+  def where(field: String, op: FilterOp, values: Seq[String]): QueryBuilder = {
+    filters :+= QFilter(field, op, values); this
+  }
+  def join(relationKey: String): QueryBuilder = {
+    require(src.relations.contains(relationKey), s"Unknown relation: $relationKey")
+    joins :+= relationKey; this
+  }
+  def orderBy(key: String, direction: String = "asc"): QueryBuilder = {
+    orderKey = key; orderDesc = direction.equalsIgnoreCase("desc"); this
+  }
+  def cursor(value: String, direction: String = "after"): QueryBuilder = {
+    cursorValue = Some(value)
+    cursorDir = if (direction.equalsIgnoreCase("before")) Before else After
+    this
+  }
+  def pageSize(n: Int): QueryBuilder = { require(n > 0); pageSz = n; this }
+
+  // ---- plan construction -------------------------------------------------
+
+  private def requireIndexed(field: String): Unit = src.indexedFields.foreach { idx =>
+    val base = field
+    if (base != src.slugField && !idx.contains(base))
+      throw new IllegalArgumentException(s"[${src.name}] needs index: $base")
+  }
+
+  private def ownPredicate(df: DataFrame, f: QFilter): Column =
+    if (FieldPath.isSimpleColumn(df, f.field)) {
+      // Typed predicate on the bare column → parquet pushdown.
+      val dt = df.schema(f.field).dataType
+      val c  = col(f.field)
+      f.op match {
+        case Eq         => c === lit(f.values.head).cast(dt)
+        case StartsWith => c.cast(StringType).startsWith(f.values.head)
+        // OR-of-typed-equalities: pushdown-friendly and keeps the column typed.
+        case In         => f.values.map(v => c === lit(v).cast(dt)).reduce(_ || _)
+      }
+    } else
+      FieldPath.anyLeaf(df, f.field, x => f.op match {
+        case Eq         => x === f.values.head
+        case StartsWith => x.startsWith(f.values.head)
+        case In         => x.isin(f.values: _*)
+      })
+
+  /** Base source with own-field filters and relation filters (as semi-joins). */
+  private def filteredBase(): DataFrame = {
+    val (relFilters, ownFilters) =
+      filters.partition(f => src.relations.contains(f.field.takeWhile(_ != '.')))
+    ownFilters.foreach(f => requireIndexed(f.field))
+    var df = ownFilters.foldLeft(src.df)((d, f) => d.filter(ownPredicate(d, f)))
+    relFilters.groupBy(_.field.takeWhile(_ != '.')).foreach { case (relName, fs) =>
+      val rel     = src.relations(relName)
+      val foreign = catalog(rel.to)
+      val fdf = fs.foldLeft(foreign.df) { (d, f) =>
+        val sub = f.field.drop(relName.length + 1)
+        val path = if (sub.isEmpty) foreign.slugField else sub
+        d.filter(ownPredicate(d, QFilter(path, f.op, f.values)))
+      }
+      df = rel match {
+        case r: DirectRelation =>
+          val fk = fdf.select(fdf(r.foreignKey).cast(StringType).as("__graft_fk")).distinct()
+          r match {
+            case _: BelongsToMany =>
+              df.join(broadcast(fk), array_contains(col(r.localKey).cast("array<string>"), col("__graft_fk")), "left_semi")
+            case _ =>
+              df.join(fk, df(r.localKey).cast(StringType) === col("__graft_fk"), "left_semi")
+          }
+        case r: ThroughRelation =>
+          val thr = catalog(r.through).df
+          val keys = thr
+            .join(fdf, thr(r.throughLocalKey).cast(StringType) === fdf(r.targetForeignKey).cast(StringType), "left_semi")
+            .select(thr(r.throughForeignKey).cast(StringType).as("__graft_fk"))
+            .distinct()
+          df.join(keys, df(r.sourceLocalKey).cast(StringType) === col("__graft_fk"), "left_semi")
+      }
+    }
+    df
+  }
+
+  /** Adds a sortable order column for nested-path order keys. */
+  private def withOrderCol(df: DataFrame): (DataFrame, String) =
+    if (FieldPath.isSimpleColumn(df, orderKey) || df.schema.fieldNames.contains(orderKey))
+      (df, orderKey)
+    else {
+      requireIndexed(orderKey.takeWhile(_ != '.'))
+      (df.withColumn("__graft_ord", element_at(FieldPath.resolve(df, orderKey), 1)), "__graft_ord")
+    }
+
+  private def applyJoins(df: DataFrame): DataFrame =
+    joins.foldLeft(df) { (d, relName) =>
+      val rel     = src.relations(relName)
+      val foreign = catalog(rel.to)
+      val through = rel match {
+        case t: ThroughRelation => Some(catalog(t.through).df)
+        case _                  => None
+      }
+      Relations.nested(d, rel, foreign.df, through, broadcastForeign = foreign.broadcastHint)
+    }
+
+  // ---- execution ---------------------------------------------------------
+
+  /** The page as a lazy DataFrame (joins applied after the limit). */
+  def execDf(): DataFrame = {
+    val (df, ordCol) = withOrderCol(filteredBase())
+    val page = Pagination.pageDf(df, ordCol, src.slugField, orderDesc, pageSz,
+      cursorValue.map(Cursor.decode), cursorDir)
+    applyJoins(if (ordCol == "__graft_ord") page.drop("__graft_ord") else page)
+  }
+
+  /** Materialize one page with `PageInfo` — reference `exec()`
+    * (src/QueryBuilder.ts:160-175).
+    */
+  def exec(): PageResult = {
+    val (df, ordCol) = withOrderCol(filteredBase())
+    val cur  = cursorValue.map(Cursor.decode)
+    val info = Pagination.exec(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir)
+    if (joins.isEmpty) info
+    else {
+      val page = Pagination.pageDf(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir)
+      val data = applyJoins(if (ordCol == "__graft_ord") page.drop("__graft_ord") else page)
+      PageResult(data.collect().toSeq, info.pageInfo)
+    }
+  }
+
+  /** Index-only page: slug + order key, never touching non-indexed columns —
+    * reference `peek()` (src/QueryBuilder.ts:176-180). Column pruning reaches
+    * the scan: the plan reads only these columns.
+    */
+  def peek(): DataFrame = {
+    val (df, ordCol) = withOrderCol(filteredBase())
+    Pagination
+      .pageDf(df, ordCol, src.slugField, orderDesc, pageSz, cursorValue.map(Cursor.decode), cursorDir)
+      .select(col(src.slugField).cast(StringType).as("slug"), col(ordCol).as(orderKey.replace('.', '_')))
+  }
+
+  /** Point lookup by slug — reference `find()` (src/QueryBuilder.ts:107). A
+    * bare equality on the slug column: pushed down, partition-prunable.
+    */
+  def find(slug: String): DataFrame = {
+    val dt = src.df.schema(src.slugField).dataType
+    applyJoins(src.df.filter(col(src.slugField) === lit(slug).cast(dt)))
+  }
+}
