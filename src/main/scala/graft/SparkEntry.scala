@@ -144,13 +144,189 @@ object SparkEntry {
          ) ORDER BY c_name, c_custkey"""
   )
 
+  // ---- relation joins (SURVEY §2 #12-#17) --------------------------------
+  // Flat (SQL-shaped) variants of the six relation kinds; the nested
+  // (API-faithful) shapes are covered by RelationsSpec. Small dims broadcast.
+
+  private def joins: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_belongsto" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      Relations.flatJoin(c("orders").df, c("customer").df, "o_custkey", "c_custkey",
+          broadcastForeign = true)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy("o_orderkey").limit(200)
+    }),
+    "q_join_hasone" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      Relations.flatJoin(c("supplier").df, c("nation").df, "s_nationkey", "n_nationkey",
+          broadcastForeign = true)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    }),
+    "q_join_hasmany" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      Relations.flatJoin(c("customer").df, c("orders").df, "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey").limit(500)
+    }),
+    "q_join_belongstomany" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      // Array-valued local key (synthesized — the star schema has no array
+      // columns): exercises the explode+join belongsToMany path.
+      val base = c("orders").df.withColumn("custkeys", array(col("o_custkey")))
+      base.select(col("o_orderkey"), explode(col("custkeys")).as("__lk"))
+        .join(broadcast(c("customer").df), col("__lk") === col("c_custkey"))
+        .select("o_orderkey", "c_custkey", "c_name")
+        .orderBy("o_orderkey").limit(200)
+    }),
+    "q_join_hasonethrough" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      val rel = c("supplier").relations("region").asInstanceOf[HasOneThrough]
+      Relations.flatThroughJoin(c("supplier").df, c("nation").df, c("region").df, rel,
+          broadcastThrough = true, broadcastTarget = true)
+        .select("s_suppkey", "s_name", "r_name")
+        .orderBy("s_suppkey")
+    }),
+    "q_join_hasmanythrough" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      val rel = c("region").relations("customers").asInstanceOf[HasManyThrough]
+      Relations.flatThroughJoin(c("region").df, c("nation").df, c("customer").df, rel,
+          broadcastThrough = true)
+        .select("r_name", "c_custkey", "c_name")
+        .orderBy("r_name", "c_custkey")
+    })
+  )
+
+  private def joinsOracle: Map[String, String] = Map(
+    "q_join_belongsto" ->
+      """SELECT o_orderkey, o_totalprice, c_name, c_mktsegment
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey LIMIT 200""",
+    "q_join_hasone" ->
+      """SELECT s_suppkey, s_name, n_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         ORDER BY s_suppkey""",
+    "q_join_hasmany" ->
+      """SELECT c_custkey, c_name, o_orderkey
+         FROM customer JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey LIMIT 500""",
+    "q_join_belongstomany" ->
+      """SELECT o_orderkey, c_custkey, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey LIMIT 200""",
+    "q_join_hasonethrough" ->
+      """SELECT s_suppkey, s_name, r_name
+         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         ORDER BY s_suppkey""",
+    "q_join_hasmanythrough" ->
+      """SELECT r_name, c_custkey, c_name
+         FROM region JOIN nation ON r_regionkey = n_regionkey
+         JOIN customer ON n_nationkey = c_nationkey
+         ORDER BY r_name, c_custkey"""
+  )
+
+  // ---- analytics (SURVEY §2 #26-#30) -------------------------------------
+  // Money sums go through DECIMAL so Spark and the DuckDB oracle agree bit-for-
+  // bit regardless of double summation order; final outputs cast back to DOUBLE.
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int = 2) =
+    c.cast(s"decimal(18,$scale)")
+
+  private def analytics: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pricing" -> ((s, dir) =>
+      // TPC-H Q1 shape: full-scan aggregate with partial (map-side) aggregation.
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"), 4)))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+    "q_agg_topcust" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      c("orders").df
+        .groupBy("o_custkey")
+        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+             count(lit(1)).as("order_cnt"))
+        .join(broadcast(c("customer").df), col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "order_cnt")
+        .orderBy(desc("revenue"), col("c_custkey")).limit(10)
+    }),
+    "q_agg_mktseg_nation" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      c("customer").df
+        .join(broadcast(c("nation").df), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(count(lit(1)).as("cust_cnt"),
+             sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+        .orderBy("c_mktsegment", "n_name")
+    }),
+    "q_window_rank" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), col("o_orderkey"))
+      Tables.load(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    }),
+    "q_events_window" -> ((s, dir) =>
+      // Batch shape of the streaming hourly window (EventStreams runs the same
+      // aggregation as Structured Streaming with a watermark).
+      Tables.load(s, dir, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+                 col("event_type"))
+        .agg(count(lit(1)).as("event_cnt"),
+             sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type"))
+  )
+
+  private def analyticsOracle: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "q_agg_topcust" ->
+      """SELECT c_custkey, c_name,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                COUNT(*) AS order_cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    "q_agg_mktseg_nation" ->
+      """SELECT c_mktsegment, n_name, COUNT(*) AS cust_cnt,
+                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+         FROM customer JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY c_mktsegment, n_name
+         ORDER BY c_mktsegment, n_name""",
+    "q_window_rank" ->
+      """SELECT * FROM (
+           SELECT o_custkey,
+                  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn,
+                  o_orderkey, o_totalprice
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
+                COUNT(*) AS event_cnt,
+                CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ pagination
+    core ++ pagination ++ joins ++ analytics
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    coreOracle ++ paginationOracle
+    coreOracle ++ paginationOracle ++ joinsOracle ++ analyticsOracle
 }
