@@ -320,13 +320,87 @@ object SparkEntry {
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
   )
 
+  // ---- LLM-pipeline: dedup / text / similarity (SURVEY §2 #32-#42) -------
+
+  private def pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> ((s, dir) =>
+      operators.Dedup.exact(Tables.load(s, dir, "documents"))
+        .orderBy("keep_id")),
+    "q_dedup_minhash" -> ((s, dir) =>
+      // Per-doc LSH state (signature+bands); pair generation is LSH-bucketed
+      // and covered with planted near-dups in DedupSpec (not SQL-expressible).
+      operators.Dedup.minhashed(Tables.load(s, dir, "documents"))
+        .select("doc_id", "band_hashes")
+        .orderBy("doc_id").limit(200)),
+    "q_dedup_simhash" -> ((s, dir) =>
+      operators.Dedup.simhashed(Tables.load(s, dir, "documents"))
+        .orderBy("doc_id").limit(200)),
+    "q_text_stats" -> ((s, dir) => {
+      val t = functions.TextFunctions
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          length(col("text")).as("n_chars_calc"),
+          t.tokenCount(col("text")).as("n_tokens"),
+          t.avgTokenLen(col("text")).as("avg_token_len"))
+        .orderBy("doc_id")
+    }),
+    "q_text_quality" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")),
+    "q_text_langid" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextFunctions.langId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+    "q_text_fingerprint" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id").limit(200)),
+    "q_ann_bruteforce" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      operators.Similarity.topKForId(Tables.load(s, dir, "embeddings"), 0L, 10)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
+        .select("rank", "vec_id")
+    })
+  )
+
+  private def pipelineOracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS dup_count
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_calc,
+                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+                      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "q_text_quality" ->
+      """SELECT doc_id,
+                round(LEAST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                            / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.5
+                    + LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
+                    4) AS quality
+         FROM documents ORDER BY doc_id""",
+    "q_ann_bruteforce" ->
+      """SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank, vec_id
+         FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.embedding) AS s
+               FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+               WHERE e.vec_id <> 0)
+         ORDER BY rank LIMIT 10"""
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ pagination ++ joins ++ analytics
+    core ++ pagination ++ joins ++ analytics ++ pipeline
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    coreOracle ++ paginationOracle ++ joinsOracle ++ analyticsOracle
+    coreOracle ++ paginationOracle ++ joinsOracle ++ analyticsOracle ++ pipelineOracle
 }

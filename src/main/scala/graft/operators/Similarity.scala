@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{VectorFunctions => V}
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths: brute-force cosine (the exact baseline — a single broadcast of
+  * the query against a linear scan, fine at any corpus size for ONE query)
+  * and hyperplane-LSH bucketing (the scale path for query batches / all-pairs
+  * near-dup, where candidates come from bucket equi-joins, never a crossJoin).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors of each query row. `queries` is expected to
+    * be small (it is broadcast); the corpus is scanned once, scored per row
+    * inside codegen, and top-k selected via ORDER BY + LIMIT (for a single
+    * query) — Spark turns that into a TakeOrderedAndProject, no full sort.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     queryIdCol: String = "query_id"): DataFrame = {
+    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
+    corpus
+      .join(q, col(idCol) =!= col(queryIdCol))
+      .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
+      .select(col(queryIdCol), col(idCol), col("score"))
+  }
+
+  /** Top-k for a single query vector id taken from the corpus itself. */
+  def topKForId(corpus: DataFrame, queryId: Long, k: Int,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = corpus.filter(col(idCol) === queryId)
+      .select(col(idCol).as("query_id"), col(vecCol))
+    bruteForceTopK(corpus, q, k, idCol, vecCol)
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** Corpus with its hyperplane-LSH bucket id attached (the "index build"). */
+  def bucketed(corpus: DataFrame, dim: Int, nbits: Int = 8, seed: Long = 7L,
+               vecCol: String = "embedding"): DataFrame =
+    corpus.withColumn("bucket", V.hyperplaneBucket(col(vecCol), dim, nbits, seed))
+
+  /** ANN top-k via LSH buckets + 1-bit multiprobe: score only rows whose
+    * bucket is the query's bucket or one bit-flip away (~(nbits+1)/2^nbits of
+    * the corpus), then exact cosine on candidates. Recall/ cost dial: nbits.
+    */
+  def lshTopK(corpus: DataFrame, queryId: Long, k: Int, dim: Int,
+              nbits: Int = 8, seed: Long = 7L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val idx = bucketed(corpus, dim, nbits, seed, vecCol)
+    val q = idx.filter(col(idCol) === queryId)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec"),
+        explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))
+    idx
+      .join(broadcast(q), Seq("bucket"))
+      .filter(col(idCol) =!= col("query_id"))
+      .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
+      .select(col("query_id"), col(idCol), col("score"))
+      .distinct()
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+  }
+
+  /** All-pairs embedding near-duplicates above a cosine threshold, candidates
+    * from shared LSH buckets (multiprobe over 1-bit flips so near-identical
+    * vectors split by one hyperplane still pair up). Bucket equi-join only.
+    */
+  def cosineDupes(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
+                  nbits: Int = 8, seed: Long = 7L,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val idx = bucketed(corpus, dim, nbits, seed, vecCol)
+    val probed = idx.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))
+    val base = idx.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
+    probed.join(base, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b")
+      .distinct()
+      .withColumn("score", V.cosine(col("v_a"), col("v_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+}
