@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, "the quick brown fox and the lazy dog"),
+    (2L, "  spaced   out   tokens  "),
+    (3L, "der hund und die katze und das haus nicht"),
+    (4L, "le chat et la maison et les arbres des champs"),
+    (5L, "xyzzy plugh") // no markers in any language
+  ).toDF("doc_id", "text")
+
+  test("token count handles repeated whitespace and trimming") {
+    val out = df.select($"doc_id", TextFunctions.tokenCount($"text").as("n"))
+      .orderBy("doc_id").collect().map(_.getInt(1)).toSeq
+    assert(out == Seq(8, 3, 9, 10, 2))
+  }
+
+  test("avg token length") {
+    val v = df.filter($"doc_id" === 2L)
+      .select(TextFunctions.avgTokenLen($"text")).head().getDouble(0)
+    assert(math.abs(v - (6 + 3 + 6) / 3.0) < 0.0001) // "spaced","out","tokens"
+  }
+
+  test("language ID picks the language with most marker hits; und fallback") {
+    val out = df.select($"doc_id", TextFunctions.langId($"text").as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("en", "und", "de", "fr", "und"))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fp = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("quality score is within [0,1] and rewards stopword-bearing text") {
+    val q = df.select($"doc_id", TextFunctions.qualityScore($"text").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
+    assert(q(1L) > q(5L))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // Planted corpus: 1↔2 near-dups (one word differs), 3 = exact dup of 1,
+  // 4 and 5 unrelated.
+  private val base =
+    "the quick brown fox jumps over the lazy dog while rain falls on the quiet village road tonight"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base.replace("lazy", "sleepy")),
+    (3L, base),
+    (4L, "completely different text about spark query engines and columnar parquet storage formats"),
+    (5L, "yet another unrelated document mentioning neither foxes nor dogs just plain words here")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts and keeps the min id") {
+    val out = Dedup.exact(docs).orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (4L, 1L), (5L, 1L)))
+  }
+
+  test("MinHash-LSH finds the planted near-dup pairs and nothing else") {
+    val pairs = Dedup.minhashLsh(docs, jaccardThreshold = 0.5)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // exact dups (1,3) share every band; near-dups (1,2) and (2,3) share most
+    assert(pairs.contains((1L, 3L)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("exact duplicates have Jaccard 1.0 via verify") {
+    val pairs = Seq((1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.jaccardVerify(pairs, docs).orderBy("id_b").collect()
+    assert(out(0).getAs[Double]("jaccard") == 1.0)      // 1 vs 3
+    assert(out(1).getAs[Double]("jaccard") < 0.05)       // 1 vs 4
+  }
+
+  test("SimHash: identical texts distance 0, near-dups small, unrelated large") {
+    val sim = Dedup.simhashed(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sim(a) ^ sim(b))
+    assert(ham(1, 3) == 0)
+    assert(ham(1, 2) <= 12)
+    assert(ham(1, 4) > 12)
+  }
+
+  test("SimHash chunk-LSH pairs exact dups (distance 0 shares all chunks)") {
+    val out = Dedup.simhashDupes(docs, maxHamming = 3)
+      .orderBy("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out.contains((1L, 3L)))
+    assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("no crossJoin in any dedup plan") {
+    for (df <- Seq(Dedup.minhashLsh(docs), Dedup.simhashDupes(docs))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("cartesian"), s"cartesian product in:\n$plan")
+    }
+  }
+}

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+  // Deterministic synthetic vectors: 4 clusters around orthogonal-ish centers
+  // plus noise; vec 0 belongs to cluster 0.
+  private lazy val vecs: Seq[(Long, Seq[Float])] = {
+    val rnd = new scala.util.Random(123)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian())
+    (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+  }
+  private lazy val emb = vecs.toDF("vec_id", "embedding")
+
+  test("brute-force top-k returns same-cluster neighbors with sane scores") {
+    val top = Similarity.topKForId(emb, 0L, 10).collect()
+    assert(top.length == 10)
+    assert(top.forall(_.getAs[Double]("score") > 0.8))
+    assert(top.forall(r => r.getAs[Long]("vec_id") % 4 == 0)) // cluster 0 members
+    val scores = top.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("LSH top-k recalls most brute-force neighbors while scanning fewer rows") {
+    val exact = Similarity.topKForId(emb, 0L, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val approx = Similarity.lshTopK(emb, 0L, 10, dim, nbits = 6).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low; exact=$exact approx=$approx")
+    // candidate set is a strict subset of the corpus (bucketing actually prunes)
+    val idx = Similarity.bucketed(emb, dim, nbits = 6)
+    val qb = idx.filter($"vec_id" === 0L).select("bucket").head().getInt(0)
+    val cand = idx.filter($"bucket" === qb).count()
+    assert(cand < 200, "bucketing pruned nothing")
+  }
+
+  test("cosineDupes finds near-identical planted pair only") {
+    val withDup = emb.union(Seq((999L, vecs.find(_._1 == 0L).get._2)).toDF("vec_id", "embedding"))
+    val dupes = Similarity.cosineDupes(withDup, dim, threshold = 0.999, nbits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dupes.contains((0L, 999L)), s"missing planted dup, got $dupes")
+  }
+
+  test("no cartesian product in similarity plans") {
+    for (df <- Seq(Similarity.lshTopK(emb, 0L, 10, dim), Similarity.cosineDupes(emb, dim))) {
+      val plan = df.queryExecution.optimizedPlan.toString
+      assert(!plan.toLowerCase.contains("cartesian"), s"cartesian product in:\n$plan")
+    }
+  }
+}
