@@ -394,13 +394,57 @@ object SparkEntry {
          ORDER BY rank LIMIT 10"""
   )
 
+  // ---- indexing / validation / sessionization (SURVEY §2 #19, #22, #31) --
+
+  private def infra: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_index_prefix" -> ((s, dir) =>
+      // The prefix-index relation (what writeIndex persists partitioned by
+      // (field, prefix)); full build over part.p_name at depth 1.
+      operators.Indexing.indexRelation(Tables.load(s, dir, "part"), "p_partkey", Seq("p_name"))
+        .orderBy("field", "prefix", "value", "slug")),
+    "q_validate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      docs.select(col("doc_id"),
+          sources.Validation.validColumn(docs,
+            required = Seq("text", "lang", "source"),
+            nonNegative = Seq("n_chars")).as("is_valid"))
+        .orderBy("doc_id")
+    }),
+    "q_sessionize" -> ((s, dir) =>
+      streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+        .orderBy("user_id"))
+  )
+
+  private def infraOracle: Map[String, String] = Map(
+    "q_index_prefix" ->
+      """SELECT 'p_name' AS field, lower(substr(p_name, 1, 1)) AS prefix,
+                CAST(p_partkey AS VARCHAR) AS slug, p_name AS value
+         FROM part ORDER BY field, prefix, value, slug""",
+    "q_validate" ->
+      """SELECT doc_id, (text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
+                         AND n_chars IS NOT NULL AND n_chars >= 0) AS is_valid
+         FROM documents ORDER BY doc_id""",
+    "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         )
+         SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+         FROM g GROUP BY user_id ORDER BY user_id"""
+  )
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    core ++ pagination ++ joins ++ analytics ++ pipeline
+    core ++ pagination ++ joins ++ analytics ++ pipeline ++ infra
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
-    coreOracle ++ paginationOracle ++ joinsOracle ++ analyticsOracle ++ pipelineOracle
+    coreOracle ++ paginationOracle ++ joinsOracle ++ analyticsOracle ++ pipelineOracle ++ infraOracle
 }

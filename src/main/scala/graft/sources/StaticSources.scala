@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Static-file sources → DataFrames: the reference's ingestion half
+  * (reference: src/SourceLoader.ts:30-80, src/parser/index.ts:32-50) made
+  * distributed.
+  *
+  * Execution model: file listing + whole-file read happen through Spark's file
+  * source (partitioned across executors); each file parses *inside its
+  * executor* into canonical JSON lines; `spark.read.json` then infers one
+  * schema across all records (a distributed job, not a driver loop). At 100 TB
+  * the parse is embarrassingly parallel and the only global step is schema
+  * inference — which callers can skip by passing an explicit schema.
+  *
+  * Parser injection mirrors the reference (reference: src/parser/index.ts:54
+  * `registerParser`, README "Parser Injection"): a parser is
+  * `content => records-AST`, registered per format key.
+  */
+object StaticSources {
+
+  /** A parser takes raw file content and yields the parsed AST
+    * (Map / List / scalars — see [[MiniYaml]]/[[MiniJson]]).
+    */
+  type Parser = String => Any
+
+  val defaultParsers: Map[String, Parser] = Map(
+    "markdown" -> (raw => FrontMatter.parse(raw)._1),
+    "yaml"     -> (raw => MiniYaml.parse(raw)),
+    "json"     -> (raw => MiniJson.parse(raw))
+  )
+
+  /** Slug from file path relative to the glob's base dir, `/` encoded as `--`
+    * (reference: src/SourceConfigResolver.ts:175-190).
+    */
+  def slugFromPath(pattern: String, filePath: String): String = {
+    val baseDir = pattern.split("/").takeWhile(p => !p.contains("*")).mkString("/") match {
+      case "" => ""
+      case d  => d + "/"
+    }
+    val ext = filePath.lastIndexOf('.') match {
+      case -1 => ""
+      case i  => filePath.substring(i)
+    }
+    var rel = if (baseDir.nonEmpty && filePath.contains(baseDir))
+      filePath.substring(filePath.indexOf(baseDir) + baseDir.length)
+    else filePath.split("/").last
+    if (rel.startsWith("/")) rel = rel.substring(1)
+    rel.stripSuffix(ext).replace("/", "--")
+  }
+
+  /** AST → records: an array file contributes one record per element
+    * (keeping its own slug field); an object file is one record whose slug
+    * defaults from the path (reference: src/SourceLoader.ts:60-76).
+    */
+  private def records(ast: Any, slug: String): Seq[Map[String, Any]] = ast match {
+    case l: Seq[_] =>
+      l.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      Seq(if (mm.contains("slug")) mm else mm + ("slug" -> slug))
+    case _ => Seq.empty
+  }
+
+  /** Load every file matching `pattern` as one DataFrame. `format` picks the
+    * parser from `parsers` (inject custom formats — e.g. CSV — by extending
+    * the map, exactly like the reference's `registerParser`).
+    */
+  def load(
+      spark: SparkSession,
+      pattern: String,
+      format: String,
+      parsers: Map[String, Parser] = defaultParsers
+  ): DataFrame = {
+    val parser = parsers.getOrElse(format,
+      throw new IllegalArgumentException(s"No parser registered for type: $format"))
+    import spark.implicits._
+    val files: Dataset[(String, String)] = spark.read
+      .option("wholetext", "true")
+      .text(pattern)
+      .select(col("_metadata.file_path").as("path"), col("value"))
+      .as[(String, String)]
+    // Per-file parse on executors; canonical JSON lines out.
+    val jsonLines: Dataset[String] = files.flatMap { case (path, content) =>
+      records(parser(content), slugFromPath(pattern, path)).map(MiniYaml.toJson)
+    }
+    spark.read.json(jsonLines)
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import Indexing.DiffEntry
+
+/** Prefix index: build, pruned lookup, ordered scan, incremental update
+  * (reference: cli/generate-index.ts, tests/generate-index.test.ts,
+  * src/diff/extractDiff.ts). */
+class IndexingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val herbs = Seq(
+    ("arctium-lappa", "Burdock", Seq("root")),
+    ("centella-asiatica", "Gotu Kola", Seq("leaf")),
+    ("cymbopogon-citratus", "Lemongrass", Seq("leaf", "edible"))
+  ).toDF("slug", "name", "tagSlugs")
+
+  private def freshIndexPath = Files.createTempDirectory("graft-idx").toString + "/idx"
+
+  test("build + exact and prefix lookups hit only matching partitions") {
+    val path = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("name", "tagSlugs"), path)
+
+    val eq = Indexing.lookup(spark, path, "name", "Burdock").select("slug").collect()
+    assert(eq.map(_.getString(0)).toSeq == Seq("arctium-lappa"))
+
+    val sw = Indexing.lookup(spark, path, "name", "Lemon", startsWith = true).collect()
+    assert(sw.map(_.getAs[String]("slug")).toSeq == Seq("cymbopogon-citratus"))
+
+    // multi-valued field: one index row per leaf value
+    val tag = Indexing.lookup(spark, path, "tagSlugs", "leaf").collect()
+    assert(tag.map(_.getAs[String]("slug")).sorted.toSeq ==
+      Seq("centella-asiatica", "cymbopogon-citratus"))
+
+    // partition pruning is visible in the plan: only the 'b' prefix dir read
+    val plan = Indexing.lookup(spark, path, "name", "Burdock")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+  }
+
+  test("ordered index scan (fwd/bwd) via sorted read") {
+    val path = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("name"), path)
+    val fwd = Indexing.readIndex(spark, path).filter($"field" === "name")
+      .orderBy("value").select("value").collect().map(_.getString(0)).toSeq
+    assert(fwd == Seq("Burdock", "Gotu Kola", "Lemongrass"))
+  }
+
+  test("incremental update: modify + add + delete rewrite only touched prefixes") {
+    val path = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("name"), path)
+
+    Indexing.updateIndex(spark, path, Seq(
+      DiffEntry("M", "arctium-lappa", Map("name" -> Seq("Greater Burdock"))),
+      DiffEntry("A", "zingiber-officinale", Map("name" -> Seq("Ginger"))),
+      DiffEntry("D", "centella-asiatica", Map.empty)
+    ))
+
+    val after = Indexing.readIndex(spark, path).filter($"field" === "name")
+      .select("slug", "value").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(after == Set(
+      ("arctium-lappa", "Greater Burdock"),
+      ("zingiber-officinale", "Ginger"),
+      ("cymbopogon-citratus", "Lemongrass")))
+
+    // lookups see the update
+    assert(Indexing.lookup(spark, path, "name", "Ginger").count() == 1)
+    assert(Indexing.lookup(spark, path, "name", "Gotu Kola").count() == 0)
+
+    // The old 'Burdock' partition (prefix=b) held only the modified slug's old
+    // row — after the update it must be gone entirely, while prefix=g now
+    // holds "Greater Burdock" + "Ginger" and prefix=l (untouched) survives.
+    assert(!new java.io.File(s"$path/field=name/prefix=b").exists())
+    assert(new java.io.File(s"$path/field=name/prefix=g").exists())
+    assert(new java.io.File(s"$path/field=name/prefix=l").exists())
+  }
+
+  test("find-by-slug over a bucketed source table prunes with pushdown") {
+    val path = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("slug"), path)
+    val one = Indexing.lookup(spark, path, "slug", "arctium-lappa")
+    assert(one.count() == 1)
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") || scan.contains("PartitionFilters"))
+  }
+}
