@@ -19,7 +19,11 @@ object HashFunctions {
     */
   val P: Long = 2147483647L // 2^31 - 1
 
-  /** Deterministic multiplier/offset constants for the k hash family. */
+  /** Deterministic multiplier/offset constants for the k hash family (shared
+    * with the native expression twin, graft.plans.MinHashState).
+    */
+  def familyConstants(k: Int, seed: Long): (Array[Long], Array[Long]) = family(k, seed)
+
   private def family(k: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rnd = new scala.util.Random(seed)
     val a   = Array.fill(k)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
@@ -42,15 +46,25 @@ object HashFunctions {
     * Each "permutation" is (a_i * (h mod P) + b_i) mod P with a_i, b_i < 2^31:
     * products stay < 2^62 (ANSI-safe), and the family is the classic universal
     * one over the Mersenne prime field.
+    *
+    * ONE aggregate pass with an array<long> accumulator (zip_with per element).
+    * Higher-order functions evaluate interpreted (outside codegen), and
+    * projection collapse can inline an expression tree many times — k separate
+    * aggregates made the tree O(k·|shingles|) PER REFERENCE and benchmarked
+    * ~400× slower. Single-pass keeps it linear however often it's inlined.
     */
   def minhashSignature(hashes: Column, k: Int = 32, seed: Long = 42L): Column = {
     val (a, b) = family(k, seed)
     val aLit = typedLit(a.toSeq)
     val bLit = typedLit(b.toSeq)
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      aggregate(hashes, lit(Long.MaxValue),
-        (acc, h) => least(acc,
-          pmod(pmod(h, lit(P)) * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(P)))))
+    aggregate(
+      hashes,
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => {
+        val hm = pmod(h, lit(P))
+        zip_with(acc, sequence(lit(0), lit(k - 1)), (cur, i) =>
+          least(cur, pmod(hm * element_at(aLit, i + 1) + element_at(bLit, i + 1), lit(P))))
+      })
   }
 
   /** LSH band hashes: the signature split into `bands` row-groups, each hashed

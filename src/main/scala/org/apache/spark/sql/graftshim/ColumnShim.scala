@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge for wrapping custom Catalyst Expressions into public `Column`s.
+  * `ExpressionUtils` is `private[sql]`, so the accessor lives in a subpackage
+  * of org.apache.spark.sql — the standard extension-point shim for libraries
+  * that ship native expressions.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
