@@ -65,6 +65,54 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) ANN — the k-means scale path: a coarse quantizer
+    * (MLlib KMeans on a sample) partitions the corpus into `nlist` cells; a
+    * query scores only the `nprobe` nearest cells (~nprobe/nlist of the data).
+    * Returns (model-assigned corpus, searcher). At 100 TB the assignment is
+    * one codegen'd scan and the cell layout doubles as the partitioning key
+    * for locality.
+    */
+  def ivfIndex(corpus: DataFrame, nlist: Int = 16, seed: Long = 7L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val featured = corpus.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    val model = new KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
+      .fit(featured)
+    val assigned = model.transform(featured)
+      .withColumnRenamed("prediction", "cell")
+      .drop("__features")
+    IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol, vecCol)
+  }
+
+  final case class IvfIndex(assigned: DataFrame, centers: Array[Array[Double]],
+                            idCol: String, vecCol: String) {
+    /** Top-k for a query vector already in the corpus: probe the `nprobe`
+      * cells whose centroids are nearest the query's own vector.
+      */
+    def topKForId(queryId: Long, k: Int, nprobe: Int = 4): DataFrame = {
+      val spark = assigned.sparkSession
+      // one-row collect of the query vector (point lookup, pushdown)
+      val qVec = assigned.filter(col(idCol) === queryId)
+        .select(col(vecCol).cast("array<double>")).head()
+        .getAs[scala.collection.Seq[Double]](0).toArray
+      val probeCells = centers.zipWithIndex
+        .map { case (c, i) =>
+          val dot  = c.zip(qVec).map { case (a, b) => a * b }.sum
+          val norm = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qVec.map(x => x * x).sum)
+          (i, if (norm == 0) -1.0 else dot / norm)
+        }
+        .sortBy(-_._2).take(nprobe).map(_._1)
+      assigned
+        .filter(col("cell").isin(probeCells.toIndexedSeq: _*) && col(idCol) =!= queryId)
+        .withColumn("score", V.cosine(col(vecCol), typedLit(qVec.toSeq)))
+        .select(col(idCol), col("score"))
+        .orderBy(desc("score"), col(idCol))
+        .limit(k)
+    }
+  }
+
   /** All-pairs embedding near-duplicates above a cosine threshold, candidates
     * from shared LSH buckets (multiprobe over 1-bit flips so near-identical
     * vectors split by one hyperplane still pair up). Bucket equi-join only.

@@ -1,0 +1,55 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers graft's native expressions as
+  * SQL functions, so the engine surface is reachable from plain
+  * `spark.sql(...)` (and thus from any SQL-speaking client) — not just the
+  * Scala DSL.
+  *
+  * Activate with:
+  * {{{
+  *   SparkSession.builder()
+  *     .withExtensions(new GraftExtensions)            // or
+  *     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * SQL surface:
+  *  - `graft_minhash_state(text)` → struct<shingle_hashes, signature, band_hashes>
+  *  - `graft_simhash(text)`       → bigint
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (
+      new FunctionIdentifier("graft_minhash_state"),
+      new ExpressionInfo(classOf[MinHashState].getName, "graft_minhash_state"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_minhash_state(text) takes exactly 1 argument")
+        MinHashState(children.head, k = 32, w = 3, bands = 8, seed = 42L)
+      }),
+    (
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_simhash(text) takes exactly 1 argument")
+        SimHash64(children.head)
+      })
+  )
+
+  /** Register into an already-running session (withExtensions only applies to
+    * sessions built afterwards). Idempotent.
+    */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graftshim.ColumnShim.registerFunction(spark, id, info, builder)
+    }
+}

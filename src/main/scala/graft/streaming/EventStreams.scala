@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming transforms over the `events` stream.
   *
@@ -24,6 +25,60 @@ object EventStreams {
       .agg(count(lit(1)).as("event_cnt"),
            sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("event_cnt"), col("sum_value"))
+
+  /** One event on the wire for [[streamingSessions]]. */
+  final case class Event(ts: java.sql.Timestamp, user_id: Long)
+
+  /** Accumulating per-user session state. */
+  final case class SessionState(sessionStartMs: Long, lastMs: Long, nEvents: Long)
+
+  /** A closed session emitted downstream. */
+  final case class ClosedSession(user_id: Long, startMs: Long, endMs: Long, nEvents: Long)
+
+  /** Streaming gap sessionization with custom state —
+    * `flatMapGroupsWithState` keyed by user, event-time timeout: a session
+    * closes when a later event exceeds the gap in-stream, or when the
+    * watermark passes `lastEvent + gap` (state is then evicted, so per-key
+    * memory is bounded and late stragglers beyond the watermark are dropped —
+    * the same contract as watermarked window aggs). Streaming twin of
+    * [[sessionize]].
+    */
+  def streamingSessions(events: Dataset[Event], gapMinutes: Int = 30,
+                        watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(ClosedSession(userId, s.sessionStartMs, s.lastMs, s.nEvents))
+          } else {
+            val sorted = batch.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[ClosedSession]
+            var cur    = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.lastMs <= gapMs =>
+                  cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed ::= ClosedSession(userId, s.sessionStartMs, s.lastMs, s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMs)
+            }
+            closed.reverseIterator
+          }
+        })
+  }
 
   /** Per-user gap sessionization (batch form): a new session starts after
     * `gapMinutes` of inactivity. Uses lag + running sum — one shuffle on

@@ -1,0 +1,82 @@
+package graft.operators
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkSpec
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{ClosedSession, Event}
+
+class SkewIvfStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join result on skewed data") {
+    val large = (1 to 1000).map(i => (if (i % 10 == 0) 7L else i.toLong, s"v$i"))
+      .toDF("k", "payload") // key 7 is hot
+    val small = Seq((7L, "seven"), (3L, "three"), (8L, "eight")).toDF("k2", "name")
+    val plain  = large.join(small, large("k") === small("k2"))
+      .select("k", "payload", "name").orderBy("k", "payload")
+      .collect().toSeq
+    val salted = Skew.saltedJoin(large, small, "k", "k2")
+      .select("k", "payload", "name").orderBy("k", "payload")
+      .collect().toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("skew profile surfaces the hot key first") {
+    val large = (1 to 1000).map(i => if (i % 10 == 0) 7L else i.toLong).toDF("k")
+    val top = Skew.keySkewProfile(large, "k", topN = 1).head()
+    assert(top.getLong(0) == 7L && top.getLong(1) == 101L)
+  }
+
+  test("IVF top-k recalls brute-force neighbors scanning only probed cells") {
+    val dim = 16
+    val rnd = new scala.util.Random(123)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian())
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = Similarity.topKForId(emb, 0L, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val idx = Similarity.ivfIndex(emb, nlist = 8)
+    val approx = idx.topKForId(0L, 10, nprobe = 2).collect().map(_.getAs[Long]("vec_id")).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.7, s"IVF recall $recall; exact=$exact approx=$approx")
+    // probing really restricts the scan
+    val probedRows = idx.assigned.filter($"cell".isin(0 to 7: _*)).count()
+    assert(idx.assigned.groupBy("cell").count().count() > 1, "quantizer collapsed")
+    assert(probedRows == 200)
+  }
+
+  test("flatMapGroupsWithState closes sessions on gap within the stream") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingSessions(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(ts("2026-01-01 09:00:00"), 1L),
+        Event(ts("2026-01-01 09:10:00"), 1L),
+        Event(ts("2026-01-01 10:00:00"), 1L), // 50-min gap → closes first session
+        Event(ts("2026-01-01 09:00:00"), 2L))
+      q.processAllAvailable()
+      val closed = spark.table("sessions").as[ClosedSession].collect().toSeq
+      assert(closed.map(c => (c.user_id, c.nEvents)) == Seq((1L, 2L)))
+      assert(closed.head.startMs == ts("2026-01-01 09:00:00").getTime)
+      assert(closed.head.endMs == ts("2026-01-01 09:10:00").getTime)
+
+      // advance the watermark far past everyone's gap → event-time timeout
+      // closes and evicts the remaining sessions
+      mem.addData(Event(ts("2026-01-01 15:00:00"), 3L))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2026-01-01 20:00:00"), 3L))
+      q.processAllAvailable()
+      val all = spark.table("sessions").as[ClosedSession].collect().toSeq
+        .map(c => (c.user_id, c.nEvents)).sorted
+      // user 1's 10:00 session and user 2's 09:00 session closed by timeout
+      assert(all.contains((1L, 1L)) && all.contains((2L, 1L)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,48 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL surface registered via SparkSessionExtensions. Needs its own
+  * session (extensions bind at build time). */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    // getOrCreate may return the suite-shared session (built without
+    // extensions) — use the running-session install path, which is the same
+    // function set the withExtensions entry point injects.
+    val s = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    GraftExtensions.install(s)
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  test("graft_simhash and graft_minhash_state callable from plain SQL") {
+    spark.sql("SELECT 'alpha beta gamma delta' AS text")
+      .createOrReplaceTempView("t")
+    val row = spark.sql(
+      """SELECT graft_simhash(text) AS sh,
+               graft_minhash_state(text).signature AS sig,
+               size(graft_minhash_state(text).band_hashes) AS nbands
+         FROM t""").head()
+    assert(row.getLong(0) != 0L)
+    assert(row.getAs[scala.collection.Seq[Long]]("sig").size == 32)
+    assert(row.getInt(2) == 8)
+  }
+
+  test("SQL results match the DSL twins exactly") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text")
+    df.createOrReplaceTempView("docs")
+    val sqlSim = spark.sql("SELECT graft_simhash(text) FROM docs").head().getLong(0)
+    val dslSim = df.select(TextExpressions.simhash64($"text")).head().getLong(0)
+    assert(sqlSim == dslSim)
+    val hofSim = df.select(graft.functions.HashFunctions.simhash(
+      graft.functions.TextFunctions.tokens($"text"))).head().getLong(0)
+    assert(sqlSim == hofSim, "native expression must match the column-algebra twin")
+  }
+}
