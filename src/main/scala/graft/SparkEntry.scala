@@ -344,6 +344,11 @@ object SparkEntry {
           t.avgTokenLen(col("text")).as("avg_token_len"))
         .orderBy("doc_id")
     }),
+    "q_text_bpe" -> ((s, dir) =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextFunctions.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
     "q_text_quality" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -377,6 +382,10 @@ object SparkEntry {
                 len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
                 round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
                       / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+         FROM documents ORDER BY doc_id""",
+    "q_text_bpe" ->
+      """SELECT doc_id,
+                len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
     "q_text_quality" ->
       """SELECT doc_id,

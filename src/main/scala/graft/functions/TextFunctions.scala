@@ -21,6 +21,18 @@ object TextFunctions {
   def avgTokenLen(text: Column): Column =
     round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text), 4)
 
+  /** BPE-ish pre-tokenization: lowercase runs, Capitalized runs, single
+    * digits, single symbols — the GPT-2-style regex shape that approximates
+    * subword token counts without a vocabulary. Shared Java/RE2 semantics so
+    * the DuckDB oracle matches exactly.
+    */
+  val bpeishPattern = "[a-z]+|[A-Z][a-z]*|[0-9]|[^a-zA-Z0-9\\s]"
+
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpeishPattern), lit(0))
+
+  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+
   /** Default stopword list used by quality scoring and language ID. */
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions over the real sf0.001 tables: the properties that
+  * decide 100 TB behavior, checked programmatically (PLANS.md is the human-
+  * readable dump of the same audit).
+  */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan as pushed filters") {
+    for (q <- Seq("q_filter_eq", "q_filter_in", "q_filter_startswith", "q_page_after")) {
+      val p = plan(q)
+      assert(p.contains("PushedFilters: [I") || p.contains("PushedFilters: [Or") ||
+        p.contains("PushedFilters: [String"), s"$q has no pushed filters:\n$p")
+    }
+  }
+
+  test("peek reads only the two projected columns") {
+    val p = plan("q_peek")
+    val read = "ReadSchema: struct<([^>]*)>".r.findFirstMatchIn(p).map(_.group(1)).getOrElse("")
+    assert(read == "c_custkey:bigint,c_name:string", s"peek over-reads: $read")
+  }
+
+  test("dimension joins broadcast; no sort-merge on small dims") {
+    for (q <- Seq("q_join_belongsto", "q_join_hasone", "q_join_hasonethrough",
+                  "q_join_hasmanythrough", "q_agg_topcust", "q_agg_mktseg_nation")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q does not broadcast:\n$p")
+    }
+  }
+
+  test("no cartesian product anywhere in the registered query set") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, dir).queryExecution.optimizedPlan.toString
+      assert(!p.toLowerCase.contains("cartesian"), s"$name has a cartesian product")
+    }
+  }
+
+  test("aggregations do map-side partial aggregation before the exchange") {
+    for (q <- Seq("q_agg_pricing", "q_events_window", "q_dedup_exact")) {
+      val p = plan(q)
+      assert(p.contains("partial_"), s"$q has no partial aggregation:\n$p")
+    }
+  }
+
+  test("top-k queries use TakeOrdered, not a global sort") {
+    for (q <- Seq("q_page_first", "q_orderby_asc", "q_ann_bruteforce")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q sorts globally:\n$p")
+    }
+  }
+}
