@@ -364,6 +364,25 @@ object SparkEntry {
         .select(col("doc_id"),
           functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id").limit(200)),
+    "q_dedup_ngram" -> ((s, dir) => {
+      // N-gram (3-word shingle) Jaccard between adjacent doc pairs — the
+      // verify stage of near-dedup, demonstrated on a deterministic pair set.
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), plans.TextExpressions.shingleSet(col("text")).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a")).filter(col("id_a") < 19)
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_b") === col("id_a") + 1)
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+        .orderBy("id_a")
+    }),
+    "q_ann_buckets" -> ((s, dir) =>
+      // Hyperplane-LSH bucket assignment — the candidate-generation layer of
+      // embedding-cosine near-dup (pair semantics covered in SimilaritySpec).
+      operators.Similarity.bucketed(Tables.load(s, dir, "embeddings"), dim = 64)
+        .select("vec_id", "bucket")
+        .orderBy("vec_id").limit(500)),
     "q_ann_bruteforce" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       operators.Similarity.topKForId(Tables.load(s, dir, "embeddings"), 0L, 10)
@@ -395,6 +414,20 @@ object SparkEntry {
                     + LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
                     4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q_dedup_ngram" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  END) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+         )
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         WHERE a.doc_id < 19 ORDER BY id_a""",
     "q_ann_bruteforce" ->
       """SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank, vec_id
          FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.embedding) AS s

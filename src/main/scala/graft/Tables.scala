@@ -18,15 +18,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long;
-    // read it that way and convert to a proper timestamp column.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
-    else df
-  }
+  // Memoized per (session, dir, table): every relation re-read costs a parquet
+  // footer/schema pass — at ~34 registered queries × 10 tables that is
+  // hundreds of redundant footer reads per Verify/Bench run, and on a real
+  // cluster it is a listing+footer RPC storm. DataFrames are immutable plans;
+  // sharing them is free.
+  private val loadCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val catalogCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Catalog]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loadCache.getOrElseUpdate((spark, dir, name), {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long;
+      // read it that way and convert to a proper timestamp column.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      if (name == "events")
+        df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      else df
+    })
 
   /** Spark session tuned for the local[32] harness; the same settings scale out
     * unchanged (AQE re-plans partition counts on a real cluster).
@@ -36,6 +47,7 @@ object Tables {
       .master(master)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -46,7 +58,10 @@ object Tables {
   /** The queryable catalog for a scale-factor directory. Slug = primary key
     * (lineitem gets a synthetic `slug` since its key is composite).
     */
-  def catalog(spark: SparkSession, dir: String): Catalog = {
+  def catalog(spark: SparkSession, dir: String): Catalog =
+    catalogCache.getOrElseUpdate((spark, dir), buildCatalog(spark, dir))
+
+  private def buildCatalog(spark: SparkSession, dir: String): Catalog = {
     def t(n: String) = load(spark, dir, n)
     val lineitem = t("lineitem")
       .withColumn("slug", concat_ws("-", col("l_orderkey"), col("l_linenumber")))

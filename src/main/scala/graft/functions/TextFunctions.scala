@@ -68,13 +68,23 @@ object TextFunctions {
   )
 
   def langId(text: Column): Column = {
-    val toks = tokens(text)
-    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, markers) =>
-      struct(size(filter(toks, t => t.isin(markers: _*))).as("score"), lit(lang).as("lang"))
-    }
-    // array_max on struct(score, lang): max score, ties broken by lang desc —
-    // deterministic either way. No marker hits at all → "und".
-    val best = array_max(array(scored: _*))
+    val langs = langMarkers.toSeq.sortBy(_._1)
+    // ONE pass over the tokens: per token a 5-element hit vector, summed into
+    // an array accumulator (five separate filter() passes cost 5 interpreted
+    // HOF traversals — same lesson as the MinHash rewrite).
+    val counts = aggregate(
+      tokens(text),
+      array_repeat(lit(0), langs.size),
+      (acc, t) => zip_with(acc,
+        array(langs.map { case (_, markers) =>
+          when(t.isin(markers: _*), 1).otherwise(0)
+        }: _*),
+        (a, b) => a + b))
+    val scored = zip_with(counts, typedLit(langs.map(_._1)),
+      (score, lang) => struct(score.as("score"), lang.as("lang")))
+    // max score, ties broken by lang desc — deterministic either way. No
+    // marker hits at all → "und".
+    val best = array_max(scored)
     when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
   }
 

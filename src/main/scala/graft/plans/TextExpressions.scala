@@ -36,6 +36,11 @@ object TextExpressions {
     * HashFunctions.simhash). */
   def simhash64(text: Column): Column =
     ColumnShim.column(SimHash64(ColumnShim.expression(text)))
+
+  /** Distinct word w-shingles as strings (native twin of
+    * HashFunctions.shingles + array_distinct). */
+  def shingleSet(text: Column, w: Int = 3): Column =
+    ColumnShim.column(ShingleSet(ColumnShim.expression(text), w))
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
@@ -100,6 +105,35 @@ case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Lon
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashState =
+    copy(child = newChild)
+}
+
+case class ShingleSet(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val nSh    = math.max(1, tokens.length - w + 1)
+    val seen   = new java.util.LinkedHashSet[String](nSh * 2)
+    val sb     = new java.lang.StringBuilder
+    var i = 0
+    while (i < nSh) {
+      sb.setLength(0)
+      val end = math.min(i + w, tokens.length)
+      var j = i
+      while (j < end) { if (j > i) sb.append(' '); sb.append(tokens(j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it  = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
 }
 
