@@ -119,22 +119,29 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
         val path = if (sub.isEmpty) foreign.slugField else sub
         d.filter(ownPredicate(d, QFilter(path, f.op, f.values)))
       }
+      // Distinct key values of `path` in `d` as a 1-column frame "__graft_fk"
+      // (nested/array paths fan out like the reference's resolveField).
+      def keysOf(d: DataFrame, path: String): DataFrame =
+        (if (FieldPath.isSimpleColumn(d, path))
+           d.select(col(path).cast(StringType).as("__graft_fk"))
+         else d.select(explode(FieldPath.resolve(d, path)).as("__graft_fk"))
+        ).distinct()
+      // Semi-join `d` against a (small, filtered) key set on `localPath`.
+      def semiOnKeys(d: DataFrame, localPath: String, keys: DataFrame): DataFrame =
+        if (FieldPath.isSimpleColumn(d, localPath))
+          d.join(keys, col(localPath).cast(StringType) === keys("__graft_fk"), "left_semi")
+        else
+          d.join(broadcast(keys),
+            array_contains(FieldPath.resolve(d, localPath), keys("__graft_fk")), "left_semi")
       df = rel match {
         case r: DirectRelation =>
-          val fk = fdf.select(fdf(r.foreignKey).cast(StringType).as("__graft_fk")).distinct()
-          r match {
-            case _: BelongsToMany =>
-              df.join(broadcast(fk), array_contains(col(r.localKey).cast("array<string>"), col("__graft_fk")), "left_semi")
-            case _ =>
-              df.join(fk, df(r.localKey).cast(StringType) === col("__graft_fk"), "left_semi")
-          }
+          semiOnKeys(df, r.localKey, keysOf(fdf, r.foreignKey))
         case r: ThroughRelation =>
           val thr = catalog(r.through).df
-          val keys = thr
-            .join(fdf, thr(r.throughLocalKey).cast(StringType) === fdf(r.targetForeignKey).cast(StringType), "left_semi")
-            .select(thr(r.throughForeignKey).cast(StringType).as("__graft_fk"))
-            .distinct()
-          df.join(keys, df(r.sourceLocalKey).cast(StringType) === col("__graft_fk"), "left_semi")
+          // through rows whose target-side keys survive the filter...
+          val thrMatched = semiOnKeys(thr, r.throughLocalKey, keysOf(fdf, r.targetForeignKey))
+          // ...contribute their source-side keys for the base semi-join.
+          semiOnKeys(df, r.sourceLocalKey, keysOf(thrMatched, r.throughForeignKey))
       }
     }
     df

@@ -8,9 +8,14 @@ import org.apache.spark.sql.types.StringType
   * (reference: src/QueryBuilder.ts:330-485, src/utils/relationResolver.ts:63-147).
   *
   *  - hasOne / hasMany:      `localKey` values match the foreign source's `foreignKey`.
-  *  - belongsTo / belongsToMany: inverse lookup; `localKey` may be array-valued
-  *    (belongsToMany joins through the exploded key set).
+  *  - belongsTo / belongsToMany: inverse lookup via the same key semantics.
   *  - hasOneThrough / hasManyThrough: two-hop join via an intermediate source.
+  *
+  * Any key may be a nested dot-path and/or array-valued (e.g. the reference's
+  * `combinedHerbs.slug`): keys resolve through [[FieldPath]] exactly like the
+  * reference's `resolveField`, and every value of a multi-valued key
+  * participates in the match (reference: buildForeignKeyMap,
+  * src/utils/relationResolver.ts:20-40).
   */
 sealed trait Relation { def name: String; def to: String }
 sealed trait DirectRelation extends Relation { def localKey: String; def foreignKey: String }
@@ -50,9 +55,20 @@ object Relations {
     */
   private def k(c: Column): Column = c.cast(StringType)
 
-  /** Flat (SQL-shaped) join: base columns + selected foreign columns, one output
-    * row per match. `*Many` relations naturally multiply rows. This is the
-    * shape analytics queries and the DuckDB oracle consume.
+  private def isScalarKey(df: DataFrame, path: String): Boolean =
+    FieldPath.isSimpleColumn(df, path)
+
+  /** df + one row per key value in column `as` (scalar keys stay one row). */
+  private def withKey(df: DataFrame, path: String, as: String, outer: Boolean): DataFrame =
+    if (isScalarKey(df, path)) df.withColumn(as, k(col(path)))
+    else if (outer) df.withColumn(as, explode_outer(FieldPath.resolve(df, path)))
+    else df.withColumn(as, explode(FieldPath.resolve(df, path)))
+
+  // ---- flat (SQL-shaped) joins -------------------------------------------
+
+  /** Flat join: base columns + foreign columns, one output row per match.
+    * `*Many` relations naturally multiply rows. The shape analytics queries
+    * and the DuckDB oracle consume.
     */
   def flatJoin(
       base: DataFrame,
@@ -82,16 +98,47 @@ object Relations {
       .join(tg, k(t(rel.throughLocalKey)) === k(tg(rel.targetForeignKey)))
   }
 
-  /** API-faithful nested resolution: attaches a column named `rel.name` holding
-    * the related record(s) — a struct for `hasOne*`, an array of structs for the
-    * `*Many` kinds — exactly like the reference embeds related records in each
-    * row (src/QueryBuilder.ts:390-414).
-    *
-    * Plan shape: aggregate the foreign side once by its key (map-side partial
-    * aggregation), then a single equi-join against the base. The foreign
-    * aggregate is broadcast when hinted. Related arrays are sorted for
-    * determinism (the reference's "first match" is file-enumeration order;
-    * struct-sort order is our documented equivalent).
+  // ---- nested (API-faithful) resolution ----------------------------------
+
+  /** Foreign rows aggregated per key value: (__graft_fk, <name>: array<struct>).
+    * A foreign row appears once under EACH of its key values — exactly the
+    * reference's buildForeignKeyMap.
+    */
+  private def keyedForeign(foreign: DataFrame, foreignKey: String, name: String): DataFrame =
+    withKey(foreign, foreignKey, "__graft_fk", outer = false)
+      .groupBy(col("__graft_fk"))
+      .agg(sort_array(collect_list(struct(foreign.columns.map(col).toIndexedSeq: _*))).as(name))
+
+  /** Attach `keyed` (__graft_fk → array) to every base row by `localKey`.
+    * Scalar local keys use one equi-join; multi-valued keys explode, join and
+    * regroup by all base columns (flatten + distinct, like the reference's
+    * flat-and-dedup of per-key matches).
+    */
+  private def attach(base: DataFrame, keyed: DataFrame, localKey: String,
+                     name: String, single: Boolean, broadcastForeign: Boolean): DataFrame = {
+    val keyedB = maybeBroadcast(keyed, broadcastForeign)
+    val joined =
+      if (isScalarKey(base, localKey)) {
+        base.join(keyedB, k(base(localKey)) === keyedB("__graft_fk"), "left")
+          .drop("__graft_fk")
+      } else {
+        val baseCols = base.columns.toIndexedSeq
+        withKey(base, localKey, "__graft_lk", outer = true)
+          .join(keyedB, col("__graft_lk") === keyedB("__graft_fk"), "left")
+          .drop("__graft_fk")
+          .groupBy(baseCols.map(col): _*)
+          .agg(array_distinct(flatten(collect_list(col(name)))).as(name))
+      }
+    // get() (0-based) is ANSI-safe on empty arrays, unlike element_at.
+    if (single) joined.withColumn(name, get(sort_array(coalesce(col(name), array())), lit(0)))
+    else joined.withColumn(name, coalesce(col(name), array()))
+  }
+
+  /** Attaches a column named `rel.name` holding the related record(s) — a
+    * struct for `hasOne*` (null when unmatched), an array of structs otherwise
+    * — like the reference embeds related records in each row
+    * (src/QueryBuilder.ts:390-414). One aggregation of the foreign side + one
+    * equi-join; no driver round-trips.
     */
   def nested(
       base: DataFrame,
@@ -101,50 +148,24 @@ object Relations {
       broadcastForeign: Boolean = false
   ): DataFrame = rel match {
     case r: DirectRelation =>
-      val fkCol = "__graft_fk"
-      val agg = foreign
-        .groupBy(k(col(r.foreignKey)).as(fkCol))
-        .agg(sort_array(collect_list(struct(foreign.columns.map(col).toIndexedSeq: _*))).as(r.name))
-      val aggB = maybeBroadcast(agg, broadcastForeign)
-      r match {
-        case _: BelongsToMany =>
-          // Array-valued local key: explode, join per key value, regroup by the
-          // base's unique key set (all base columns), de-duplicate matches.
-          val lkCol   = "__graft_lk"
-          val baseCols = base.columns.toIndexedSeq
-          val exploded = base.select(col("*"), explode_outer(col(r.localKey)).as(lkCol))
-          val joined = exploded
-            .join(aggB, k(col(lkCol)) === col(fkCol), "left")
-            .drop(fkCol)
-          joined
-            .groupBy(baseCols.map(col): _*)
-            .agg(array_distinct(flatten(collect_list(col(r.name)))).as(r.name))
-        case _ =>
-          val joined = base
-            .join(aggB, k(base(r.localKey)) === aggB(fkCol), "left")
-            .drop(fkCol)
-          r match {
-            case _: HasOne => joined.withColumn(r.name, element_at(col(r.name), 1))
-            case _         => joined.withColumn(r.name, coalesce(col(r.name), array()))
-          }
-      }
+      val single = r.isInstanceOf[HasOne]
+      attach(base, keyedForeign(foreign, r.foreignKey, r.name), r.localKey, r.name,
+        single, broadcastForeign)
     case r: ThroughRelation =>
       val thr = through.getOrElse(
         throw new IllegalArgumentException(s"Through relation ${r.name} needs the intermediate DataFrame"))
-      val srcCol = "__graft_src"
-      // bridge: (sourceKey -> target record) pairs, then aggregate per sourceKey.
-      val bridge = thr
-        .select(k(col(r.throughForeignKey)).as(srcCol), k(col(r.throughLocalKey)).as("__graft_tgt"))
-        .join(foreign, col("__graft_tgt") === k(foreign(r.targetForeignKey)))
-        .groupBy(col(srcCol))
-        .agg(sort_array(collect_list(struct(foreign.columns.map(col).toIndexedSeq: _*))).as(r.name))
-      val bridgeB = maybeBroadcast(bridge, broadcastForeign)
-      val joined = base
-        .join(bridgeB, k(base(r.sourceLocalKey)) === bridgeB(srcCol), "left")
-        .drop(srcCol)
-      r match {
-        case _: HasOneThrough => joined.withColumn(r.name, element_at(col(r.name), 1))
-        case _                => joined.withColumn(r.name, coalesce(col(r.name), array()))
-      }
+      val single = r.isInstanceOf[HasOneThrough]
+      // bridge: one row per (sourceKey value, targetKey value) of the through
+      // source — nested/array keys fan out like the reference's resolveField.
+      val bridge = withKey(withKey(thr, r.throughForeignKey, "__graft_src", outer = false),
+        r.throughLocalKey, "__graft_tgt", outer = false)
+        .select(col("__graft_src"), col("__graft_tgt"))
+      val targetKeyed = keyedForeign(foreign, r.targetForeignKey, r.name)
+      val keyed = bridge
+        .join(targetKeyed, col("__graft_tgt") === targetKeyed("__graft_fk"))
+        .groupBy(col("__graft_src").as("__graft_fk2"))
+        .agg(array_distinct(flatten(collect_list(col(r.name)))).as(r.name))
+        .withColumnRenamed("__graft_fk2", "__graft_fk")
+      attach(base, keyed, r.sourceLocalKey, r.name, single, broadcastForeign)
   }
 }

@@ -1,0 +1,108 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api._
+import graft.operators.Indexing
+
+/** Config-driven setup — the `defineStaticQL(config)` equivalent
+  * (reference: src/index.ts, src/SourceConfigResolver.ts, README
+  * "Configuration"): parse a `staticql.config.json`, build a [[Catalog]] of
+  * parsed static-file sources with their relations, schemas and indexed
+  * fields, and build/save the prefix indexes.
+  *
+  * A reference user's config file works as-is: same source/relation/index JSON
+  * shape, same "needs index" guard on non-indexed filters, same slug
+  * semantics.
+  */
+object GraftConfig {
+
+  final case class SourceSpec(
+      name: String,
+      format: String,
+      pattern: String,
+      schema: Option[Map[String, Any]],
+      relations: Map[String, Relation],
+      indexFields: Set[String])
+
+  private def str(m: Map[String, Any], key: String, ctx: String): String =
+    m.get(key) match {
+      case Some(s: String) => s
+      case _ => throw new IllegalArgumentException(s"Missing '$key' in $ctx")
+    }
+
+  private[sources] def parseRelation(name: String, m: Map[String, Any]): Relation = {
+    val ctx = s"relation $name"
+    str(m, "type", ctx) match {
+      case "hasOne"        => HasOne(name, str(m, "to", ctx), str(m, "localKey", ctx), str(m, "foreignKey", ctx))
+      case "hasMany"       => HasMany(name, str(m, "to", ctx), str(m, "localKey", ctx), str(m, "foreignKey", ctx))
+      case "belongsTo"     => BelongsTo(name, str(m, "to", ctx), str(m, "localKey", ctx), str(m, "foreignKey", ctx))
+      case "belongsToMany" => BelongsToMany(name, str(m, "to", ctx), str(m, "localKey", ctx), str(m, "foreignKey", ctx))
+      case "hasOneThrough" => HasOneThrough(name, str(m, "to", ctx), str(m, "through", ctx),
+        str(m, "sourceLocalKey", ctx), str(m, "throughForeignKey", ctx),
+        str(m, "throughLocalKey", ctx), str(m, "targetForeignKey", ctx))
+      case "hasManyThrough" => HasManyThrough(name, str(m, "to", ctx), str(m, "through", ctx),
+        str(m, "sourceLocalKey", ctx), str(m, "throughForeignKey", ctx),
+        str(m, "throughLocalKey", ctx), str(m, "targetForeignKey", ctx))
+      case other => throw new IllegalArgumentException(s"Unknown relation type: $other")
+    }
+  }
+
+  /** Parse the reference's config JSON into source specs. */
+  def parse(configJson: String): Seq[SourceSpec] = {
+    val root = MiniJson.parse(configJson) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException("Config root must be an object")
+    }
+    val sources = root.get("sources") match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException("Config needs a 'sources' object")
+    }
+    sources.toSeq.map { case (name, raw) =>
+      val m = raw.asInstanceOf[Map[String, Any]]
+      SourceSpec(
+        name = name,
+        format = str(m, "type", s"source $name"),
+        pattern = str(m, "pattern", s"source $name"),
+        schema = m.get("schema").map(_.asInstanceOf[Map[String, Any]]),
+        relations = m.get("relations").map(_.asInstanceOf[Map[String, Any]].map {
+          case (rn, rm) => rn -> parseRelation(rn, rm.asInstanceOf[Map[String, Any]])
+        }).getOrElse(Map.empty),
+        indexFields = m.get("index").map(_.asInstanceOf[Map[String, Any]].keySet)
+          .getOrElse(Set.empty))
+    }
+  }
+
+  /** Build the queryable catalog: every source loaded (parsed, slugged,
+    * schema-validated) from `baseDir`. Mirrors `defineStaticQL(config)({repository})`.
+    */
+  def catalog(
+      spark: SparkSession,
+      baseDir: String,
+      configJson: String,
+      parsers: Map[String, StaticSources.Parser] = StaticSources.defaultParsers,
+      enforceIndexes: Boolean = true
+  ): Catalog = {
+    val specs = parse(configJson)
+    new Catalog(specs.map { sp =>
+      SourceDef(
+        name = sp.name,
+        df = StaticSources.load(spark, s"$baseDir/${sp.pattern}", sp.format, parsers, sp.schema),
+        slugField = "slug",
+        relations = sp.relations,
+        indexedFields = if (enforceIndexes) Some(sp.indexFields) else None)
+    })
+  }
+
+  /** Build + persist prefix indexes for every indexed field — the
+    * `staticql.saveIndexes()` / `staticql-gen-index` equivalent. Relation-path
+    * index keys (e.g. `herbs.slug`) index the related source's key values.
+    */
+  def saveIndexes(spark: SparkSession, cat: Catalog, outDir: String, depth: Int = 1): Unit =
+    cat.sources.values.foreach { src =>
+      val own = src.indexedFields.getOrElse(Set.empty)
+        .filter(f => !src.relations.contains(f.takeWhile(_ != '.')))
+      if (own.nonEmpty)
+        Indexing.writeIndex(src.df, src.slugField, own.toSeq.sorted, s"$outDir/${src.name}", depth)
+    }
+}

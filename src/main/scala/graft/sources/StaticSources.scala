@@ -71,7 +71,8 @@ object StaticSources {
       spark: SparkSession,
       pattern: String,
       format: String,
-      parsers: Map[String, Parser] = defaultParsers
+      parsers: Map[String, Parser] = defaultParsers,
+      schema: Option[Map[String, Any]] = None
   ): DataFrame = {
     val parser = parsers.getOrElse(format,
       throw new IllegalArgumentException(s"No parser registered for type: $format"))
@@ -81,9 +82,12 @@ object StaticSources {
       .text(pattern)
       .select(col("_metadata.file_path").as("path"), col("value"))
       .as[(String, String)]
-    // Per-file parse on executors; canonical JSON lines out.
+    // Per-file parse (+ optional schema validation, reference: SourceLoader
+    // validates each record on load) on executors; canonical JSON lines out.
     val jsonLines: Dataset[String] = files.flatMap { case (path, content) =>
-      records(parser(content), slugFromPath(pattern, path)).map(MiniYaml.toJson)
+      val recs = records(parser(content), slugFromPath(pattern, path))
+      schema.foreach(sc => recs.foreach(r => Validation.validateRecord(r, sc)))
+      recs.map(MiniYaml.toJson)
     }
     spark.read.json(jsonLines)
   }

@@ -1,0 +1,172 @@
+package graft.sources
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.Row
+import graft.SparkSpec
+import graft.api._
+
+/** End-to-end config-driven workflow — the reference's tests/query.test.ts
+  * scenarios run through `GraftConfig` (config JSON → catalog → indexes →
+  * queries), on fixtures shaped like tests/content/.
+  */
+class GraftConfigSpec extends SparkSpec {
+
+  private def write(dir: Path, rel: String, content: String): Unit = {
+    val p = dir.resolve(rel)
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  private lazy val root: Path = {
+    val d = Files.createTempDirectory("graft-cfg")
+    write(d, "content/herbs/arctium-lappa.md",
+      "---\nname: Burdock\ntagSlugs: [root, edible]\noverview: a root vegetable\n---\nBody A\n")
+    write(d, "content/herbs/centella-asiatica.md",
+      "---\nname: Gotu Kola\ntagSlugs: [leaf]\noverview: a creeping herb\n---\nBody B\n")
+    write(d, "content/herbs/cymbopogon-citratus.md",
+      "---\nname: Lemongrass\ntagSlugs: [leaf, edible]\noverview: a tall grass\n---\nBody C\n")
+    write(d, "content/recipeGroups.yaml",
+      """- slug: recipeGroup001
+        |  processSlug: infusion
+        |  combinedHerbs:
+        |    - slug: arctium-lappa
+        |      herbStateSlug: dry
+        |- slug: recipeGroup002
+        |  processSlug: infusion
+        |  combinedHerbs:
+        |    - slug: centella-asiatica
+        |      herbStateSlug: dry
+        |    - slug: cymbopogon-citratus
+        |      herbStateSlug: dry
+        |""".stripMargin)
+    write(d, "content/recipes/recipeGroup001/001.md",
+      "---\nrecipeGroupSlug: recipeGroup001\nrecipe: [measure, steep, strain]\n---\nRoot tea\n")
+    write(d, "content/recipes/recipeGroup002/001.md",
+      "---\nrecipeGroupSlug: recipeGroup002\nrecipe: [mix, steep]\n---\nCalming tea\n")
+    write(d, "content/processes.yaml",
+      "- slug: infusion\n  name: Infusion\n")
+    d
+  }
+
+  private val config =
+    """{
+      |  "sources": {
+      |    "herbs": {
+      |      "type": "markdown",
+      |      "pattern": "content/herbs/*.md",
+      |      "schema": {"type": "object", "required": ["name", "tagSlugs", "overview"]},
+      |      "relations": {
+      |        "recipes": {
+      |          "to": "recipes", "through": "recipeGroups",
+      |          "sourceLocalKey": "slug", "throughForeignKey": "combinedHerbs.slug",
+      |          "throughLocalKey": "slug", "targetForeignKey": "recipeGroupSlug",
+      |          "type": "hasManyThrough"
+      |        }
+      |      },
+      |      "index": {"name": {}, "tagSlugs": {}}
+      |    },
+      |    "recipes": {
+      |      "type": "markdown",
+      |      "pattern": "content/recipes/**/*.md",
+      |      "schema": {"type": "object", "required": ["recipeGroupSlug", "recipe"]},
+      |      "relations": {
+      |        "herbs": {
+      |          "to": "herbs", "through": "recipeGroups",
+      |          "sourceLocalKey": "recipeGroupSlug", "throughForeignKey": "slug",
+      |          "throughLocalKey": "combinedHerbs.slug", "targetForeignKey": "slug",
+      |          "type": "hasManyThrough"
+      |        },
+      |        "process": {
+      |          "to": "processes", "through": "recipeGroups",
+      |          "sourceLocalKey": "recipeGroupSlug", "throughForeignKey": "slug",
+      |          "throughLocalKey": "processSlug", "targetForeignKey": "slug",
+      |          "type": "hasOneThrough"
+      |        }
+      |      },
+      |      "index": {"herbs.slug": {}}
+      |    },
+      |    "recipeGroups": {
+      |      "type": "yaml",
+      |      "pattern": "content/recipeGroups.yaml",
+      |      "schema": {"type": "object", "required": ["slug", "processSlug", "combinedHerbs"]}
+      |    },
+      |    "processes": {
+      |      "type": "yaml",
+      |      "pattern": "content/processes.yaml",
+      |      "schema": {"type": "object", "required": ["slug", "name"]}
+      |    }
+      |  }
+      |}""".stripMargin
+
+  private lazy val cat = GraftConfig.catalog(spark, root.toString, config)
+
+  test("config parses: sources, relations, index fields") {
+    val specs = GraftConfig.parse(config)
+    assert(specs.map(_.name).toSet == Set("herbs", "recipes", "recipeGroups", "processes"))
+    val herbs = specs.find(_.name == "herbs").get
+    assert(herbs.indexFields == Set("name", "tagSlugs"))
+    assert(herbs.relations("recipes").isInstanceOf[HasManyThrough])
+  }
+
+  test("reference query.test.ts: eq on slug finds the herb by name") {
+    val r = cat.from("herbs").where("slug", Eq, "arctium-lappa").exec()
+    assert(r.data.map(_.getAs[String]("name")) == Seq("Burdock"))
+  }
+
+  test("reference query.test.ts: join through + relation filter attaches ALL herbs") {
+    val r = cat.from("recipes")
+      .join("herbs")
+      .where("herbs.slug", In, Seq("centella-asiatica"))
+      .exec()
+    assert(r.data.length == 1)
+    assert(r.data.head.getAs[String]("slug") == "recipeGroup002--001")
+    val attached = r.data.head.getAs[scala.collection.Seq[Row]]("herbs")
+    assert(attached.map(_.getAs[String]("slug")).sorted ==
+      Seq("centella-asiatica", "cymbopogon-citratus"))
+  }
+
+  test("hasOneThrough via config: recipe -> process struct") {
+    val r = cat.from("recipes").join("process").orderBy("slug").exec()
+    assert(r.data.forall(_.getAs[Row]("process").getAs[String]("name") == "Infusion"))
+  }
+
+  test("herbs -> recipes through combinedHerbs.slug (nested through key)") {
+    val r = cat.from("herbs").join("recipes")
+      .where("slug", Eq, "cymbopogon-citratus").exec()
+    val recipes = r.data.head.getAs[scala.collection.Seq[Row]]("recipes")
+    assert(recipes.map(_.getAs[String]("slug")) == Seq("recipeGroup002--001"))
+  }
+
+  test("needs-index guard active for config catalogs") {
+    val e = intercept[IllegalArgumentException](
+      cat.from("herbs").where("overview", Eq, "a root vegetable").exec())
+    assert(e.getMessage.contains("needs index"))
+  }
+
+  test("pagination over config sources (reference pagination scenario)") {
+    val first = cat.from("herbs").orderBy("name").pageSize(2).exec()
+    assert(first.data.map(_.getAs[String]("slug")) ==
+      Seq("arctium-lappa", "centella-asiatica"))
+    val second = cat.from("herbs").orderBy("name").pageSize(2)
+      .cursor(first.pageInfo.endCursor.get).exec()
+    assert(second.data.map(_.getAs[String]("slug")) == Seq("cymbopogon-citratus"))
+    assert(second.pageInfo.hasPreviousPage && !second.pageInfo.hasNextPage)
+  }
+
+  test("saveIndexes builds prefix indexes for configured fields; lookup prunes") {
+    val idxDir = Files.createTempDirectory("graft-cfg-idx").toString
+    GraftConfig.saveIndexes(spark, cat, idxDir)
+    val hit = graft.operators.Indexing.lookup(spark, s"$idxDir/herbs", "tagSlugs", "edible")
+    assert(hit.select("slug").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("arctium-lappa", "cymbopogon-citratus"))
+  }
+
+  test("schema validation rejects a bad record at load") {
+    val bad = Files.createTempDirectory("graft-bad")
+    write(bad, "content/herbs/x.md", "---\nname: NoOverview\n---\n")
+    val e = intercept[Exception] {
+      GraftConfig.catalog(spark, bad.toString, config).from("herbs").exec()
+    }
+    assert(e.getMessage.contains("required") || e.getMessage.contains("Missing"))
+  }
+}
