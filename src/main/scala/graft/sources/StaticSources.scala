@@ -67,12 +67,16 @@ object StaticSources {
     * parser from `parsers` (inject custom formats — e.g. CSV — by extending
     * the map, exactly like the reference's `registerParser`).
     */
+  /** `includeRaw = true` adds a `raw` column holding the whole file content —
+    * the reference attaches `raw` on per-slug loads (src/SourceLoader.ts:108).
+    */
   def load(
       spark: SparkSession,
       pattern: String,
       format: String,
       parsers: Map[String, Parser] = defaultParsers,
-      schema: Option[Map[String, Any]] = None
+      schema: Option[Map[String, Any]] = None,
+      includeRaw: Boolean = false
   ): DataFrame = {
     val parser = parsers.getOrElse(format,
       throw new IllegalArgumentException(s"No parser registered for type: $format"))
@@ -87,7 +91,8 @@ object StaticSources {
     val jsonLines: Dataset[String] = files.flatMap { case (path, content) =>
       val recs = records(parser(content), slugFromPath(pattern, path))
       schema.foreach(sc => recs.foreach(r => Validation.validateRecord(r, sc)))
-      recs.map(MiniYaml.toJson)
+      val out = if (includeRaw) recs.map(_ + ("raw" -> content)) else recs
+      out.map(MiniYaml.toJson)
     }
     spark.read.json(jsonLines)
   }

@@ -19,6 +19,16 @@ class PaginationSpec extends SparkSpec {
     assert(e.getMessage == "Invalid cursor")
   }
 
+  test("unicode cursor roundtrip (reference pagenation.test.ts)") {
+    val c = Cursor("name", "あいう", "ゴボウの育て方")
+    assert(Cursor.decode(Cursor.encode(c)) == c)
+  }
+
+  test("empty cursor string is invalid (reference pagenation.test.ts)") {
+    val e = intercept[IllegalArgumentException](Cursor.decode(""))
+    assert(e.getMessage == "Invalid cursor")
+  }
+
   test("forward pagination walks the whole set in order without overlap") {
     // display order (rank asc, slug asc): b,d,c,g,a,f,e
     val p1 = Pagination.exec(df, "rank", "slug", descending = false, 3, None, After)

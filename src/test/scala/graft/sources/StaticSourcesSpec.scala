@@ -63,6 +63,13 @@ class StaticSourcesSpec extends SparkSpec {
     assert(df.orderBy("slug").collect().map(_.getAs[String]("name")).toSeq == Seq("Alpha", "Beta"))
   }
 
+  test("includeRaw attaches the whole file content like the reference's loadBySlug") {
+    val df = StaticSources.load(spark, s"$root/content/herbs/*.md", "markdown", includeRaw = true)
+    val r = df.filter(org.apache.spark.sql.functions.col("slug") === "arctium-lappa").head()
+    assert(r.getAs[String]("raw").startsWith("---\nname: Burdock"))
+    assert(r.getAs[String]("raw").contains("Body A"))
+  }
+
   test("slugFromPath mirrors the reference's -- encoding for nested paths") {
     assert(StaticSources.slugFromPath("content/herbs/*.md", "/x/content/herbs/a.md") == "a")
     assert(StaticSources.slugFromPath("content/recipes/**/*.md",
