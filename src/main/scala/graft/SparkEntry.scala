@@ -126,7 +126,12 @@ object SparkEntry {
       Tables.catalog(s, dir).from("customer")
         .orderBy("c_name").pageSize(20)
         .cursor(pageCursor, "before")
-        .execDf().select("c_custkey", "c_name"))
+        .execDf().select("c_custkey", "c_name")),
+    "q_page_desc_after" -> ((s, dir) =>
+      Tables.catalog(s, dir).from("customer")
+        .orderBy("c_acctbal", "desc").pageSize(20)
+        .cursor(Cursor.encode(Cursor("c_acctbal", "5000.0", "750")), "after")
+        .execDf().select("c_custkey", "c_name", "c_acctbal"))
   )
 
   private def paginationOracle: Map[String, String] = Map(
@@ -141,7 +146,11 @@ object SparkEntry {
            SELECT c_custkey, c_name FROM customer
            WHERE c_name < 'Customer#000000299' OR (c_name = 'Customer#000000299' AND c_custkey < 299)
            ORDER BY c_name DESC, c_custkey DESC LIMIT 20
-         ) ORDER BY c_name, c_custkey"""
+         ) ORDER BY c_name, c_custkey""",
+    "q_page_desc_after" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+         WHERE c_acctbal < 5000.0 OR (c_acctbal = 5000.0 AND c_custkey < 750)
+         ORDER BY c_acctbal DESC, c_custkey DESC LIMIT 20"""
   )
 
   // ---- relation joins (SURVEY §2 #12-#17) --------------------------------
@@ -187,6 +196,21 @@ object SparkEntry {
         .select("s_suppkey", "s_name", "r_name")
         .orderBy("s_suppkey")
     }),
+    "q_join_nested_hasmany" -> ((s, dir) => {
+      // API-faithful NESTED resolution, verified through cardinalities the
+      // oracle can recompute: customer rows with their embedded orders array.
+      val c = Tables.catalog(s, dir)
+      Relations.nested(c("customer").df, c("customer").relations("orders"), c("orders").df)
+        .select(col("c_custkey"), size(col("orders")).as("order_cnt"))
+        .orderBy("c_custkey")
+    }),
+    "q_join_nested_through" -> ((s, dir) => {
+      val c = Tables.catalog(s, dir)
+      Relations.nested(c("region").df, c("region").relations("customers"),
+          c("customer").df, through = Some(c("nation").df))
+        .select(col("r_name"), size(col("customers")).as("cust_cnt"))
+        .orderBy("r_name")
+    }),
     "q_join_hasmanythrough" -> ((s, dir) => {
       val c = Tables.catalog(s, dir)
       val rel = c("region").relations("customers").asInstanceOf[HasManyThrough]
@@ -219,6 +243,16 @@ object SparkEntry {
          FROM supplier JOIN nation ON s_nationkey = n_nationkey
          JOIN region ON n_regionkey = r_regionkey
          ORDER BY s_suppkey""",
+    "q_join_nested_hasmany" ->
+      """SELECT c_custkey, CAST(COUNT(o_orderkey) AS INTEGER) AS order_cnt
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         GROUP BY c_custkey ORDER BY c_custkey""",
+    "q_join_nested_through" ->
+      """SELECT r_name, CAST(COUNT(c_custkey) AS INTEGER) AS cust_cnt
+         FROM region
+         LEFT JOIN nation ON r_regionkey = n_regionkey
+         LEFT JOIN customer ON n_nationkey = c_nationkey
+         GROUP BY r_name ORDER BY r_name""",
     "q_join_hasmanythrough" ->
       """SELECT r_name, c_custkey, c_name
          FROM region JOIN nation ON r_regionkey = n_regionkey

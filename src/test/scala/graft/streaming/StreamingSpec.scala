@@ -31,6 +31,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file readStream over the real events table matches the batch aggregation") {
+    // readStream → transform → writeStream on the driver-provided parquet:
+    // the streaming plan must produce exactly the batch q_events_window result.
+    val dir   = "/root/testdata/sf0.001"
+    val batch = graft.Tables.load(spark, dir, "events")
+    // file streams want a DIRECTORY of files; stage the parquet into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    // the raw parquet stores ts as TIMESTAMP(NANOS) → read as long + convert,
+    // exactly like Tables.load
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+    val q = EventStreams.hourlyAgg(stream, watermark = "10 years") // keep all windows for the compare
+      .writeStream.format("memory").queryName("file_hourly").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_hourly")
+        .orderBy("hour", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      val expected = EventStreams.hourlyAgg(batch.withColumn("ts", col("ts")), watermark = "10 years")
+      // batch twin: same aggregation shape without the streaming machinery
+      val batchRows = batch
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("event_cnt"))
+        .orderBy("hour", "event_type")
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+      assert(streamed.toSeq == batchRows.toSeq)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("sessionize splits on gaps > 30 min per user") {
     val df = Seq(
       (ts("2026-01-01 09:00:00"), 1L),
