@@ -100,10 +100,17 @@ final case class PageResult(data: Seq[Row], pageInfo: PageInfo)
   */
 object Pagination {
 
-  /** Strict "beyond the cursor" predicate in the scan direction. */
+  /** Strict "beyond the cursor" predicate in the scan direction.
+    *
+    * Null order values sort at the comparison-minimum end under Spark's
+    * defaults (asc_nulls_first / desc_nulls_last), so a backward-comparing
+    * scan (`<`) moves TOWARD the null region and must include it explicitly —
+    * a bare `<` comparison is null for those rows and would silently drop
+    * them from every cursored page.
+    */
   private def beyond(orderCol: Column, slugCol: Column, typedVal: Column, slugLit: Column, forward: Boolean): Column =
     if (forward) (orderCol > typedVal) || (orderCol === typedVal && slugCol > slugLit)
-    else (orderCol < typedVal) || (orderCol === typedVal && slugCol < slugLit)
+    else orderCol.isNull || (orderCol < typedVal) || (orderCol === typedVal && slugCol < slugLit)
 
   /** The page as a lazy DataFrame (exactly `pageSize` rows, display order).
     * `descending` refers to the user-requested order on `orderField`; the slug
@@ -172,6 +179,9 @@ object Pagination {
 
   /** Materialize one page with PageInfo. The only collect in the engine — of an
     * already-limited `pageSize+1` probe (allowed: final page materialization).
+    * `cursorKey` is the user-facing order-key name to embed in emitted cursors
+    * (defaults to `orderField`; callers sorting on a synthetic column pass the
+    * original field name so cursors stay reference-shaped).
     */
   def exec(
       df: DataFrame,
@@ -180,8 +190,10 @@ object Pagination {
       descending: Boolean,
       pageSize: Int,
       cursor: Option[Cursor],
-      direction: PageDirection
+      direction: PageDirection,
+      cursorKey: String = null
   ): PageResult = {
+    val keyName = Option(cursorKey).getOrElse(orderField)
     val probe = probeDf(df, orderField, slugField, descending, pageSize, cursor, direction).collect()
     // For Before, the probe row (if present) is the *first* in display order.
     val hasExtra = probe.length > pageSize
@@ -198,18 +210,22 @@ object Pagination {
       case After  => cursor.isDefined
       case Before => hasExtra
     }
-    def cursorOf(r: Row): String = {
+    // A null boundary value cannot anchor a keyset predicate (the reference
+    // hard-errors on empty order values, src/QueryBuilder.ts:556-558); emit no
+    // cursor for such rows — the null region sorts last in display order, so
+    // the page holding it is the final page anyway.
+    def cursorOf(r: Row): Option[String] = {
       val ov = r.getAs[Any](r.fieldIndex(orderField))
       val sv = r.getAs[Any](r.fieldIndex(slugField))
-      Cursor.encode(Cursor(orderField, String.valueOf(ov), String.valueOf(sv)))
+      Option(ov).map(v => Cursor.encode(Cursor(keyName, String.valueOf(v), String.valueOf(sv))))
     }
     PageResult(
       page.toSeq,
       PageInfo(
         hasNext,
         hasPrev,
-        page.headOption.map(cursorOf),
-        page.lastOption.map(cursorOf)
+        page.headOption.flatMap(cursorOf),
+        page.lastOption.flatMap(cursorOf)
       )
     )
   }

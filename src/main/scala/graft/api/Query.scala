@@ -152,7 +152,7 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     if (FieldPath.isSimpleColumn(df, orderKey) || df.schema.fieldNames.contains(orderKey))
       (df, orderKey)
     else {
-      requireIndexed(orderKey.takeWhile(_ != '.'))
+      requireIndexed(orderKey) // full dot-path, same key shape filters use
       (df.withColumn("__graft_ord", element_at(FieldPath.resolve(df, orderKey), 1)), "__graft_ord")
     }
 
@@ -169,12 +169,25 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
 
   // ---- execution ---------------------------------------------------------
 
-  /** The page as a lazy DataFrame (joins applied after the limit). */
+  /** Joins shuffle/regroup the already-paged rows, so the page's display order
+    * must be re-established afterwards.
+    */
+  private def resorted(joined: DataFrame, ordCol: String): DataFrame = {
+    val oc = col(ordCol)
+    val sc = col(src.slugField)
+    val sorted =
+      if (orderDesc) joined.orderBy(oc.desc, sc.desc) else joined.orderBy(oc.asc, sc.asc)
+    if (ordCol == "__graft_ord") sorted.drop("__graft_ord") else sorted
+  }
+
+  /** The page as a lazy DataFrame (joins applied after the limit, display
+    * order re-established after the joins).
+    */
   def execDf(): DataFrame = {
     val (df, ordCol) = withOrderCol(filteredBase())
     val page = Pagination.pageDf(df, ordCol, src.slugField, orderDesc, pageSz,
       cursorValue.map(Cursor.decode), cursorDir)
-    applyJoins(if (ordCol == "__graft_ord") page.drop("__graft_ord") else page)
+    resorted(applyJoins(page), ordCol)
   }
 
   /** Materialize one page with `PageInfo` — reference `exec()`
@@ -183,11 +196,12 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
   def exec(): PageResult = {
     val (df, ordCol) = withOrderCol(filteredBase())
     val cur  = cursorValue.map(Cursor.decode)
-    val info = Pagination.exec(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir)
+    val info = Pagination.exec(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir,
+      cursorKey = orderKey)
     if (joins.isEmpty) info
     else {
       val page = Pagination.pageDf(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir)
-      val data = applyJoins(if (ordCol == "__graft_ord") page.drop("__graft_ord") else page)
+      val data = resorted(applyJoins(page), ordCol)
       PageResult(data.collect().toSeq, info.pageInfo)
     }
   }

@@ -122,12 +122,19 @@ object Relations {
         base.join(keyedB, k(base(localKey)) === keyedB("__graft_fk"), "left")
           .drop("__graft_fk")
       } else {
+        // Regroup by a synthetic row id, not by the base columns: grouping by
+        // value would silently collapse duplicate base rows (and fail on
+        // ungroupable types like maps).
         val baseCols = base.columns.toIndexedSeq
-        withKey(base, localKey, "__graft_lk", outer = true)
+        val withId = base.withColumn("__graft_rid", monotonically_increasing_id())
+        val aggs = baseCols.map(c => first(col(c)).as(c)) :+
+          array_distinct(flatten(collect_list(col(name)))).as(name)
+        withKey(withId, localKey, "__graft_lk", outer = true)
           .join(keyedB, col("__graft_lk") === keyedB("__graft_fk"), "left")
           .drop("__graft_fk")
-          .groupBy(baseCols.map(col): _*)
-          .agg(array_distinct(flatten(collect_list(col(name)))).as(name))
+          .groupBy(col("__graft_rid"))
+          .agg(aggs.head, aggs.tail: _*)
+          .drop("__graft_rid")
       }
     // get() (0-based) is ANSI-safe on empty arrays, unlike element_at.
     if (single) joined.withColumn(name, get(sort_array(coalesce(col(name), array())), lit(0)))

@@ -95,29 +95,38 @@ object Indexing {
     val touchedParts = touched.collect().map(r => (r.getString(0), r.getString(1)))
 
     // Rebuild touched partitions: surviving old rows (other slugs) + new rows.
-    // (Computed BEFORE deleting the old files.)
     val rebuilt = existing
       .join(broadcast(touched), Seq("field", "prefix"), "left_semi")
       .filter(!col("slug").isin(slugs: _*))
       .unionByName(newRows.join(broadcast(touched), Seq("field", "prefix"), "left_semi"))
       .repartition(col("field"), col("prefix"))
       .sortWithinPartitions("field", "prefix", "value", "slug")
-      .cache()
-    rebuilt.count() // materialize before the source partitions are deleted
 
-    // Explicit delete-then-append: unlike dynamic partition overwrite, this
-    // also CLEARS partitions whose rows were all removed (pure deletions).
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val root  = new org.apache.hadoop.fs.Path(path)
-    val fs    = root.getFileSystem(hconf)
-    touchedParts.foreach { case (f, p) =>
-      val dir = new org.apache.hadoop.fs.Path(root, s"field=$f/prefix=$p")
-      if (fs.exists(dir)) fs.delete(dir, true)
-    }
+    // Durable swap: write the rebuilt partitions to a temp dir FIRST (the old
+    // files are still the source of truth while this job runs — no reliance
+    // on cached blocks), then delete the touched partitions and rename the
+    // new ones in. A crash before the rename loop leaves the index intact;
+    // explicit deletion also CLEARS partitions whose rows were all removed
+    // (dynamic partition overwrite cannot).
+    val hconf   = spark.sparkContext.hadoopConfiguration
+    val root    = new org.apache.hadoop.fs.Path(path)
+    val fs      = root.getFileSystem(hconf)
+    val tmpPath = new org.apache.hadoop.fs.Path(path + "__graft_update_tmp")
+    if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     rebuilt.write
       .partitionBy("field", "prefix")
-      .mode("append")
-      .parquet(path)
-    rebuilt.unpersist()
+      .mode("overwrite")
+      .parquet(tmpPath.toString)
+    touchedParts.foreach { case (f, p) =>
+      val rel    = s"field=$f/prefix=$p"
+      val oldDir = new org.apache.hadoop.fs.Path(root, rel)
+      val newDir = new org.apache.hadoop.fs.Path(tmpPath, rel)
+      if (fs.exists(oldDir)) fs.delete(oldDir, true)
+      if (fs.exists(newDir)) {
+        fs.mkdirs(oldDir.getParent)
+        fs.rename(newDir, oldDir)
+      }
+    }
+    fs.delete(tmpPath, true)
   }
 }

@@ -88,7 +88,10 @@ object Multimodal {
     * 100 TB regardless of row counts.
     */
   def repartitionByBytes(assets: DataFrame, targetBytes: Long = 128L << 20): DataFrame = {
-    val total = assets.agg(sum(coalesce(length(col("bytes")), lit(0)))).head().getLong(0)
+    // coalesce OUTSIDE the sum: an empty frame sums to null (NPE on getLong)
+    val total = assets
+      .agg(coalesce(sum(coalesce(length(col("bytes")), lit(0))), lit(0L)))
+      .head().getLong(0)
     val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     assets.repartition(parts)
   }

@@ -16,25 +16,35 @@ object Similarity {
 
   /** Exact top-k cosine neighbors of each query row. `queries` is expected to
     * be small (it is broadcast); the corpus is scanned once, scored per row
-    * inside codegen, and top-k selected via ORDER BY + LIMIT (for a single
-    * query) — Spark turns that into a TakeOrderedAndProject, no full sort.
+    * inside codegen, then rank-filtered per query (one shuffle on query_id).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
+    val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
     corpus
       .join(q, col(idCol) =!= col(queryIdCol))
       .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
       .select(col(queryIdCol), col(idCol), col("score"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
   }
 
-  /** Top-k for a single query vector id taken from the corpus itself. */
+  /** Top-k for a single query vector id taken from the corpus itself —
+    * single-query fast path: ORDER BY + LIMIT compiles to
+    * TakeOrderedAndProject (no window shuffle, no full sort).
+    */
   def topKForId(corpus: DataFrame, queryId: Long, k: Int,
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = corpus.filter(col(idCol) === queryId)
-      .select(col(idCol).as("query_id"), col(vecCol))
-    bruteForceTopK(corpus, q, k, idCol, vecCol)
+    val q = broadcast(corpus.filter(col(idCol) === queryId)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qvec")))
+    corpus
+      .join(q, col(idCol) =!= col("query_id"))
+      .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
+      .select(col("query_id"), col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

@@ -86,16 +86,19 @@ case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Lon
       }
       s += 1
     }
-    // band hashes: xxhash64-chain over each row group, seed = band index
-    // (same scheme Spark uses to hash array<long> values)
+    // band hashes: EXACTLY HashFunctions.bandHashes' scheme —
+    // xxhash64(slice, j) = seed 42, chain the slice's elements (Spark hashes
+    // array values element-by-element), then the band index as an int. Keeping
+    // the two paths bit-identical means signatures indexed with one path can
+    // be probed with the other.
     val bandArr = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var h = b.toLong
+      var h = 42L
       var r = b * rowsPerBand
       val end = r + rowsPerBand
       while (r < end) { h = XxHash64Function.hash(sig(r), LongType, h); r += 1 }
-      bandArr(b) = h
+      bandArr(b) = XxHash64Function.hash(b, IntegerType, h)
       b += 1
     }
     InternalRow(

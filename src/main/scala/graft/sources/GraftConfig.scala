@@ -96,7 +96,9 @@ object GraftConfig {
 
   /** Build + persist prefix indexes for every indexed field — the
     * `staticql.saveIndexes()` / `staticql-gen-index` equivalent. Relation-path
-    * index keys (e.g. `herbs.slug`) index the related source's key values.
+    * index keys (e.g. `herbs.slug`) are NOT materialized: relation filters
+    * execute as semi-joins against the related source directly, which is the
+    * scale-correct equivalent of the reference's relation index files.
     */
   def saveIndexes(spark: SparkSession, cat: Catalog, outDir: String, depth: Int = 1): Unit =
     cat.sources.values.foreach { src =>

@@ -73,7 +73,12 @@ object EventStreams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.lastMs + gapMs)
+              // flatMapGroupsWithState does NOT drop late rows (only aggs do):
+              // a straggler can put lastMs+gap below the current watermark,
+              // and setTimeoutTimestamp would throw and kill the query —
+              // clamp to just past the watermark instead.
+              val wm = state.getCurrentWatermarkMs()
+              state.setTimeoutTimestamp(math.max(s.lastMs + gapMs, wm + 1))
             }
             closed.reverseIterator
           }
