@@ -360,6 +360,10 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) =>
       operators.Dedup.exact(Tables.load(s, dir, "documents"))
         .orderBy("keep_id")),
+    "q_dedup_corpus" -> ((s, dir) =>
+      operators.Dedup.exactCorpus(Tables.load(s, dir, "documents"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
     "q_dedup_minhash" -> ((s, dir) =>
       // Per-doc LSH state (signature+bands); pair generation is LSH-bucketed
       // and covered with planted near-dups in DedupSpec (not SQL-expressible).
@@ -448,6 +452,10 @@ object SparkEntry {
                     + LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
                     4) AS quality
          FROM documents ORDER BY doc_id""",
+    "q_dedup_corpus" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+         ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH sh AS (
            SELECT doc_id,

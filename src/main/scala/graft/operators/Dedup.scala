@@ -71,6 +71,29 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** The corpus surviving exact dedup: one representative (min id) per
+    * distinct content hash. Semi-join against the winners — document bodies
+    * never shuffle.
+    */
+  def exactCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val keep = exact(docs, idCol, textCol).select(col("keep_id"))
+    docs.join(keep, docs(idCol) === keep("keep_id"), "left_semi")
+  }
+
+  /** The corpus surviving near-dedup: greedy MinHash-LSH — a document is
+    * dropped iff it near-matches (Jaccard ≥ threshold) some LOWER-id document.
+    * (The standard pretraining-pipeline policy; transitive clusters keep their
+    * minimum, plus any member that only matches dropped docs — full
+    * connected-components needs an iterative join and is rarely worth it.)
+    */
+  def minhashCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                    k: Int = 32, bands: Int = 8, shingleW: Int = 3,
+                    jaccardThreshold: Double = 0.7): DataFrame = {
+    val losers = minhashLsh(docs, idCol, textCol, k, bands, shingleW, jaccardThreshold)
+      .select(col("id_b").as("__graft_drop")).distinct()
+    docs.join(losers, docs(idCol) === col("__graft_drop"), "left_anti")
+  }
+
   /** Per-document 64-bit SimHash (native expression; column-algebra twin in
     * HashFunctions.simhash). */
   def simhashed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

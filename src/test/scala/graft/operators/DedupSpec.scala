@@ -56,6 +56,17 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("exactCorpus keeps one representative per distinct text") {
+    val out = Dedup.exactCorpus(docs).orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 2L, 4L, 5L)) // 3 is an exact dup of 1
+  }
+
+  test("minhashCorpus drops near-dups keeping the lowest id") {
+    val out = Dedup.minhashCorpus(docs, jaccardThreshold = 0.5)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L, 4L, 5L)) // 2 and 3 near/exact match 1
+  }
+
   test("no crossJoin in any dedup plan") {
     for (df <- Seq(Dedup.minhashLsh(docs), Dedup.simhashDupes(docs))) {
       val plan = df.queryExecution.optimizedPlan.toString
