@@ -307,6 +307,26 @@ object SparkEntry {
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
     }),
+    "q_text_topwords" -> ((s, dir) =>
+      // corpus vocabulary profile: explode + count, the canonical map-side-
+      // combinable aggregation over text
+      Tables.load(s, dir, "documents")
+        .select(explode(functions.TextFunctions.tokens(col("text"))).as("word"))
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), col("word"))
+        .limit(50)),
+    "q_events_funnel" -> ((s, dir) => {
+      // classic funnel: users whose first 'purchase' follows their first 'view'
+      val ev = Tables.load(s, dir, "events")
+      val firstView = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("first_view"))
+      val firstBuy = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id").agg(min(col("ts")).as("first_purchase"))
+      firstView.join(firstBuy, "user_id")
+        .filter(col("first_purchase") > col("first_view"))
+        .agg(count(lit(1)).as("converted_users"))
+    }),
     "q_events_window" -> ((s, dir) =>
       // Batch shape of the streaming hourly window (EventStreams runs the same
       // aggregation as Structured Streaming with a watermark).
@@ -347,6 +367,17 @@ object SparkEntry {
                   o_orderkey, o_totalprice
            FROM orders)
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_text_topwords" ->
+      """SELECT word, COUNT(*) AS cnt FROM (
+           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+         GROUP BY word ORDER BY cnt DESC, word LIMIT 50""",
+    "q_events_funnel" ->
+      """SELECT COUNT(*) AS converted_users FROM (
+           SELECT v.user_id FROM
+             (SELECT user_id, min(ts) AS first_view FROM events WHERE event_type = 'view' GROUP BY user_id) v
+             JOIN (SELECT user_id, min(ts) AS first_purchase FROM events WHERE event_type = 'purchase' GROUP BY user_id) p
+             ON v.user_id = p.user_id
+           WHERE p.first_purchase > v.first_view)""",
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 COUNT(*) AS event_cnt,
