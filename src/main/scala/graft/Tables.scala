@@ -35,7 +35,11 @@ object Tables {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events")
-        df.withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+        // integer `div`, NOT `/`: Spark's `/` is double division, and epoch
+        // nanos (~2^60) lose sub-256ns precision as doubles — a floor after
+        // that can land one microsecond low and shift events across
+        // window/session boundaries.
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
 

@@ -102,15 +102,19 @@ object Pagination {
 
   /** Strict "beyond the cursor" predicate in the scan direction.
     *
-    * Null order values sort at the comparison-minimum end under Spark's
-    * defaults (asc_nulls_first / desc_nulls_last), so a backward-comparing
-    * scan (`<`) moves TOWARD the null region and must include it explicitly —
-    * a bare `<` comparison is null for those rows and would silently drop
-    * them from every cursored page.
+    * Display order pins null order values LAST regardless of direction (see
+    * [[scanPage]]), so an After-scan from a (always non-null) cursor moves
+    * TOWARD the null region and must include it explicitly — a bare comparison
+    * is null for those rows and would silently drop them from every cursored
+    * page. Before-scans move away from the nulls and exclude them.
     */
-  private def beyond(orderCol: Column, slugCol: Column, typedVal: Column, slugLit: Column, forward: Boolean): Column =
-    if (forward) (orderCol > typedVal) || (orderCol === typedVal && slugCol > slugLit)
-    else orderCol.isNull || (orderCol < typedVal) || (orderCol === typedVal && slugCol < slugLit)
+  private def beyond(orderCol: Column, slugCol: Column, typedVal: Column, slugLit: Column,
+                     forward: Boolean, includeNulls: Boolean): Column = {
+    val cmp =
+      if (forward) (orderCol > typedVal) || (orderCol === typedVal && slugCol > slugLit)
+      else (orderCol < typedVal) || (orderCol === typedVal && slugCol < slugLit)
+    if (includeNulls) orderCol.isNull || cmp else cmp
+  }
 
   /** The page as a lazy DataFrame (exactly `pageSize` rows, display order).
     * `descending` refers to the user-requested order on `orderField`; the slug
@@ -155,6 +159,15 @@ object Pagination {
     val orderCol   = col(orderField)
     val slugCol    = col(slugField)
     val displayAsc = !descending
+    // Display order pins nulls LAST for both directions (asc_nulls_last /
+    // desc_nulls_last): null-ordered rows then always live on the final pages,
+    // where "no cursor on a null boundary" is harmless. (Spark's asc default
+    // is nulls-FIRST — relying on it would dead-end ascending pagination on
+    // page one: null rows emit no cursor.)
+    val displaySort  = if (displayAsc) Seq(orderCol.asc_nulls_last, slugCol.asc)
+                       else Seq(orderCol.desc_nulls_last, slugCol.desc)
+    val reversedSort = if (displayAsc) Seq(orderCol.desc_nulls_first, slugCol.desc)
+                       else Seq(orderCol.asc_nulls_first, slugCol.asc)
     // After scans in display order; Before scans the reversed display order
     // (to take the pageSize rows nearest the cursor on its "previous" side).
     val scanAsc = displayAsc == (direction == After)
@@ -162,19 +175,15 @@ object Pagination {
       case Some(c) =>
         val typedVal = lit(c.orderValue).cast(df.schema(orderField).dataType)
         val slugLit  = lit(c.slug).cast(df.schema(slugField).dataType)
-        df.filter(beyond(orderCol, slugCol, typedVal, slugLit, forward = scanAsc))
+        df.filter(beyond(orderCol, slugCol, typedVal, slugLit,
+          forward = scanAsc, includeNulls = direction == After))
       case None => df
     }
-    val scanned =
-      if (scanAsc) filtered.orderBy(orderCol.asc, slugCol.asc)
-      else filtered.orderBy(orderCol.desc, slugCol.desc)
+    val scanned = filtered.orderBy((if (direction == After) displaySort else reversedSort): _*)
     val limited = scanned.limit(if (probe) pageSize + 1 else pageSize)
     // Before-pages were scanned in reverse; re-sort the (already limited)
     // result back to display order.
-    if (direction == Before) {
-      if (displayAsc) limited.orderBy(orderCol.asc, slugCol.asc)
-      else limited.orderBy(orderCol.desc, slugCol.desc)
-    } else limited
+    if (direction == Before) limited.orderBy(displaySort: _*) else limited
   }
 
   /** Materialize one page with PageInfo. The only collect in the engine — of an

@@ -96,7 +96,9 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
         case Eq         => c === lit(f.values.head).cast(dt)
         case StartsWith => c.cast(StringType).startsWith(f.values.head)
         // OR-of-typed-equalities: pushdown-friendly and keeps the column typed.
-        case In         => f.values.map(v => c === lit(v).cast(dt)).reduce(_ || _)
+        // Empty IN matches nothing (SQL semantics), not a crash.
+        case In         =>
+          f.values.map(v => c === lit(v).cast(dt)).reduceOption(_ || _).getOrElse(lit(false))
       }
     } else
       FieldPath.anyLeaf(df, f.field, x => f.op match {
@@ -149,9 +151,10 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
 
   /** Adds a sortable order column for nested-path order keys. */
   private def withOrderCol(df: DataFrame): (DataFrame, String) =
-    if (FieldPath.isSimpleColumn(df, orderKey) || df.schema.fieldNames.contains(orderKey))
+    if (FieldPath.isSimpleColumn(df, orderKey) || df.schema.fieldNames.contains(orderKey)) {
+      requireIndexed(orderKey) // the reference's guard covers sort keys too
       (df, orderKey)
-    else {
+    } else {
       requireIndexed(orderKey) // full dot-path, same key shape filters use
       (df.withColumn("__graft_ord", element_at(FieldPath.resolve(df, orderKey), 1)), "__graft_ord")
     }
@@ -175,8 +178,10 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
   private def resorted(joined: DataFrame, ordCol: String): DataFrame = {
     val oc = col(ordCol)
     val sc = col(src.slugField)
+    // nulls-last, matching Pagination's display order
     val sorted =
-      if (orderDesc) joined.orderBy(oc.desc, sc.desc) else joined.orderBy(oc.asc, sc.asc)
+      if (orderDesc) joined.orderBy(oc.desc_nulls_last, sc.desc)
+      else joined.orderBy(oc.asc_nulls_last, sc.asc)
     if (ordCol == "__graft_ord") sorted.drop("__graft_ord") else sorted
   }
 
@@ -200,7 +205,14 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
       cursorKey = orderKey)
     if (joins.isEmpty) info
     else {
-      val page = Pagination.pageDf(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir)
+      // Joins run against the ALREADY-COLLECTED page as a local relation —
+      // the expensive filter+sort+limit scan is not repeated; foreign sides
+      // join against ≤ pageSize local rows.
+      val spark = df.sparkSession
+      val page  = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(info.data).asJava),
+        df.schema)
       val data = resorted(applyJoins(page), ordCol)
       PageResult(data.collect().toSeq, info.pageInfo)
     }
@@ -212,9 +224,12 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     */
   def peek(): DataFrame = {
     val (df, ordCol) = withOrderCol(filteredBase())
-    Pagination
+    val page = Pagination
       .pageDf(df, ordCol, src.slugField, orderDesc, pageSz, cursorValue.map(Cursor.decode), cursorDir)
-      .select(col(src.slugField).cast(StringType).as("slug"), col(ordCol).as(orderKey.replace('.', '_')))
+    val slugOut = col(src.slugField).cast(StringType).as("slug")
+    // ordering by the slug itself (the default) must not duplicate the column
+    if (ordCol == src.slugField) page.select(slugOut)
+    else page.select(slugOut, col(ordCol).as(orderKey.replace('.', '_')))
   }
 
   /** Point lookup by slug — reference `find()` (src/QueryBuilder.ts:107). A

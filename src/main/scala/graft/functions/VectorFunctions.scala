@@ -17,8 +17,13 @@ object VectorFunctions {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Zero-guarded: a zero vector scores 0.0, not NaN (NaN sorts ABOVE every
+    * double in Spark and would top every desc-score ranking).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    val denom = norm(a) * norm(b)
+    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  }
 
   /** Signature of `nbits` random-hyperplane sign bits as an int bucket id.
     * Hyperplane components are deterministic ±1 draws from `seed`, embedded as

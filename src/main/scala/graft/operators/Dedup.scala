@@ -56,7 +56,10 @@ object Dedup {
       col("shingle_hashes").as("sh"),
       posexplode(col("band_hashes")).as(Seq("band", "bhash")))
       // both sides of the self-join read this; persist so signatures compute
-      // once (at corpus scale this would be a checkpointed/persisted table)
+      // once (at corpus scale this would be a checkpointed table). Lifecycle:
+      // no unpersist handle exists on a lazily-returned plan — Spark's
+      // ContextCleaner unpersists the blocks when the plan is GC'd, and
+      // MEMORY_AND_DISK evicts LRU under pressure rather than recomputing.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = buckets.select(col("band"), col("bhash"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = buckets.select(col("band"), col("bhash"), col("id").as("id_b"), col("sh").as("sh_b"))

@@ -28,6 +28,7 @@ object Skew {
       .join(replicated,
         salted(largeKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
       .drop(replicated("__salt"))
+      .drop(replicated(smallKey)) // dedupe the join key like join(..., Seq(key))
       .drop("__salt")
   }
 

@@ -63,7 +63,10 @@ object EventStreams {
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  cur = Some(s.copy(lastMs = t, nEvents = s.nEvents + 1))
+                  // late (out-of-order but above-watermark) events must never
+                  // move the session window backward
+                  cur = Some(SessionState(
+                    math.min(s.sessionStartMs, t), math.max(s.lastMs, t), s.nEvents + 1))
                 case Some(s) =>
                   closed ::= ClosedSession(userId, s.sessionStartMs, s.lastMs, s.nEvents)
                   cur = Some(SessionState(t, t, 1))

@@ -82,6 +82,84 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(out.count() == 3, "duplicate base rows must survive the regroup")
   }
 
+  test("ascending pagination pins nulls LAST and stays walkable past page one") {
+    val df = Seq(("a", None), ("b", Some(1)), ("c", None), ("d", Some(2)), ("e", Some(3)))
+      .toDF("slug", "rank")
+    // display asc with nulls last: b(1), d(2), e(3), a(null), c(null)
+    val p1 = Pagination.exec(df, "rank", "slug", descending = false, 2, None, After)
+    assert(p1.data.map(_.getString(0)) == Seq("b", "d"))
+    assert(p1.pageInfo.endCursor.isDefined, "non-null first page must emit cursors")
+    val p2 = Pagination.exec(df, "rank", "slug", descending = false, 2,
+      p1.pageInfo.endCursor.map(Cursor.decode), After)
+    assert(p2.data.map(_.getString(0)) == Seq("e", "a"))
+    val eCursor = Cursor.decode(Cursor.encode(Cursor("rank", "3", "e")))
+    val p3 = Pagination.exec(df, "rank", "slug", descending = false, 2, Some(eCursor), After)
+    assert(p3.data.map(_.getString(0)) == Seq("a", "c"), "null region reachable ascending too")
+  }
+
+  test("empty IN filter matches nothing instead of crashing") {
+    val df = Seq(("s1", "x")).toDF("slug", "v")
+    val cat = new Catalog(Seq(SourceDef("t", df)))
+    assert(cat.from("t").where("v", In, Seq.empty[String]).exec().data.isEmpty)
+  }
+
+  test("peek with default slug ordering yields a single slug column") {
+    val df = Seq(("s1", "x"), ("s2", "y")).toDF("slug", "v")
+    val cat = new Catalog(Seq(SourceDef("t", df)))
+    val p = cat.from("t").peek()
+    assert(p.columns.toSeq == Seq("slug"))
+    assert(p.select("slug").collect().map(_.getString(0)).toSeq == Seq("s1", "s2"))
+  }
+
+  test("orderBy a non-indexed simple column throws like filters do") {
+    val df = Seq(("s1", "x", "b")).toDF("slug", "title", "body")
+    val cat = new Catalog(Seq(SourceDef("t", df, indexedFields = Some(Set("title")))))
+    cat.from("t").orderBy("title").exec() // indexed: fine
+    val e = intercept[IllegalArgumentException](cat.from("t").orderBy("body").exec())
+    assert(e.getMessage.contains("needs index"))
+  }
+
+  test("cosine of a zero vector is 0.0, never NaN-ranked first") {
+    val vecs = (Seq((0L, Seq(1f, 2f, 3f, 4f)), (1L, Seq(1f, 2f, 3f, 4.1f)),
+      (99L, Seq(0f, 0f, 0f, 0f)))).toDF("vec_id", "embedding")
+    val top = Similarity.topKForId(vecs, 0L, 2).collect()
+    assert(top.head.getAs[Long]("vec_id") == 1L, "zero vector must not outrank real neighbors")
+    assert(top.forall(r => !r.getAs[Double]("score").isNaN))
+  }
+
+  test("saltedJoin with identical key names dedupes the join key column") {
+    val a = Seq((1L, "pa")).toDF("k", "payload")
+    val b = Seq((1L, "nb")).toDF("k", "name")
+    val out = graft.operators.Skew.saltedJoin(a, b, "k", "k")
+    assert(out.columns.count(_ == "k") == 1)
+    assert(out.select("k", "payload", "name").head() == Row(1L, "pa", "nb"))
+  }
+
+  test("late in-gap event never moves a streaming session backward") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{ClosedSession, Event}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingSessions(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("late_sessions").outputMode("append").start()
+    try {
+      mem.addData(Event(ts("2026-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2026-01-01 09:50:00"), 1L)) // late but in-gap
+      q.processAllAvailable()
+      mem.addData(Event(ts("2026-01-01 12:00:00"), 1L)) // gap → closes session
+      q.processAllAvailable()
+      val closed = spark.table("late_sessions").as[ClosedSession].collect().toSeq
+      assert(closed.map(c => (c.user_id, c.nEvents)) == Seq((1L, 2L)))
+      assert(closed.head.endMs == ts("2026-01-01 10:00:00").getTime,
+        "session end must not regress to the late event")
+      assert(closed.head.startMs == ts("2026-01-01 09:50:00").getTime)
+    } finally q.stop()
+  }
+
   test("repartitionByBytes on an empty frame is a no-op, not an NPE") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Multimodal.assetSchema)
