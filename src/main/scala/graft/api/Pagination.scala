@@ -39,46 +39,17 @@ object Cursor {
     Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
   }
 
-  /** Minimal parser for the exact cursor shape we (and the reference) emit. */
+  /** Decode via the shared JSON parser (one escape/parse implementation in the
+    * codebase — a hand-rolled twin here once mishandled \b and \f).
+    */
   def decode(cursor: String): Cursor =
     try {
       val json = new String(Base64.getDecoder.decode(cursor), StandardCharsets.UTF_8)
-      var i = 0
-      def ws(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
-      def expect(ch: Char): Unit = { ws(); require(json(i) == ch, s"expected $ch"); i += 1 }
-      def str(): String = {
-        ws(); require(json(i) == '"', "expected string"); i += 1
-        val sb = new StringBuilder
-        while (json(i) != '"') {
-          if (json(i) == '\\') {
-            i += 1
-            json(i) match {
-              case 'n' => sb += '\n'
-              case 't' => sb += '\t'
-              case 'r' => sb += '\r'
-              case 'u' => sb += Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar; i += 4
-              case c   => sb += c
-            }
-          } else sb += json(i)
-          i += 1
-        }
-        i += 1
-        sb.toString
+      val root = graft.sources.MiniJson.parse(json).asInstanceOf[Map[String, Any]]
+      val (orderKey, orderValue) = root("order").asInstanceOf[Map[String, Any]].head match {
+        case (k, v) => (k, String.valueOf(v))
       }
-      var orderKey = ""; var orderValue = ""; var slug = ""
-      expect('{')
-      var done = false
-      while (!done) {
-        val k = str(); expect(':')
-        k match {
-          case "order" => expect('{'); orderKey = str(); expect(':'); orderValue = str(); expect('}')
-          case "slug"  => slug = str()
-          case _       => str()
-        }
-        ws()
-        if (json(i) == ',') i += 1 else { expect('}'); done = true }
-      }
-      Cursor(orderKey, orderValue, slug)
+      Cursor(orderKey, orderValue, String.valueOf(root("slug")))
     } catch { case _: Throwable => throw new IllegalArgumentException("Invalid cursor") }
 }
 

@@ -77,6 +77,17 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     cursorDir = if (direction.equalsIgnoreCase("before")) Before else After
     this
   }
+
+  /** Decode + validate: a cursor minted under a different orderBy would
+    * otherwise ANSI-cast garbage into the order column mid-job.
+    */
+  private def decodedCursor(): Option[Cursor] = cursorValue.map { v =>
+    val c = Cursor.decode(v)
+    if (c.orderKey != orderKey)
+      throw new IllegalArgumentException(
+        s"Invalid cursor: minted for order key '${c.orderKey}', query orders by '$orderKey'")
+    c
+  }
   def pageSize(n: Int): QueryBuilder = { require(n > 0); pageSz = n; this }
 
   // ---- plan construction -------------------------------------------------
@@ -156,7 +167,10 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
       (df, orderKey)
     } else {
       requireIndexed(orderKey) // full dot-path, same key shape filters use
-      (df.withColumn("__graft_ord", element_at(FieldPath.resolve(df, orderKey), 1)), "__graft_ord")
+      // get() (0-based) is ANSI-safe when the resolved array is empty (the
+      // field is null/absent) — the row then sorts nulls-last instead of
+      // crashing the query with INVALID_ARRAY_INDEX.
+      (df.withColumn("__graft_ord", get(FieldPath.resolve(df, orderKey), lit(0))), "__graft_ord")
     }
 
   private def applyJoins(df: DataFrame): DataFrame =
@@ -191,7 +205,7 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
   def execDf(): DataFrame = {
     val (df, ordCol) = withOrderCol(filteredBase())
     val page = Pagination.pageDf(df, ordCol, src.slugField, orderDesc, pageSz,
-      cursorValue.map(Cursor.decode), cursorDir)
+      decodedCursor(), cursorDir)
     resorted(applyJoins(page), ordCol)
   }
 
@@ -200,11 +214,18 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     */
   def exec(): PageResult = {
     val (df, ordCol) = withOrderCol(filteredBase())
-    val cur  = cursorValue.map(Cursor.decode)
+    val cur  = decodedCursor()
     val info = Pagination.exec(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir,
       cursorKey = orderKey)
-    if (joins.isEmpty) info
-    else {
+    if (joins.isEmpty) {
+      // strip the synthetic order column so exec() rows match execDf()'s schema
+      if (ordCol != "__graft_ord") info
+      else {
+        val i = df.schema.fieldIndex("__graft_ord")
+        info.copy(data = info.data.map(r =>
+          org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(i, Nil, 1))))
+      }
+    } else {
       // Joins run against the ALREADY-COLLECTED page as a local relation —
       // the expensive filter+sort+limit scan is not repeated; foreign sides
       // join against ≤ pageSize local rows.
@@ -225,7 +246,7 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
   def peek(): DataFrame = {
     val (df, ordCol) = withOrderCol(filteredBase())
     val page = Pagination
-      .pageDf(df, ordCol, src.slugField, orderDesc, pageSz, cursorValue.map(Cursor.decode), cursorDir)
+      .pageDf(df, ordCol, src.slugField, orderDesc, pageSz, decodedCursor(), cursorDir)
     val slugOut = col(src.slugField).cast(StringType).as("slug")
     // ordering by the slug itself (the default) must not duplicate the column
     if (ordCol == src.slugField) page.select(slugOut)

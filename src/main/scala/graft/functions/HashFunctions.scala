@@ -69,10 +69,15 @@ object HashFunctions {
 
   /** LSH band hashes: the signature split into `bands` row-groups, each hashed
     * to one long. Two documents sharing any band hash are near-dup candidates.
+    * Row-group width derives from the ACTUAL signature length (a fixed width
+    * would silently ignore the signature tail for non-default k and break
+    * parity with the native MinHashState).
     */
-  def bandHashes(signature: Column, bands: Int = 8, rowsPerBand: Int = 4): Column =
+  def bandHashes(signature: Column, bands: Int = 8): Column = {
+    val width = (size(signature) / bands).cast("int")
     transform(sequence(lit(0), lit(bands - 1)),
-      j => xxhash64(slice(signature, j * rowsPerBand + 1, lit(rowsPerBand)), j))
+      j => xxhash64(slice(signature, j * width + 1, width), j))
+  }
 
   private val pow2: Seq[Long] = (0 until 64).map(i => 1L << i)
 

@@ -117,8 +117,12 @@ object Indexing {
       .partitionBy("field", "prefix")
       .mode("overwrite")
       .parquet(tmpPath.toString)
+    // Partition dirs on disk are Hive-escaped by Spark's writer (':' → %3A,
+    // empty → __HIVE_DEFAULT_PARTITION__, …) — build paths the same way or
+    // special-character prefixes would silently never swap.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString
     touchedParts.foreach { case (f, p) =>
-      val rel    = s"field=$f/prefix=$p"
+      val rel    = s"${getPartitionPathString("field", f)}/${getPartitionPathString("prefix", p)}"
       val oldDir = new org.apache.hadoop.fs.Path(root, rel)
       val newDir = new org.apache.hadoop.fs.Path(tmpPath, rel)
       if (fs.exists(oldDir)) fs.delete(oldDir, true)

@@ -46,6 +46,9 @@ object TextExpressions {
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
     extends UnaryExpression with CodegenFallback {
 
+  require(bands > 0 && k % bands == 0,
+    s"signature length k=$k must be a positive multiple of bands=$bands")
+
   private val P = graft.functions.HashFunctions.P
   private val (aConst, bConst) = graft.functions.HashFunctions.familyConstants(k, seed)
   private val rowsPerBand = k / bands

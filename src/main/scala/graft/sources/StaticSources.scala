@@ -39,9 +39,12 @@ object StaticSources {
       case "" => ""
       case d  => d + "/"
     }
-    val ext = filePath.lastIndexOf('.') match {
+    // extension of the FINAL segment only — a dot in a parent directory
+    // ("archive.old/readme") is not an extension
+    val lastSeg = filePath.split("/").last
+    val ext = lastSeg.lastIndexOf('.') match {
       case -1 => ""
-      case i  => filePath.substring(i)
+      case i  => lastSeg.substring(i)
     }
     var rel = if (baseDir.nonEmpty && filePath.contains(baseDir))
       filePath.substring(filePath.indexOf(baseDir) + baseDir.length)
@@ -69,6 +72,9 @@ object StaticSources {
     */
   /** `includeRaw = true` adds a `raw` column holding the whole file content —
     * the reference attaches `raw` on per-slug loads (src/SourceLoader.ts:108).
+    * `schema` drives per-record validation (the reference's ingest-time
+    * validation); `sparkSchema` skips the distributed schema-inference pass
+    * entirely — the scale path for large corpora with a known contract.
     */
   def load(
       spark: SparkSession,
@@ -76,7 +82,8 @@ object StaticSources {
       format: String,
       parsers: Map[String, Parser] = defaultParsers,
       schema: Option[Map[String, Any]] = None,
-      includeRaw: Boolean = false
+      includeRaw: Boolean = false,
+      sparkSchema: Option[org.apache.spark.sql.types.StructType] = None
   ): DataFrame = {
     val parser = parsers.getOrElse(format,
       throw new IllegalArgumentException(s"No parser registered for type: $format"))
@@ -94,6 +101,9 @@ object StaticSources {
       val out = if (includeRaw) recs.map(_ + ("raw" -> content)) else recs
       out.map(MiniYaml.toJson)
     }
-    spark.read.json(jsonLines)
+    sparkSchema match {
+      case Some(s) => spark.read.schema(s).json(jsonLines)
+      case None    => spark.read.json(jsonLines)
+    }
   }
 }

@@ -69,7 +69,7 @@ class ReviewRegressionSpec extends SparkSpec {
     val native = Dedup.minhashed(docs).select("band_hashes").head()
       .getAs[scala.collection.Seq[Long]](0).toSeq
     val hof = docs.select(
-      H.bandHashes(H.minhashSignature(H.shingleHashes(T.tokens($"text"))), 8, 4).as("bh"))
+      H.bandHashes(H.minhashSignature(H.shingleHashes(T.tokens($"text"))), 8).as("bh"))
       .head().getAs[scala.collection.Seq[Long]](0).toSeq
     assert(native == hof, "index built with one path must be probe-able with the other")
   }
@@ -158,6 +158,71 @@ class ReviewRegressionSpec extends SparkSpec {
         "session end must not regress to the late event")
       assert(closed.head.startMs == ts("2026-01-01 09:50:00").getTime)
     } finally q.stop()
+  }
+
+  test("cursor minted under a different orderBy is rejected, not ANSI-cast") {
+    val df = Seq(("s1", "n1", 1.5)).toDF("slug", "name", "bal")
+    val cat = new Catalog(Seq(SourceDef("t", df)))
+    val c = cat.from("t").orderBy("name").pageSize(1).exec().pageInfo.endCursor.get
+    val e = intercept[IllegalArgumentException](
+      cat.from("t").orderBy("bal").cursor(c).exec())
+    assert(e.getMessage.contains("Invalid cursor"))
+  }
+
+  test("exec without joins strips the synthetic order column (nested order key)") {
+    val df = Seq(("s1", ("x", 1))).toDF("slug", "meta")
+      .withColumn("meta", col("meta").cast("struct<kind:string,rank:int>"))
+    val cat = new Catalog(Seq(SourceDef("t", df)))
+    val row = cat.from("t").orderBy("meta.kind").exec().data.head
+    assert(row.length == 2, s"unexpected internal columns in $row")
+  }
+
+  test("nested order key with a null leaf sorts nulls-last instead of crashing (ANSI)") {
+    val df = Seq(("s1", Some(("x", 1))), ("s2", None)).toDF("slug", "meta")
+      .withColumn("meta", col("meta").cast("struct<kind:string,rank:int>"))
+    val out = new Catalog(Seq(SourceDef("t", df)))
+      .from("t").orderBy("meta.kind").exec()
+    assert(out.data.map(_.getString(0)) == Seq("s1", "s2"))
+  }
+
+  test("incremental index update swaps partitions whose prefix needs Hive escaping") {
+    import graft.operators.Indexing, Indexing.DiffEntry
+    val herbs = Seq((":colon-slug", ":Weird"), ("plain", "Plain")).toDF("slug", "name")
+    val path = java.nio.file.Files.createTempDirectory("graft-esc").toString + "/idx"
+    Indexing.writeIndex(herbs, "slug", Seq("name"), path)
+    Indexing.updateIndex(spark, path, Seq(
+      DiffEntry("M", ":colon-slug", Map("name" -> Seq(":Weirder")))))
+    val vals = Indexing.readIndex(spark, path).select("value")
+      .collect().map(_.getString(0)).sorted.toSeq
+    assert(vals == Seq(":Weirder", "Plain"), s"got $vals")
+  }
+
+  test("slugFromPath ignores dots in parent directories") {
+    import graft.sources.StaticSources
+    assert(StaticSources.slugFromPath("docs/**", "/x/docs/archive.old/readme") ==
+      "archive.old--readme")
+  }
+
+  test("explicit sparkSchema skips inference and types columns as declared") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft-schema")
+    java.nio.file.Files.writeString(dir.resolve("a.json"), """{"slug":"a","n":7}""")
+    val s = StructType(Seq(StructField("slug", StringType), StructField("n", DoubleType)))
+    val df = graft.sources.StaticSources.load(spark, s"$dir/a.json", "json", sparkSchema = Some(s))
+    assert(df.schema == s)
+    assert(df.head().getDouble(1) == 7.0)
+  }
+
+  test("MinHash parity holds for non-default k; invalid band split rejected") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta")).toDF("doc_id", "text")
+    val native = Dedup.minhashed(docs, k = 64, bands = 8).select("band_hashes").head()
+      .getAs[scala.collection.Seq[Long]](0).toSeq
+    val hof = docs.select(
+      H.bandHashes(H.minhashSignature(H.shingleHashes(T.tokens($"text")), k = 64), 8))
+      .head().getAs[scala.collection.Seq[Long]](0).toSeq
+    assert(native == hof)
+    intercept[IllegalArgumentException](
+      graft.plans.MinHashState(null, k = 30, w = 3, bands = 8, seed = 42L))
   }
 
   test("repartitionByBytes on an empty frame is a no-op, not an NPE") {
