@@ -15,16 +15,7 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.openCostInBytes", "131072")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Tables.session() // the shared harness session (one tuning source)
 
     def force(name: String): Double = {
       val t0 = System.nanoTime()
@@ -36,11 +27,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: prime file cache + JIT with one cheap pass over the big tables,
-    // plus one noop write so the sink/codegen path is hot before timing starts.
-    Seq("lineitem", "orders", "events", "documents", "embeddings")
-      .foreach(t => Tables.load(spark, sfDir, t).count())
-    Tables.load(spark, sfDir, "region").write.format("noop").mode("overwrite").save()
+    // Warmup: noop-WRITE each big table — count() only touches parquet
+    // footers (the count-star shortcut), which would leave the data pages
+    // cold and bias the first timed query per table. The noop write also
+    // primes the sink/codegen path.
+    Seq("region", "lineitem", "orders", "events", "documents", "embeddings")
+      .foreach(t => Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
 
     val names   = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> force(n))

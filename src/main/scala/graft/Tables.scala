@@ -31,8 +31,9 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     loadCache.getOrElseUpdate((spark, dir, name), {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long;
-      // read it that way and convert to a proper timestamp column.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the conf is session-global (no per-read option exists) but is only
+      // flipped when the table that needs it loads.
+      if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
       if (name == "events")
         // integer `div`, NOT `/`: Spark's `/` is double division, and epoch

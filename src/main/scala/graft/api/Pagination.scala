@@ -23,19 +23,10 @@ final case class PageInfo(
 final case class Cursor(orderKey: String, orderValue: String, slug: String)
 
 object Cursor {
-  private def esc(s: String): String = s.flatMap {
-    case '"'           => "\\\""
-    case '\\'          => "\\\\"
-    case '\n'          => "\\n"
-    case '\r'          => "\\r"
-    case '\t'          => "\\t"
-    case c if c < ' '  => f"\\u${c.toInt}%04x"
-    case c             => c.toString
-  }
-
   def encode(c: Cursor): String = {
-    val json =
-      s"""{"order":{"${esc(c.orderKey)}":"${esc(c.orderValue)}"},"slug":"${esc(c.slug)}"}"""
+    // shared JSON escaper (MiniYaml.toJson's) — one implementation repo-wide
+    val json = graft.sources.MiniYaml.toJson(
+      Map("order" -> Map(c.orderKey -> c.orderValue), "slug" -> c.slug))
     Base64.getEncoder.encodeToString(json.getBytes(StandardCharsets.UTF_8))
   }
 

@@ -120,8 +120,10 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
 
   /** Base source with own-field filters and relation filters (as semi-joins). */
   private def filteredBase(): DataFrame = {
+    // Relation filters are DOTTED paths ("herbs.slug"); a bare field name is
+    // always an own-field filter, even if a relation shares the name.
     val (relFilters, ownFilters) =
-      filters.partition(f => src.relations.contains(f.field.takeWhile(_ != '.')))
+      filters.partition(f => f.field.contains('.') && src.relations.contains(f.field.takeWhile(_ != '.')))
     ownFilters.foreach(f => requireIndexed(f.field))
     var df = ownFilters.foldLeft(src.df)((d, f) => d.filter(ownPredicate(d, f)))
     relFilters.groupBy(_.field.takeWhile(_ != '.')).foreach { case (relName, fs) =>

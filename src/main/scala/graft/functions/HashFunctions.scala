@@ -71,7 +71,10 @@ object HashFunctions {
     * to one long. Two documents sharing any band hash are near-dup candidates.
     * Row-group width derives from the ACTUAL signature length (a fixed width
     * would silently ignore the signature tail for non-default k and break
-    * parity with the native MinHashState).
+    * parity with the native MinHashState). CONTRACT: signature length must be
+    * a multiple of `bands` (the native MinHashState enforces it; with a
+    * runtime-length Column this function cannot) — otherwise the k mod bands
+    * tail never influences any band.
     */
   def bandHashes(signature: Column, bands: Int = 8): Column = {
     val width = (size(signature) / bands).cast("int")

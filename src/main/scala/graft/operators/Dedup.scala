@@ -49,26 +49,33 @@ object Dedup {
   def minhashLsh(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text",
                  k: Int = 32, bands: Int = 8, shingleW: Int = 3,
                  jaccardThreshold: Double = 0.7): DataFrame = {
+    // The text→shingle→signature pipeline runs ONCE: the per-doc state is
+    // persisted and every downstream leg (both self-join sides + the verify
+    // join) reads it. Lifecycle: no unpersist handle exists on a lazily-
+    // returned plan — Spark's ContextCleaner unpersists the blocks when the
+    // plan is GC'd, and MEMORY_AND_DISK evicts LRU rather than recomputing.
+    val mh = minhashed(docs, idCol, textCol, k, bands, shingleW)
+      .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Slim bucket relation: ONLY (id, band, bhash) shuffles through the
     // self-join — shingle arrays would multiply shuffle volume by the band
     // count. Signatures re-join once per DISTINCT candidate pair afterwards.
-    val buckets = minhashed(docs, idCol, textCol, k, bands, shingleW)
-      .select(col(idCol).as("id"),
-        posexplode(col("band_hashes")).as(Seq("band", "bhash")))
-      // both sides of the self-join read this; persist so signatures compute
-      // once (at corpus scale this would be a checkpointed table). Lifecycle:
-      // no unpersist handle exists on a lazily-returned plan — Spark's
-      // ContextCleaner unpersists the blocks when the plan is GC'd, and
-      // MEMORY_AND_DISK evicts LRU under pressure rather than recomputing.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = mh.select(col("id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
     val a = buckets.select(col("band"), col("bhash"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("bhash"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    jaccardVerify(pairs, docs, idCol, textCol, shingleW)
+    val sh = mh.select(col("id"), col("sh"))
+    pairs
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4))
       .filter(col("jaccard") >= jaccardThreshold)
+      .select("id_a", "id_b", "jaccard")
   }
 
   /** The corpus surviving exact dedup: one representative (min id) per

@@ -81,7 +81,9 @@ object Multimodal {
     assets
       .filter(col("kind") === "video" && col("meta.duration_ms").isNotNull)
       .select(col("asset_id"),
-        explode(sequence(lit(0L), col("meta.duration_ms"), lit(everyMs))).as("frame_ms"))
+        // clip spans [0, duration): sequence() is end-inclusive, so stop one
+        // ms short or the last sample seeks past end-of-stream
+        explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))).as("frame_ms"))
 
   /** Partition sizing by payload bytes: repartition so each task handles about
     * `targetBytes` of media — the knob that keeps executor memory flat at

@@ -61,8 +61,9 @@ object StaticSources {
     case l: Seq[_] =>
       l.collect { case m: Map[_, _] => m.asInstanceOf[Map[String, Any]] }
     case m: Map[_, _] =>
-      val mm = m.asInstanceOf[Map[String, Any]]
-      Seq(if (mm.contains("slug")) mm else mm + ("slug" -> slug))
+      // object files take the path-derived slug UNCONDITIONALLY, like the
+      // reference's bulk loader (src/SourceLoader.ts:70 `parsed.slug = ...`)
+      Seq(m.asInstanceOf[Map[String, Any]] + ("slug" -> slug))
     case _ => Seq.empty
   }
 
