@@ -135,8 +135,11 @@ object Pagination {
     val scanAsc = displayAsc == (direction == After)
     val filtered = cursor match {
       case Some(c) =>
-        val typedVal = lit(c.orderValue).cast(df.schema(orderField).dataType)
-        val slugLit  = lit(c.slug).cast(df.schema(slugField).dataType)
+        // try_cast: a tampered/stale cursor value that doesn't parse as the
+        // column's type becomes NULL (predicate matches nothing) instead of a
+        // runtime CAST_INVALID_INPUT that kills the job under ANSI mode.
+        val typedVal = lit(c.orderValue).try_cast(df.schema(orderField).dataType)
+        val slugLit  = lit(c.slug).try_cast(df.schema(slugField).dataType)
         df.filter(beyond(orderCol, slugCol, typedVal, slugLit,
           forward = scanAsc, includeNulls = direction == After))
       case None => df

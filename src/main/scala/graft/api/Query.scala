@@ -103,13 +103,15 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
       // Typed predicate on the bare column → parquet pushdown.
       val dt = df.schema(f.field).dataType
       val c  = col(f.field)
+      // try_cast: a value that doesn't parse as the column type matches
+      // nothing (reference semantics) instead of an ANSI cast error.
       f.op match {
-        case Eq         => c === lit(f.values.head).cast(dt)
+        case Eq         => c === lit(f.values.head).try_cast(dt)
         case StartsWith => c.cast(StringType).startsWith(f.values.head)
         // OR-of-typed-equalities: pushdown-friendly and keeps the column typed.
         // Empty IN matches nothing (SQL semantics), not a crash.
         case In         =>
-          f.values.map(v => c === lit(v).cast(dt)).reduceOption(_ || _).getOrElse(lit(false))
+          f.values.map(v => c === lit(v).try_cast(dt)).reduceOption(_ || _).getOrElse(lit(false))
       }
     } else
       FieldPath.anyLeaf(df, f.field, x => f.op match {
@@ -260,6 +262,8 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     */
   def find(slug: String): DataFrame = {
     val dt = src.df.schema(src.slugField).dataType
-    applyJoins(src.df.filter(col(src.slugField) === lit(slug).cast(dt)))
+    // try_cast: find("not-a-number") on a numeric slug returns empty, not an
+    // ANSI cast error (reference: a missing slug is simply no match)
+    applyJoins(src.df.filter(col(src.slugField) === lit(slug).try_cast(dt)))
   }
 }

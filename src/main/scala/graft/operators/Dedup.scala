@@ -134,9 +134,11 @@ object Dedup {
   def jaccardVerify(pairs: DataFrame, docs: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     shingleW: Int = 3): DataFrame = {
+    // shingle hashes only — computing the full MinHash state here would waste
+    // the O(k x shingles) signature work just to discard it
     val sh = docs.select(col(idCol),
-      graft.plans.TextExpressions.minhashState(col(textCol), w = shingleW)
-        .getField("shingle_hashes").as("sh"))
+      transform(graft.plans.TextExpressions.shingleSet(col(textCol), shingleW),
+        s => xxhash64(s)).as("sh"))
     pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")

@@ -79,7 +79,7 @@ object Multimodal {
     */
   def sampleFrames(assets: DataFrame, everyMs: Long = 1000L): DataFrame =
     assets
-      .filter(col("kind") === "video" && col("meta.duration_ms").isNotNull)
+      .filter(col("kind") === "video" && col("meta.duration_ms") > 0)
       .select(col("asset_id"),
         // clip spans [0, duration): sequence() is end-inclusive, so stop one
         // ms short or the last sample seeks past end-of-stream

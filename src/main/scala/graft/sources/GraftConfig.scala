@@ -103,7 +103,7 @@ object GraftConfig {
   def saveIndexes(spark: SparkSession, cat: Catalog, outDir: String, depth: Int = 1): Unit =
     cat.sources.values.foreach { src =>
       val own = src.indexedFields.getOrElse(Set.empty)
-        .filter(f => !src.relations.contains(f.takeWhile(_ != '.')))
+        .filter(f => !(f.contains('.') && src.relations.contains(f.takeWhile(_ != '.'))))
       if (own.nonEmpty)
         Indexing.writeIndex(src.df, src.slugField, own.toSeq.sorted, s"$outDir/${src.name}", depth)
     }

@@ -25,7 +25,10 @@ object MiniYaml {
       case "null"  => null
       case ""      => null
       case s if s.matches("^-?\\d+(\\.\\d+)?$") =>
-        if (s.contains('.')) s.toDouble else s.toLong
+        // numbers wider than Long/Double fall back to string rather than
+        // throwing inside an executor and failing the whole ingest
+        if (s.contains('.')) scala.util.Try(s.toDouble).getOrElse(s)
+        else scala.util.Try(s.toLong).getOrElse(s)
       case s if s.startsWith("[") && s.endsWith("]") =>
         s.substring(1, s.length - 1).split(",")
           .map(_.replaceAll("^[\\s'\"]+|[\\s'\",]+$", ""))
@@ -139,7 +142,13 @@ object MiniYaml {
     case null            => "null"
     case b: Boolean      => b.toString
     case l: Long         => l.toString
-    case d: Double       => if (d == d.floor && !d.isInfinite) d.toLong.toString else d.toString
+    case d: Double       =>
+      // integral render only when the value FITS in a Long (toLong saturates
+      // at Long.MaxValue for bigger magnitudes, silently corrupting the value)
+      if (d == d.floor && !d.isInfinite && !d.isNaN && math.abs(d) < 9.007199254740992e15)
+        d.toLong.toString
+      else if (d.isNaN || d.isInfinite) "null"
+      else d.toString
     case i: Int          => i.toString
     case m: Map[_, _] =>
       m.asInstanceOf[Map[String, Any]]

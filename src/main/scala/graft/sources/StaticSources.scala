@@ -46,9 +46,17 @@ object StaticSources {
       case -1 => ""
       case i  => lastSeg.substring(i)
     }
-    var rel = if (baseDir.nonEmpty && filePath.contains(baseDir))
-      filePath.substring(filePath.indexOf(baseDir) + baseDir.length)
-    else filePath.split("/").last
+    // match the glob base only at a path-segment boundary — a parent dir that
+    // merely ENDS with the base name ("/mycontent/" vs base "content/") must
+    // not anchor the slug. An absolute base carries its own leading-slash
+    // boundary (file paths arrive as "file:/abs/..." URIs).
+    val marker = if (baseDir.startsWith("/")) baseDir else "/" + baseDir
+    var rel =
+      if (baseDir.nonEmpty && filePath.startsWith(baseDir))
+        filePath.substring(baseDir.length)
+      else if (baseDir.nonEmpty && filePath.contains(marker))
+        filePath.substring(filePath.indexOf(marker) + marker.length)
+      else filePath.split("/").last
     if (rel.startsWith("/")) rel = rel.substring(1)
     rel.stripSuffix(ext).replace("/", "--")
   }

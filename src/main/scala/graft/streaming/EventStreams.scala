@@ -62,6 +62,11 @@ object EventStreams {
             var cur    = state.getOption
             sorted.foreach { t =>
               cur match {
+                case Some(s) if t < s.sessionStartMs - gapMs =>
+                  // a straggler more than a gap OLDER than the current session
+                  // is its own (already-over) session — merging it would grow
+                  // the window across a silence the batch twin splits on
+                  closed ::= ClosedSession(userId, t, t, 1)
                 case Some(s) if t - s.lastMs <= gapMs =>
                   // late (out-of-order but above-watermark) events must never
                   // move the session window backward
