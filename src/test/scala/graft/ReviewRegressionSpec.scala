@@ -225,6 +225,47 @@ class ReviewRegressionSpec extends SparkSpec {
       graft.plans.MinHashState(null, k = 30, w = 3, bands = 8, seed = 42L))
   }
 
+  test("unparseable lookup values match nothing instead of ANSI-crashing") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val cat = new Catalog(Seq(SourceDef("t", df, slugField = "id")))
+    assert(cat.from("t").find("not-a-number").count() == 0)
+    assert(cat.from("t").where("id", Eq, "garbage").exec().data.isEmpty)
+    assert(cat.from("t").where("id", In, Seq("x", "y")).exec().data.isEmpty)
+    // tampered cursor value with the right key: empty page, no crash
+    val bad = Cursor.encode(Cursor("id", "zzz", "1"))
+    assert(cat.from("t").orderBy("id").cursor(bad).exec().data.isEmpty)
+  }
+
+  test("MiniYaml survives numbers wider than Long and renders big doubles safely") {
+    import graft.sources.MiniYaml
+    assert(MiniYaml.parse("id: 99999999999999999999") ==
+      Map("id" -> "99999999999999999999"))
+    assert(MiniYaml.toJson(Map("x" -> 1.0e20)) == """{"x":1.0E20}""")
+    assert(MiniYaml.toJson(Map("x" -> 3L)) == """{"x":3}""")
+  }
+
+  test("straggler older than the gap becomes its own closed session") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.EventStreams
+    import graft.streaming.EventStreams.{ClosedSession, Event}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingSessions(mem.toDS(), gapMinutes = 30, watermark = "6 hours")
+      .writeStream.format("memory").queryName("straggler_sessions").outputMode("append").start()
+    try {
+      mem.addData(Event(ts("2026-01-01 10:00:00"), 1L))
+      q.processAllAvailable()
+      mem.addData(Event(ts("2026-01-01 08:00:00"), 1L)) // 2h older than session start
+      q.processAllAvailable()
+      val closed = spark.table("straggler_sessions").as[ClosedSession].collect().toSeq
+      assert(closed.map(c => (c.startMs, c.nEvents)) ==
+        Seq((ts("2026-01-01 08:00:00").getTime, 1L)),
+        s"straggler must close alone, got $closed")
+    } finally q.stop()
+  }
+
   test("repartitionByBytes on an empty frame is a no-op, not an NPE") {
     val empty = spark.createDataFrame(
       spark.sparkContext.emptyRDD[Row], Multimodal.assetSchema)
