@@ -31,7 +31,7 @@ object Bench {
     // footers (the count-star shortcut), which would leave the data pages
     // cold and bias the first timed query per table. The noop write also
     // primes the sink/codegen path.
-    Seq("region", "lineitem", "orders", "events", "documents", "embeddings")
+    Tables.names
       .foreach(t => Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
 
     val names   = SparkEntry.queries.keys.toSeq.sorted

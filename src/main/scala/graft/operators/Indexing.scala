@@ -24,7 +24,8 @@ object Indexing {
     * value) — array/nested fields contribute one row per leaf value, exactly
     * like the reference indexes each value of a multi-valued field.
     */
-  def indexRelation(df: DataFrame, slugField: String, fields: Seq[String], depth: Int = 1): DataFrame =
+  def indexRelation(df: DataFrame, slugField: String, fields: Seq[String], depth: Int = 1): DataFrame = {
+    require(fields.nonEmpty, "indexRelation needs at least one field to index")
     fields.map { f =>
       df.select(
         lit(f).as("field"),
@@ -33,6 +34,7 @@ object Indexing {
         .withColumn("prefix", lower(substring(col("value"), 1, depth)))
         .select("field", "prefix", "slug", "value")
     }.reduce(_ unionAll _)
+  }
 
   /** Build (full rebuild): write the index partitioned by (field, prefix),
     * sorted within partitions for ordered scans + min/max pruning.

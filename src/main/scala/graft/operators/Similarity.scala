@@ -102,11 +102,13 @@ object Similarity {
       * cells whose centroids are nearest the query's own vector.
       */
     def topKForId(queryId: Long, k: Int, nprobe: Int = 4): DataFrame = {
-      val spark = assigned.sparkSession
-      // one-row collect of the query vector (point lookup, pushdown)
-      val qVec = assigned.filter(col(idCol) === queryId)
-        .select(col(vecCol).cast("array<double>")).head()
-        .getAs[scala.collection.Seq[Double]](0).toArray
+      // one-row collect of the query vector (point lookup, pushdown); a
+      // missing id returns empty like Similarity.topKForId, not a crash
+      val qRow = assigned.filter(col(idCol) === queryId)
+        .select(col(vecCol).cast("array<double>")).head(1)
+      if (qRow.isEmpty)
+        return assigned.select(col(idCol), lit(0.0).as("score")).limit(0)
+      val qVec = qRow.head.getAs[scala.collection.Seq[Double]](0).toArray
       val probeCells = centers.zipWithIndex
         .map { case (c, i) =>
           val dot  = c.zip(qVec).map { case (a, b) => a * b }.sum

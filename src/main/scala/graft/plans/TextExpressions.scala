@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -44,7 +44,10 @@ object TextExpressions {
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  // analysis-time type error for non-string inputs (these are SQL-registered)
+  override def inputTypes = ColumnShim.stringInput
 
   require(bands > 0 && k % bands == 0,
     s"signature length k=$k must be a positive multiple of bands=$bands")
@@ -114,7 +117,10 @@ case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Lon
     copy(child = newChild)
 }
 
-case class ShingleSet(child: Expression, w: Int) extends UnaryExpression with CodegenFallback {
+case class ShingleSet(child: Expression, w: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -143,7 +149,10 @@ case class ShingleSet(child: Expression, w: Int) extends UnaryExpression with Co
     copy(child = newChild)
 }
 
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
 
   override def dataType: DataType = LongType
 

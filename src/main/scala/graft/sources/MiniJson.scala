@@ -96,7 +96,10 @@ object MiniJson {
       while (!eof && (s(pos).isDigit || "+-.eE".contains(s(pos)))) pos += 1
       val t = s.substring(start, pos)
       require(t.nonEmpty && t.exists(_.isDigit), s"Bad number at $start")
-      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble else t.toLong
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble
+      // integers wider than Long degrade to Double, like JSON.parse (the
+      // reference's parser) — never an executor-killing NumberFormatException
+      else scala.util.Try(t.toLong).getOrElse[Any](t.toDouble)
     }
   }
 }

@@ -110,8 +110,8 @@ object MiniYaml {
         else {
           val cur = indentOf(line)
           if (cur < indent) done = true
-          else if (line.trim.startsWith("- ")) {
-            val itemLine = line.trim.stripPrefix("- ")
+          else if (line.trim.startsWith("- ") || line.trim == "-") {
+            val itemLine = line.trim.stripPrefix("-").stripPrefix(" ")
             if (itemLine.contains(":")) {
               val Array(k, rest @ _*) = itemLine.split(":", 2)
               val obj = scala.collection.mutable.LinkedHashMap.empty[String, Any]

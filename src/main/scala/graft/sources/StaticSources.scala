@@ -97,6 +97,20 @@ object StaticSources {
     val parser = parsers.getOrElse(format,
       throw new IllegalArgumentException(s"No parser registered for type: $format"))
     import spark.implicits._
+    // Fully qualify the pattern (scheme + absolute path) for slug derivation:
+    // `_metadata.file_path` arrives qualified, and an absolute anchor removes
+    // any ambiguity about WHERE the glob base occurs inside the path (a cwd
+    // or parent segment that happens to repeat the base name).
+    val qualifiedPattern = {
+      val prefix = pattern.takeWhile(_ != '*')
+      val suffix = pattern.drop(prefix.length)
+      val base   = new org.apache.hadoop.fs.Path(if (prefix.isEmpty) "." else prefix)
+      val fs     = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var qBase  = fs.makeQualified(base).toString
+      // Path() drops trailing slashes; restore the segment boundary
+      if (prefix.endsWith("/") && !qBase.endsWith("/")) qBase += "/"
+      qBase + suffix
+    }
     val files: Dataset[(String, String)] = spark.read
       .option("wholetext", "true")
       .text(pattern)
@@ -105,7 +119,7 @@ object StaticSources {
     // Per-file parse (+ optional schema validation, reference: SourceLoader
     // validates each record on load) on executors; canonical JSON lines out.
     val jsonLines: Dataset[String] = files.flatMap { case (path, content) =>
-      val recs = records(parser(content), slugFromPath(pattern, path))
+      val recs = records(parser(content), slugFromPath(qualifiedPattern, path))
       schema.foreach(sc => recs.foreach(r => Validation.validateRecord(r, sc)))
       val out = if (includeRaw) recs.map(_ + ("raw" -> content)) else recs
       out.map(MiniYaml.toJson)

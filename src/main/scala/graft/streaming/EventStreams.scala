@@ -60,25 +60,40 @@ object EventStreams {
             val sorted = batch.map(_.ts.getTime).toSeq.sorted
             var closed = List.empty[ClosedSession]
             var cur    = state.getOption
+            // Stragglers more than a gap OLDER than the live session form
+            // their own (already-over) session(s): sorted ascending, they
+            // chain with each other exactly like the batch twin, closing when
+            // the next event breaks the gap or rejoins the live window.
+            var old: Option[SessionState] = None
+            def flushOld(): Unit = old.foreach { o =>
+              closed ::= ClosedSession(userId, o.sessionStartMs, o.lastMs, o.nEvents)
+              old = None
+            }
             sorted.foreach { t =>
               cur match {
                 case Some(s) if t < s.sessionStartMs - gapMs =>
-                  // a straggler more than a gap OLDER than the current session
-                  // is its own (already-over) session — merging it would grow
-                  // the window across a silence the batch twin splits on
-                  closed ::= ClosedSession(userId, t, t, 1)
+                  old match {
+                    case Some(o) if t - o.lastMs <= gapMs =>
+                      old = Some(o.copy(lastMs = t, nEvents = o.nEvents + 1))
+                    case _ =>
+                      flushOld()
+                      old = Some(SessionState(t, t, 1))
+                  }
                 case Some(s) if t - s.lastMs <= gapMs =>
+                  flushOld()
                   // late (out-of-order but above-watermark) events must never
                   // move the session window backward
                   cur = Some(SessionState(
                     math.min(s.sessionStartMs, t), math.max(s.lastMs, t), s.nEvents + 1))
                 case Some(s) =>
+                  flushOld()
                   closed ::= ClosedSession(userId, s.sessionStartMs, s.lastMs, s.nEvents)
                   cur = Some(SessionState(t, t, 1))
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
             }
+            flushOld()
             cur.foreach { s =>
               state.update(s)
               // flatMapGroupsWithState does NOT drop late rows (only aggs do):

@@ -13,6 +13,12 @@ object ColumnShim {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Input-type spec for string-typed expressions (AbstractDataType is
+    * private[sql]; expressions outside the package reference it via inference).
+    */
+  val stringInput: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+
   /** Register a function into an ALREADY-RUNNING session's registry (the
     * `withExtensions` path only applies to sessions built after the fact).
     */
