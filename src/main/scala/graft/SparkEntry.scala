@@ -369,7 +369,7 @@ object SparkEntry {
          WHERE rn <= 3 ORDER BY o_custkey, rn""",
     "q_text_topwords" ->
       """SELECT word, COUNT(*) AS cnt FROM (
-           SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word FROM documents)
+           SELECT unnest(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS word FROM documents)
          GROUP BY word ORDER BY cnt DESC, word LIMIT 50""",
     "q_events_funnel" ->
       """SELECT COUNT(*) AS converted_users FROM (
@@ -442,8 +442,7 @@ object SparkEntry {
       val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
       a.join(b, col("id_b") === col("id_a") + 1)
         .select(col("id_a"), col("id_b"),
-          round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-            size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+          operators.Dedup.jaccard(col("sh_a"), col("sh_b")).as("jaccard"))
         .orderBy("id_a")
     }),
     "q_ann_buckets" -> ((s, dir) =>
@@ -467,9 +466,9 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "q_text_stats" ->
       """SELECT doc_id, length(text) AS n_chars_calc,
-                len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-                round(CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
-                      / len(regexp_split_to_array(trim(text), '\s+')), 4) AS avg_token_len
+                len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS n_tokens,
+                round(CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+                      / len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')), 4) AS avg_token_len
          FROM documents ORDER BY doc_id""",
     "q_text_bpe" ->
       """SELECT doc_id,
@@ -477,10 +476,10 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
     "q_text_quality" ->
       """SELECT doc_id,
-                round(LEAST(CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                round(LEAST(CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
                                   x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                            / len(regexp_split_to_array(trim(text), '\s+')) * 5.0, 1.0) * 0.5
-                    + LEAST(CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
+                            / len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) * 5.0, 1.0) * 0.5
+                    + LEAST(CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
                     4) AS quality
          FROM documents ORDER BY doc_id""",
     "q_dedup_corpus" ->
@@ -494,7 +493,7 @@ object SparkEntry {
                        ELSE list_transform(range(1, len(toks) - 1),
                                            i -> array_to_string(list_slice(toks, i, i + 2), ' '))
                   END) AS sh
-           FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+           FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents)
          )
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                 round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)

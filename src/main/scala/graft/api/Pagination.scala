@@ -75,7 +75,9 @@ object Pagination {
     val cmp =
       if (forward) (orderCol > typedVal) || (orderCol === typedVal && slugCol > slugLit)
       else (orderCol < typedVal) || (orderCol === typedVal && slugCol < slugLit)
-    if (includeNulls) orderCol.isNull || cmp else cmp
+    // typedVal.isNotNull: an untranslatable (try_cast-nulled) cursor value
+    // must match NOTHING — without the guard the null region would pass.
+    if (includeNulls) (orderCol.isNull && typedVal.isNotNull) || cmp else cmp
   }
 
   /** The page as a lazy DataFrame (exactly `pageSize` rows, display order).

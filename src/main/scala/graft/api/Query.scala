@@ -226,8 +226,12 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
       if (ordCol != "__graft_ord") info
       else {
         val i = df.schema.fieldIndex("__graft_ord")
+        val pruned = org.apache.spark.sql.types.StructType(
+          df.schema.fields.patch(i, Nil, 1))
         info.copy(data = info.data.map(r =>
-          org.apache.spark.sql.Row.fromSeq(r.toSeq.patch(i, Nil, 1))))
+          // keep rows schema-bearing: getAs(name)/fieldIndex must still work
+          new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+            r.toSeq.patch(i, Nil, 1).toArray, pruned)))
       }
     } else {
       // Joins run against the ALREADY-COLLECTED page as a local relation —

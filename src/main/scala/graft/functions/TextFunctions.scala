@@ -12,8 +12,14 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokenization (the reference data is space-separated words;
-    * for general text swap the pattern). */
-  def tokens(text: Column): Column = split(trim(text), "\\s+")
+    * for general text swap the pattern).
+    *
+    * Trims ALL whitespace (Spark's `trim` strips spaces only — a trailing tab
+    * or newline would leave a trailing empty token and diverge from the
+    * native expressions' Java `trim` semantics).
+    */
+  def tokens(text: Column): Column =
+    split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

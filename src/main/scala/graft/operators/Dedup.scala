@@ -11,6 +11,12 @@ import graft.functions.{HashFunctions => H, TextFunctions => T}
   */
 object Dedup {
 
+  /** Jaccard similarity of two element-set columns, rounded to 4 dp — the one
+    * scoring expression shared by every verify path.
+    */
+  def jaccard(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(size(array_intersect(a, b)).cast("double") / size(array_union(a, b)), 4)
+
   /** Exact dedup by content hash: one shuffle on `sha2(text)`, keeps the
     * smallest id per group. At scale this is the cheapest possible dedup —
     * the 256-bit hash shuffles instead of the document bodies.
@@ -71,9 +77,7 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -142,9 +146,7 @@ object Dedup {
     pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard",
-        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))), 4))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .select("id_a", "id_b", "jaccard")
   }
 }

@@ -80,6 +80,7 @@ object MiniJson {
             case '"' => sb += '"'; pos += 1
             case '\\' => sb += '\\'; pos += 1
             case 'u' =>
+              require(pos + 5 <= s.length, s"Truncated \\u escape at $pos")
               sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
               pos += 5
             case c => throw new IllegalArgumentException(s"Bad escape '\\$c' at $pos")

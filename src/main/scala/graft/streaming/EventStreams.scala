@@ -57,7 +57,12 @@ object EventStreams {
             state.remove()
             Iterator(ClosedSession(userId, s.sessionStartMs, s.lastMs, s.nEvents))
           } else {
-            val sorted = batch.map(_.ts.getTime).toSeq.sorted
+            // drop events at/below the watermark explicitly —
+            // flatMapGroupsWithState does NOT filter them (only aggs do), and
+            // processing one could re-emit an overlapping session for an
+            // interval already closed by timeout
+            val wm0 = state.getCurrentWatermarkMs()
+            val sorted = batch.map(_.ts.getTime).filter(t => wm0 <= 0 || t > wm0).toSeq.sorted
             var closed = List.empty[ClosedSession]
             var cur    = state.getOption
             // Stragglers more than a gap OLDER than the live session form
@@ -80,11 +85,22 @@ object EventStreams {
                       old = Some(SessionState(t, t, 1))
                   }
                 case Some(s) if t - s.lastMs <= gapMs =>
-                  flushOld()
-                  // late (out-of-order but above-watermark) events must never
-                  // move the session window backward
-                  cur = Some(SessionState(
-                    math.min(s.sessionStartMs, t), math.max(s.lastMs, t), s.nEvents + 1))
+                  // if the straggler chain connects to this event within the
+                  // gap, the whole chain belongs to the live session (the
+                  // batch twin would merge them) — absorb instead of closing
+                  old match {
+                    case Some(o) if t - o.lastMs <= gapMs =>
+                      cur = Some(SessionState(
+                        math.min(s.sessionStartMs, o.sessionStartMs),
+                        math.max(s.lastMs, t), s.nEvents + o.nEvents + 1))
+                      old = None
+                    case _ =>
+                      flushOld()
+                      // late (out-of-order but above-watermark) events must
+                      // never move the session window backward
+                      cur = Some(SessionState(
+                        math.min(s.sessionStartMs, t), math.max(s.lastMs, t), s.nEvents + 1))
+                  }
                 case Some(s) =>
                   flushOld()
                   closed ::= ClosedSession(userId, s.sessionStartMs, s.lastMs, s.nEvents)
