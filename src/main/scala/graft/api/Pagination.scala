@@ -19,6 +19,11 @@ final case class PageInfo(
 /** A decoded pagination cursor: the order-key value and the unique slug of the
   * boundary row. Encoded form is base64(JSON {"order":{key:value},"slug":slug}),
   * wire-compatible with the reference (reference: src/utils/pagenation.ts:84,98).
+  *
+  * `orderValue == null` marks a boundary row inside the null-order-value
+  * region (JSON `null`, distinct from the string "null"): pagination there
+  * continues on the slug alone, so a null region larger than one page stays
+  * fully walkable.
   */
 final case class Cursor(orderKey: String, orderValue: String, slug: String)
 
@@ -38,7 +43,8 @@ object Cursor {
       val json = new String(Base64.getDecoder.decode(cursor), StandardCharsets.UTF_8)
       val root = graft.sources.MiniJson.parse(json).asInstanceOf[Map[String, Any]]
       val (orderKey, orderValue) = root("order").asInstanceOf[Map[String, Any]].head match {
-        case (k, v) => (k, String.valueOf(v))
+        case (k, null) => (k, null)
+        case (k, v)    => (k, String.valueOf(v))
       }
       Cursor(orderKey, orderValue, String.valueOf(root("slug")))
     } catch { case _: Throwable => throw new IllegalArgumentException("Invalid cursor") }
@@ -136,6 +142,17 @@ object Pagination {
     // (to take the pageSize rows nearest the cursor on its "previous" side).
     val scanAsc = displayAsc == (direction == After)
     val filtered = cursor match {
+      case Some(c) if c.orderValue == null =>
+        // Cursor inside the null region (display end): forward pages continue
+        // on slug alone within the region; backward pages cover the whole
+        // non-null space plus the region's earlier slugs.
+        val slugLit = lit(c.slug).try_cast(df.schema(slugField).dataType)
+        val inRegionBeyond =
+          if (scanAsc) orderCol.isNull && slugCol > slugLit
+          else orderCol.isNull && slugCol < slugLit
+        df.filter(
+          if (direction == After) inRegionBeyond
+          else orderCol.isNotNull || inRegionBeyond)
       case Some(c) =>
         // try_cast: a tampered/stale cursor value that doesn't parse as the
         // column's type becomes NULL (predicate matches nothing) instead of a
@@ -186,14 +203,14 @@ object Pagination {
       case After  => cursor.isDefined
       case Before => hasExtra
     }
-    // A null boundary value cannot anchor a keyset predicate (the reference
-    // hard-errors on empty order values, src/QueryBuilder.ts:556-558); emit no
-    // cursor for such rows — the null region sorts last in display order, so
-    // the page holding it is the final page anyway.
+    // Null boundary rows anchor a null-marked cursor (pagination continues on
+    // slug alone inside the null region — see scanPage) so a null region
+    // larger than one page stays walkable.
     def cursorOf(r: Row): Option[String] = {
       val ov = r.getAs[Any](r.fieldIndex(orderField))
       val sv = r.getAs[Any](r.fieldIndex(slugField))
-      Option(ov).map(v => Cursor.encode(Cursor(keyName, String.valueOf(v), String.valueOf(sv))))
+      val value = if (ov == null) null else String.valueOf(ov)
+      Some(Cursor.encode(Cursor(keyName, value, String.valueOf(sv))))
     }
     PageResult(
       page.toSeq,

@@ -164,9 +164,15 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     df
   }
 
-  /** Adds a sortable order column for nested-path order keys. */
+  /** Adds a sortable order column. Scalar top-level columns sort directly;
+    * anything else (nested dot-paths, array/struct columns) resolves through
+    * FieldPath to its first leaf value — the reference sorts by
+    * `values[orderByKey][0]` the same way (src/QueryBuilder.ts:212-216).
+    * A raw complex column must NOT sort as-is: arrays/structs mint cursors
+    * that can never round-trip through the keyset predicate.
+    */
   private def withOrderCol(df: DataFrame): (DataFrame, String) =
-    if (FieldPath.isSimpleColumn(df, orderKey) || df.schema.fieldNames.contains(orderKey)) {
+    if (FieldPath.isSimpleColumn(df, orderKey)) {
       requireIndexed(orderKey) // the reference's guard covers sort keys too
       (df, orderKey)
     } else {
@@ -256,9 +262,17 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     val page = Pagination
       .pageDf(df, ordCol, src.slugField, orderDesc, pageSz, decodedCursor(), cursorDir)
     val slugOut = col(src.slugField).cast(StringType).as("slug")
-    // ordering by the slug itself (the default) must not duplicate the column
+    // ordering by the slug itself (the default) must not duplicate the column,
+    // and an order column whose (flattened) name is literally "slug" must not
+    // collide with the slug output alias
     if (ordCol == src.slugField) page.select(slugOut)
-    else page.select(slugOut, col(ordCol).as(orderKey.replace('.', '_')))
+    else {
+      val ordAlias = orderKey.replace('.', '_') match {
+        case "slug" => "order_value"
+        case other  => other
+      }
+      page.select(slugOut, col(ordCol).as(ordAlias))
+    }
   }
 
   /** Point lookup by slug — reference `find()` (src/QueryBuilder.ts:107). A

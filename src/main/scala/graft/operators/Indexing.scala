@@ -57,10 +57,10 @@ object Indexing {
     */
   def lookup(spark: SparkSession, path: String, field: String, value: String,
              depth: Int = 1, startsWith: Boolean = false): DataFrame = {
-    val pfx = value.toLowerCase.take(depth)
+    val pfx = value.toLowerCase(java.util.Locale.ROOT).take(depth)
     val base = readIndex(spark, path)
       .filter(col("field") === field)
-      .filter(if (startsWith && value.length < depth) col("prefix").startsWith(value.toLowerCase)
+      .filter(if (startsWith && value.length < depth) col("prefix").startsWith(value.toLowerCase(java.util.Locale.ROOT))
               else col("prefix") === pfx)
     if (startsWith) base.filter(col("value").startsWith(value))
     else base.filter(col("value") === value)
@@ -85,7 +85,7 @@ object Indexing {
     val newRows = diff
       .filter(d => d.status == "A" || d.status == "M")
       .flatMap(d => d.values.toSeq.flatMap { case (f, vs) =>
-        vs.map(v => (f, v.toLowerCase.take(depth), d.slug, v))
+        vs.map(v => (f, v.toLowerCase(java.util.Locale.ROOT).take(depth), d.slug, v))
       })
       .toDF("field", "prefix", "slug", "value")
 

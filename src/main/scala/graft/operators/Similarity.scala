@@ -17,15 +17,19 @@ object Similarity {
   /** Exact top-k cosine neighbors of each query row. `queries` is expected to
     * be small (it is broadcast); the corpus is scanned once, scored per row
     * inside codegen, then rank-filtered per query (one shuffle on query_id).
+    * `excludeSelf` skips corpus rows whose id equals the query id — only
+    * meaningful when the queries are drawn FROM the corpus (an unrelated
+    * query-id space would drop one legitimate neighbor per id collision).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
-                     queryIdCol: String = "query_id"): DataFrame = {
+                     queryIdCol: String = "query_id",
+                     excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
     val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
     corpus
-      .join(q, col(idCol) =!= col(queryIdCol))
+      .join(q, if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
       .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
       .select(col(queryIdCol), col(idCol), col("score"))
       .withColumn("__rank", row_number().over(w))

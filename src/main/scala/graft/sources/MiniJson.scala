@@ -93,14 +93,19 @@ object MiniJson {
 
     private def num(): Any = {
       val start = pos
-      if (!eof && (ch == '-' || ch == '+')) pos += 1
+      if (!eof && ch == '-') pos += 1
       while (!eof && (s(pos).isDigit || "+-.eE".contains(s(pos)))) pos += 1
       val t = s.substring(start, pos)
       require(t.nonEmpty && t.exists(_.isDigit), s"Bad number at $start")
-      if (t.exists(c => c == '.' || c == 'e' || c == 'E')) t.toDouble
+      // malformed runs ('1.2.3', '1e', '--1') stay inside the parser's error
+      // contract instead of escaping as NumberFormatException
+      def bad() = throw new IllegalArgumentException(s"Bad number '$t' at $start")
+      if (t.exists(c => c == '.' || c == 'e' || c == 'E'))
+        scala.util.Try(t.toDouble).getOrElse(bad())
       // integers wider than Long degrade to Double, like JSON.parse (the
       // reference's parser) — never an executor-killing NumberFormatException
-      else scala.util.Try(t.toLong).getOrElse[Any](t.toDouble)
+      else scala.util.Try[Any](t.toLong)
+        .orElse(scala.util.Try[Any](t.toDouble)).getOrElse(bad())
     }
   }
 }

@@ -82,6 +82,19 @@ object MiniYaml {
             val nextIsChild = next.exists(n => !isBlank(n) && nextIndent > cur)
             if (value.isEmpty && nextIsChild && next.get.trim.startsWith("- ")) {
               result(k.trim) = parseArrayBlock(cur + 2)
+            } else if (value.isEmpty && nextIsChild && next.get.trim.startsWith("[")) {
+              // inline array on its own indented line(s) under a bare key
+              // (reference: src/parser/yaml.ts:70-85)
+              val sb = new StringBuilder
+              var done2 = false
+              while (idx < lines.length && !done2) {
+                val l = lines(idx).trim
+                if (sb.nonEmpty) sb.append(" ")
+                sb.append(l)
+                idx += 1
+                if (l.endsWith("]")) done2 = true
+              }
+              result(k.trim) = parseValue(sb.toString.replaceAll("\\s+", " "))
             } else if (value.isEmpty && nextIsChild) {
               parseBlock(cur + 2) match {
                 case m: Map[_, _] if m.nonEmpty => result(k.trim) = m

@@ -42,9 +42,41 @@ class ReviewRegressionSpec extends SparkSpec {
     val p2 = Pagination.exec(df, "rank", "slug", descending = true, 3,
       p1.pageInfo.endCursor.map(Cursor.decode), After)
     assert(p2.data.map(_.getString(0)) == Seq("e", "c"), "null-ranked rows must be reachable")
-    // null boundary rows anchor no cursor (can't keyset past a null)
-    assert(p2.pageInfo.endCursor.isEmpty && p2.pageInfo.startCursor.isEmpty)
+    // null boundary rows anchor null-marked cursors — the region is walkable
+    assert(p2.pageInfo.endCursor.isDefined)
+    assert(Cursor.decode(p2.pageInfo.endCursor.get).orderValue == null)
     assert(!p2.pageInfo.hasNextPage)
+  }
+
+  test("a null region larger than one page is fully walkable via null-marked cursors") {
+    val rows = Seq(("a", Some(1)), ("b", Some(2))) ++
+      (0 until 5).map(i => (s"n$i", Option.empty[Int]))
+    val df = rows.toDF("slug", "rank")
+    // display asc nulls last: a, b, n0..n4 — walk with pageSize 2
+    var cursor: Option[Cursor] = None
+    var walked = List.empty[String]
+    var hasNext = true
+    var guard = 0
+    while (hasNext && guard < 10) {
+      val p = Pagination.exec(df, "rank", "slug", descending = false, 2, cursor, After)
+      walked ++= p.data.map(_.getString(0))
+      hasNext = p.pageInfo.hasNextPage
+      cursor = p.pageInfo.endCursor.map(Cursor.decode)
+      guard += 1
+    }
+    assert(walked == List("a", "b", "n0", "n1", "n2", "n3", "n4"),
+      s"null tail must be fully reachable, walked $walked")
+  }
+
+  test("orderBy a raw array column resolves to its first element, cursors round-trip") {
+    val df = Seq(("s1", Seq("b", "z")), ("s2", Seq("a", "z")), ("s3", Seq("c")))
+      .toDF("slug", "tags")
+    val cat = new Catalog(Seq(SourceDef("t", df)))
+    val p1 = cat.from("t").orderBy("tags").pageSize(2).exec()
+    assert(p1.data.map(_.getAs[String]("slug")) == Seq("s2", "s1"))
+    val p2 = cat.from("t").orderBy("tags").pageSize(2)
+      .cursor(p1.pageInfo.endCursor.get).exec()
+    assert(p2.data.map(_.getAs[String]("slug")) == Seq("s3"))
   }
 
   test("nested-path order keys emit cursors with the user-facing key name") {
