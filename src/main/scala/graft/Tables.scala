@@ -28,7 +28,17 @@ object Tables {
   private val catalogCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Catalog]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop cache entries whose session has been stopped — without eviction a
+    * long-lived JVM cycling sessions (test suites, services) accumulates dead
+    * session graphs until OOM.
+    */
+  private def prune(): Unit = {
+    loadCache.keys.filter(_._1.sparkContext.isStopped).foreach(loadCache.remove)
+    catalogCache.keys.filter(_._1.sparkContext.isStopped).foreach(catalogCache.remove)
+  }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    prune()
     loadCache.getOrElseUpdate((spark, dir, name), {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long;
       // the conf is session-global (no per-read option exists) but is only
@@ -43,6 +53,7 @@ object Tables {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     })
+  }
 
   /** Spark session tuned for the local[32] harness; the same settings scale out
     * unchanged (AQE re-plans partition counts on a real cluster).
@@ -63,8 +74,10 @@ object Tables {
   /** The queryable catalog for a scale-factor directory. Slug = primary key
     * (lineitem gets a synthetic `slug` since its key is composite).
     */
-  def catalog(spark: SparkSession, dir: String): Catalog =
+  def catalog(spark: SparkSession, dir: String): Catalog = {
+    prune()
     catalogCache.getOrElseUpdate((spark, dir), buildCatalog(spark, dir))
+  }
 
   private def buildCatalog(spark: SparkSession, dir: String): Catalog = {
     def t(n: String) = load(spark, dir, n)

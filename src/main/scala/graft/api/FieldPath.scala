@@ -20,8 +20,10 @@ object FieldPath {
     */
   def isSimpleColumn(df: DataFrame, path: String): Boolean =
     !path.contains('.') && df.schema.fieldNames.contains(path) && (df.schema(path).dataType match {
-      case _: StructType | _: ArrayType | _: MapType => false
-      case _                                         => true
+      // binary excluded: String.valueOf(Array[Byte]) cursors can never
+      // round-trip a keyset predicate — route through stringified resolution
+      case _: StructType | _: ArrayType | _: MapType | BinaryType => false
+      case _                                                      => true
     })
 
   /** Resolve `path` to an `array<string>` column of all leaf values (nulls

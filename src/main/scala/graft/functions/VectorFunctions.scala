@@ -32,10 +32,16 @@ object VectorFunctions {
   def hyperplaneBucket(vec: Column, dim: Int, nbits: Int = 8, seed: Long = 7L): Column = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nbits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-    (0 until nbits).map { p =>
+    val bucket = (0 until nbits).map { p =>
       val proj = dot(vec, typedLit(planes(p).toSeq))
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
+    // A dim mismatch null-poisons every projection (zip_with pads with nulls)
+    // and would silently collapse ALL vectors into bucket 0 — the exact
+    // all-pairs blowup bucketing exists to prevent. Fail loudly instead.
+    when(size(vec) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneBucket: expected $dim dims, got "), size(vec).cast("string"))))
   }
 
   /** The bucket ids to probe for a query bucket: itself plus every 1-bit flip

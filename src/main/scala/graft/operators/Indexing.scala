@@ -31,7 +31,10 @@ object Indexing {
         lit(f).as("field"),
         col(slugField).cast("string").as("slug"),
         explode(FieldPath.resolve(df, f)).as("value"))
-        .withColumn("prefix", lower(substring(col("value"), 1, depth)))
+        // lower-then-take, matching lookup/updateIndex's
+        // toLowerCase(Locale.ROOT).take — the other order diverges for
+        // characters whose lowercase form expands (e.g. İ → "i̇")
+        .withColumn("prefix", substring(lower(col("value")), 1, depth))
         .select("field", "prefix", "slug", "value")
     }.reduce(_ unionAll _)
   }

@@ -87,13 +87,21 @@ object Similarity {
     * for locality.
     */
   def ivfIndex(corpus: DataFrame, nlist: Int = 16, seed: Long = 7L,
-               idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxFitSample: Long = 100000L): IvfIndex = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
+    // fit the quantizer on a bounded sample (a coarse quantizer doesn't need
+    // the full corpus — 10 KMeans passes over 100 TB would dwarf the single
+    // assignment scan the index build should cost)
+    val n = featured.count()
+    val fitSet =
+      if (n <= maxFitSample) featured
+      else featured.sample(withReplacement = false, maxFitSample.toDouble / n, seed)
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
-      .fit(featured)
+      .fit(fitSet)
     val assigned = model.transform(featured)
       .withColumnRenamed("prediction", "cell")
       .drop("__features")
