@@ -12,11 +12,18 @@ class PlanPropertiesSpec extends SparkSpec {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
-  test("filters reach the parquet scan as pushed filters") {
-    for (q <- Seq("q_filter_eq", "q_filter_in", "q_filter_startswith", "q_page_after")) {
+  test("the ACTUAL filter predicates reach the parquet scan, not just IsNotNull") {
+    val expected = Map(
+      "q_filter_eq"         -> "EqualTo(o_orderstatus",
+      "q_filter_in"         -> "EqualTo(o_orderpriority", // OR-of-equalities
+      "q_filter_startswith" -> "StringStartsWith(p_name",
+      "q_page_after"        -> "GreaterThan(c_name")
+    for ((q, frag) <- expected) {
       val p = plan(q)
-      assert(p.contains("PushedFilters: [I") || p.contains("PushedFilters: [Or") ||
-        p.contains("PushedFilters: [String"), s"$q has no pushed filters:\n$p")
+      // match to end-of-line: the plan printer truncates long filter lists
+      // with "..." before the closing bracket
+      val pushed = "PushedFilters: \\[[^\\n]*".r.findAllIn(p).mkString(" ")
+      assert(pushed.contains(frag), s"$q: expected '$frag' in pushed filters, got: $pushed")
     }
   }
 

@@ -51,12 +51,10 @@ class PaginationWalkSpec extends SparkSpec {
   test("backward walk from the last page reproduces the forward pages") {
     cases.foreach { case (rows, pageSize, desc) =>
       val df    = rows.toDF("slug", "rank")
-      val pages = forwardPages(df, pageSize, desc).map(_.data.map(_.getString(0)).toSeq)
-      val lastStart = {
-        // anchor: start cursor of the final forward page
-        val last = forwardPages(df, pageSize, desc).last
-        last.pageInfo.startCursor.map(Cursor.decode)
-      }
+      val fwd   = forwardPages(df, pageSize, desc)
+      val pages = fwd.map(_.data.map(_.getString(0)).toSeq)
+      // anchor: start cursor of the final forward page
+      val lastStart = fwd.last.pageInfo.startCursor.map(Cursor.decode)
       var back      = lastStart
       var backPages = List.empty[Seq[String]]
       var hasPrev   = back.isDefined

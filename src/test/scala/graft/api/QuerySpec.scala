@@ -22,8 +22,10 @@ class QuerySpec extends SparkSpec {
 
   private lazy val catalog = new Catalog(Seq(
     SourceDef("herbs", herbs,
+      // inverse relation: the herb's slug appears in recipes.herbSlugs (an
+      // array foreign key — keyedForeign explodes it)
       relations = Map("recipes" ->
-        BelongsToMany("recipes", "recipes", "tagSlugs", "slug"))),
+        BelongsToMany("recipes", "recipes", "slug", "herbSlugs"))),
     SourceDef("recipes", recipes,
       relations = Map("herbs" ->
         BelongsToMany("herbs", "herbs", "herbSlugs", "slug")))
@@ -82,6 +84,13 @@ class QuerySpec extends SparkSpec {
       .cursor(first.pageInfo.endCursor.get).exec()
     assert(second.data.map(_.getAs[String]("slug")) == Seq("cymbopogon-citratus"))
     assert(!second.pageInfo.hasNextPage && second.pageInfo.hasPreviousPage)
+  }
+
+  test("inverse belongsToMany through the foreign array key") {
+    val r = catalog.from("herbs").join("recipes")
+      .where("slug", Eq, "cymbopogon-citratus").exec()
+    val attached = r.data.head.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("recipes")
+    assert(attached.map(_.getAs[String]("slug")) == Seq("recipe-1"))
   }
 
   test("find returns the record; unknown relation rejected") {

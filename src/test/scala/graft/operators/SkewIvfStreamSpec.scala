@@ -38,15 +38,23 @@ class SkewIvfStreamSpec extends SparkSpec {
       (i, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
     }
     val emb = vecs.toDF("vec_id", "embedding")
-    val exact = Similarity.topKForId(emb, 0L, 10).collect().map(_.getAs[Long]("vec_id")).toSet
-    val idx = Similarity.ivfIndex(emb, nlist = 8)
+    val exact  = Similarity.topKForId(emb, 0L, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    lazy val idx = Similarity.ivfIndex(emb, nlist = 8)
     val approx = idx.topKForId(0L, 10, nprobe = 2).collect().map(_.getAs[Long]("vec_id")).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"IVF recall $recall; exact=$exact approx=$approx")
-    // probing really restricts the scan
-    val probedRows = idx.assigned.filter($"cell".isin(0 to 7: _*)).count()
+    // probing really restricts the scan: rows in the nprobe=2 nearest cells
+    // must be a strict subset of the corpus
+    val qVec = idx.assigned.filter($"vec_id" === 0L)
+      .select($"embedding".cast("array<double>")).head().getAs[scala.collection.Seq[Double]](0)
+    val probeCells = idx.centers.zipWithIndex.map { case (c, i) =>
+      val dot  = c.zip(qVec).map { case (x, y) => x * y }.sum
+      val norm = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qVec.map(x => x * x).sum)
+      (i, if (norm == 0) -1.0 else dot / norm)
+    }.sortBy(-_._2).take(2).map(_._1)
+    val probedRows = idx.assigned.filter($"cell".isin(probeCells.toIndexedSeq: _*)).count()
+    assert(probedRows < 200, s"nprobe=2 must scan a strict subset, scanned $probedRows")
     assert(idx.assigned.groupBy("cell").count().count() > 1, "quantizer collapsed")
-    assert(probedRows == 200)
   }
 
   test("flatMapGroupsWithState closes sessions on gap within the stream") {

@@ -56,14 +56,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val streamed = spark.table("file_hourly")
         .orderBy("hour", "event_type")
-        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
-      val expected = EventStreams.hourlyAgg(batch.withColumn("ts", col("ts")), watermark = "10 years")
-      // batch twin: same aggregation shape without the streaming machinery
-      val batchRows = batch
-        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("event_cnt"))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      // the SAME hourlyAgg transform run as a plain batch query — the
+      // batch/streaming-twin claim, compared field-for-field
+      val batchRows = EventStreams.hourlyAgg(batch)
         .orderBy("hour", "event_type")
-        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2)))
+        .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
       assert(streamed.toSeq == batchRows.toSeq)
       assert(streamed.nonEmpty)
     } finally q.stop()
