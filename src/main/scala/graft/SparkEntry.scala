@@ -396,11 +396,14 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
     "q_dedup_minhash" -> ((s, dir) =>
-      // Per-doc LSH state (signature+bands); pair generation is LSH-bucketed
-      // and covered with planted near-dups in DedupSpec (not SQL-expressible).
+      // Per-doc LSH band hashes exploded to scalar (doc_id, band, bhash) rows
+      // — the registered shape must be scalar columns only. Pair generation is
+      // LSH-bucketed and covered with planted near-dups in DedupSpec (not
+      // SQL-expressible: DuckDB has no xxhash64).
       operators.Dedup.minhashed(Tables.load(s, dir, "documents"))
-        .select("doc_id", "band_hashes")
-        .orderBy("doc_id").limit(200)),
+        .orderBy("doc_id").limit(200)
+        .select(col("doc_id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+        .orderBy("doc_id", "band")),
     "q_dedup_simhash" -> ((s, dir) =>
       operators.Dedup.simhashed(Tables.load(s, dir, "documents"))
         .orderBy("doc_id").limit(200)),
@@ -500,6 +503,31 @@ object SparkEntry {
                       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          WHERE a.doc_id < 19 ORDER BY id_a""",
+    "q_text_langid" ->
+      // Same contract as TextFunctions.langId: marker-token counts per
+      // language, argmax with ties → first language in sorted-code order
+      // (the CASE cascade checks de,en,es,fr,zh with >=), zero hits → 'und'.
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+         ), c AS (
+           SELECT doc_id,
+                  len(list_filter(t, x -> x IN ('der','die','und','das','nicht'))) AS c_de,
+                  len(list_filter(t, x -> x IN ('the','and','of','is','to')))      AS c_en,
+                  len(list_filter(t, x -> x IN ('el','los','las','una','es')))     AS c_es,
+                  len(list_filter(t, x -> x IN ('le','la','et','les','des')))      AS c_fr,
+                  len(list_filter(t, x -> x IN ('的','是','在','了','和')))          AS c_zh
+           FROM toks
+         )
+         SELECT doc_id,
+                CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                     WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                     WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                     WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                     WHEN c_fr >= c_zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred
+         FROM c ORDER BY doc_id""",
     "q_ann_bruteforce" ->
       """SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank, vec_id
          FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.embedding) AS s

@@ -73,7 +73,17 @@ object TextFunctions {
     "zh" -> Seq("的", "是", "在", "了", "和")
   )
 
-  def langId(text: Column): Column = {
+  /** Language ID: native Catalyst expression (one tight per-row loop — the
+    * interpreted-HOF twin below benchmarked ~3× slower per scan). Ties go to
+    * the first language in sorted-code order; no marker hits → "und".
+    */
+  def langId(text: Column): Column = graft.plans.TextExpressions.langId(text)
+
+  /** Column-algebra twin of [[langId]] (kept for parity testing and as the
+    * no-custom-expression fallback). Same contract: argmax of marker-token
+    * counts, ties → FIRST language in sorted-code order, zero hits → "und".
+    */
+  def langIdColumns(text: Column): Column = {
     val langs = langMarkers.toSeq.sortBy(_._1)
     // ONE pass over the tokens: per token a 5-element hit vector, summed into
     // an array accumulator (five separate filter() passes cost 5 interpreted
@@ -86,21 +96,29 @@ object TextFunctions {
           when(t.isin(markers: _*), 1).otherwise(0)
         }: _*),
         (a, b) => a + b))
-    val scored = zip_with(counts, typedLit(langs.map(_._1)),
-      (score, lang) => struct(score.as("score"), lang.as("lang")))
-    // max score, ties broken by lang desc — deterministic either way. No
-    // marker hits at all → "und".
+    // Pair each count with the REVERSED language index so array_max's
+    // lexicographic (score, ridx) order resolves score ties toward the
+    // highest ridx = the FIRST language in sorted order.
+    val scored = zip_with(counts, typedLit(langs.indices.map(i => langs.size - 1 - i)),
+      (score, ridx) => struct(score.as("score"), ridx.as("ridx")))
     val best = array_max(scored)
-    when(best.getField("score") === 0, lit("und")).otherwise(best.getField("lang"))
+    val reversedNames = typedLit(langs.map(_._1).reverse)
+    when(best.getField("score") === 0, lit("und"))
+      .otherwise(element_at(reversedNames, best.getField("ridx") + 1))
   }
 
   /** Order-sensitive ~62-bit document fingerprint: two independent polynomial
     * rolling hashes over the token-hash stream (Horner steps mod the Mersenne
     * prime 2^31-1 — all arithmetic < 2^62, safe under ANSI overflow checking),
     * packed into one long. Distinguishes permuted token orders, unlike
-    * bag-of-words hashes; one linear pass, codegen'd.
+    * bag-of-words hashes. Native expression — one linear pass per row.
     */
-  def fingerprint(text: Column): Column = {
+  def fingerprint(text: Column): Column = graft.plans.TextExpressions.fingerprint(text)
+
+  /** Column-algebra twin of [[fingerprint]] (parity testing / fallback);
+    * bit-identical output, but pays two interpreted `aggregate` lanes.
+    */
+  def fingerprintColumns(text: Column): Column = {
     val P = graft.functions.HashFunctions.P
     val hashes = transform(tokens(text), t => pmod(xxhash64(t), lit(P)))
     def lane(mult: Long, init: Long): Column =

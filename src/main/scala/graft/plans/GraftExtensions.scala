@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * SQL surface:
   *  - `graft_minhash_state(text)` → struct<shingle_hashes, signature, band_hashes>
   *  - `graft_simhash(text)`       → bigint
+  *  - `graft_langid(text)`        → string (language code or 'und')
+  *  - `graft_fingerprint(text)`   → bigint (two-lane polynomial rolling hash)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -42,6 +44,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_simhash(text) takes exactly 1 argument")
         SimHash64(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_langid"),
+      new ExpressionInfo(classOf[LangId].getName, "graft_langid"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_langid(text) takes exactly 1 argument")
+        LangId(children.head, graft.functions.TextFunctions.langMarkers.toSeq.sortBy(_._1))
+      }),
+    (
+      new FunctionIdentifier("graft_fingerprint"),
+      new ExpressionInfo(classOf[Fingerprint].getName, "graft_fingerprint"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_fingerprint(text) takes exactly 1 argument")
+        Fingerprint(children.head)
       })
   )
 

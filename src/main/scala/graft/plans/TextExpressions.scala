@@ -41,6 +41,19 @@ object TextExpressions {
     * HashFunctions.shingles + array_distinct). */
   def shingleSet(text: Column, w: Int = 3): Column =
     ColumnShim.column(ShingleSet(ColumnShim.expression(text), w))
+
+  /** Marker-token language ID (native twin of TextFunctions.langIdColumns):
+    * one pass over the tokens, counts per language, argmax with ties broken
+    * by FIRST language in sorted-code order; no hits → "und".
+    */
+  def langId(text: Column,
+             markers: Map[String, Seq[String]] = graft.functions.TextFunctions.langMarkers): Column =
+    ColumnShim.column(LangId(ColumnShim.expression(text), markers.toSeq.sortBy(_._1)))
+
+  /** Order-sensitive two-lane polynomial fingerprint (native twin of
+    * TextFunctions.fingerprintColumns). */
+  def fingerprint(text: Column): Column =
+    ColumnShim.column(Fingerprint(ColumnShim.expression(text)))
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
@@ -146,6 +159,106 @@ case class ShingleSet(child: Expression, w: Int)
   }
 
   override protected def withNewChildInternal(newChild: Expression): ShingleSet =
+    copy(child = newChild)
+}
+
+/** Language ID by marker-token counting in ONE tokens pass.
+  *
+  * `markers` is the sorted (langCode, markerTokens) list; a token may mark
+  * several languages (handled via a per-token bitmask). Argmax over counts;
+  * ties go to the FIRST language in the list (sorted-code order) — the same
+  * contract as TextFunctions.langIdColumns and the DuckDB oracle's CASE
+  * cascade. Zero hits → "und".
+  */
+case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(markers.nonEmpty && markers.size <= 64,
+    s"LangId supports 1..64 languages, got ${markers.size}")
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val langNames: Array[UTF8String] =
+    markers.map(m => UTF8String.fromString(m._1)).toArray
+
+  // marker token -> bitmask of language indexes it scores for
+  @transient private lazy val markerMask: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    markers.zipWithIndex.foreach { case ((_, toks), i) =>
+      toks.foreach { t =>
+        val prev = m.get(t)
+        m.put(t, java.lang.Long.valueOf((if (prev == null) 0L else prev.longValue) | (1L << i)))
+      }
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val counts = new Array[Int](langNames.length)
+    var t = 0
+    while (t < tokens.length) {
+      val mask = markerMask.get(tokens(t))
+      if (mask != null) {
+        val mv = mask.longValue
+        var i = 0
+        while (i < counts.length) {
+          if (((mv >>> i) & 1L) == 1L) counts(i) += 1
+          i += 1
+        }
+      }
+      t += 1
+    }
+    var best = -1
+    var bestC = 0
+    var i = 0
+    while (i < counts.length) {
+      if (counts(i) > bestC) { bestC = counts(i); best = i } // strict > : first lang wins ties
+      i += 1
+    }
+    if (best < 0) LangId.und else langNames(best)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LangId =
+    copy(child = newChild)
+}
+
+object LangId {
+  private val und = UTF8String.fromString("und")
+}
+
+/** Two-lane polynomial rolling hash over the token xxhash64 stream, packed
+  * into one long: `lane(31,17) * P + lane(131,29)` with Horner steps mod the
+  * Mersenne prime P = 2^31-1 (all intermediates < 2^62 — ANSI-safe). Bit-
+  * identical to TextFunctions.fingerprintColumns.
+  */
+case class Fingerprint(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = LongType
+
+  private val P = graft.functions.HashFunctions.P
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    var l1 = 17L
+    var l2 = 29L
+    var t = 0
+    while (t < tokens.length) {
+      val h = java.lang.Math.floorMod(
+        XxHash64Function.hash(UTF8String.fromString(tokens(t)), StringType, 42L), P)
+      l1 = java.lang.Math.floorMod(l1 * 31L + h, P)
+      l2 = java.lang.Math.floorMod(l2 * 131L + h, P)
+      t += 1
+    }
+    l1 * P + l2
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Fingerprint =
     copy(child = newChild)
 }
 

@@ -41,6 +41,32 @@ class TextFunctionsSpec extends SparkSpec {
     assert(fp(1L) != fp(2L))
   }
 
+  test("langId ties break to the first language in sorted-code order") {
+    // "der" scores de=1, "the" scores en=1 → tie → "de" (first in sorted order)
+    val out = Seq((1L, "der the"), (2L, "the le"), (3L, "le el"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextFunctions.langId($"text").as("lang"))
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(out == Seq("de", "en", "es"))
+  }
+
+  test("native langId matches the column-algebra twin") {
+    val tied = Seq((100L, "der the"), (101L, "le el"), (102L, "")).toDF("doc_id", "text")
+    val both = df.union(tied).select(
+        TextFunctions.langId($"text").as("native"),
+        TextFunctions.langIdColumns($"text").as("cols"))
+      .collect()
+    both.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("native fingerprint matches the column-algebra twin") {
+    val both = df.select(
+        TextFunctions.fingerprint($"text").as("native"),
+        TextFunctions.fingerprintColumns($"text").as("cols"))
+      .collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
+
   test("quality score is within [0,1] and rewards stopword-bearing text") {
     val q = df.select($"doc_id", TextFunctions.qualityScore($"text").as("q"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
