@@ -544,6 +544,19 @@ object SparkEntry {
       // (field, prefix)); full build over part.p_name at depth 1.
       operators.Indexing.indexRelation(Tables.load(s, dir, "part"), "p_partkey", Seq("p_name"))
         .orderBy("field", "prefix", "value", "slug")),
+    "q_index_diff" -> ((s, dir) => {
+      // Snapshot diff (the input to incremental index maintenance): old = docs
+      // below 450, new = docs from 50 up with lang rewritten for every 100th
+      // id — exercises A (>=450), D (<50), and M (%100==0) in one relation.
+      val docs = Tables.load(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") < 450)
+      val newSnap = docs.filter(col("doc_id") >= 50)
+        .withColumn("lang", when(col("doc_id") % 100 === 0, lit("xx")).otherwise(col("lang")))
+      operators.Indexing.extractDiff(oldSnap, newSnap, "doc_id", Seq("lang"))
+        .select(col("status"), col("slug"), explode(col("values")).as(Seq("field", "vals")))
+        .select(col("status"), col("slug"), col("field"), explode(col("vals")).as("value"))
+        .orderBy("slug", "status", "field", "value")
+    }),
     "q_validate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       docs.select(col("doc_id"),
@@ -564,6 +577,20 @@ object SparkEntry {
       """SELECT 'p_name' AS field, lower(substr(p_name, 1, 1)) AS prefix,
                 CAST(p_partkey AS VARCHAR) AS slug, p_name AS value
          FROM part ORDER BY field, prefix, value, slug""",
+    "q_index_diff" ->
+      """WITH old AS (SELECT doc_id, lang FROM documents WHERE doc_id < 450),
+              new AS (SELECT doc_id, CASE WHEN doc_id % 100 = 0 THEN 'xx' ELSE lang END AS lang
+                      FROM documents WHERE doc_id >= 50)
+         SELECT * FROM (
+           SELECT 'A' AS status, CAST(doc_id AS VARCHAR) AS slug, 'lang' AS field, lang AS value
+           FROM new WHERE doc_id NOT IN (SELECT doc_id FROM old)
+           UNION ALL
+           SELECT 'D', CAST(doc_id AS VARCHAR), 'lang', lang
+           FROM old WHERE doc_id NOT IN (SELECT doc_id FROM new)
+           UNION ALL
+           SELECT 'M', CAST(n.doc_id AS VARCHAR), 'lang', n.lang
+           FROM new n JOIN old o ON n.doc_id = o.doc_id WHERE n.lang <> o.lang
+         ) ORDER BY slug, status, field, value""",
     "q_validate" ->
       """SELECT doc_id, (text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
                          AND n_chars IS NOT NULL AND n_chars >= 0) AS is_valid

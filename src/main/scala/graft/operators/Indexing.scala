@@ -24,17 +24,31 @@ object Indexing {
     * value) — array/nested fields contribute one row per leaf value, exactly
     * like the reference indexes each value of a multi-valued field.
     */
-  def indexRelation(df: DataFrame, slugField: String, fields: Seq[String], depth: Int = 1): DataFrame = {
+  def indexRelation(df: DataFrame, slugField: String, fields: Seq[String], depth: Int = 1): DataFrame =
+    indexRelationResolved(df, slugField,
+      fields.map(f => IndexField(f, depth, FieldPath.resolve(df, f))))
+
+  /** One indexed field: name, prefix depth (1-10, reference
+    * IndexConfigFactory.ts:46-59), and the resolved `array<string>` values
+    * column — [[FieldPath.resolve]] for schema fields, any computed column for
+    * custom indexes (the reference's `customIndexers` callbacks).
+    */
+  final case class IndexField(name: String, depth: Int, values: org.apache.spark.sql.Column) {
+    require(depth >= 1 && depth <= 10, s"index depth $depth for field \"$name\" is out of range (1-10)")
+  }
+
+  /** The index relation with per-field depth and value resolution. */
+  def indexRelationResolved(df: DataFrame, slugField: String, fields: Seq[IndexField]): DataFrame = {
     require(fields.nonEmpty, "indexRelation needs at least one field to index")
     fields.map { f =>
       df.select(
-        lit(f).as("field"),
+        lit(f.name).as("field"),
         col(slugField).cast("string").as("slug"),
-        explode(FieldPath.resolve(df, f)).as("value"))
+        explode(f.values).as("value"))
         // lower-then-take, matching lookup/updateIndex's
         // toLowerCase(Locale.ROOT).take — the other order diverges for
         // characters whose lowercase form expands (e.g. İ → "i̇")
-        .withColumn("prefix", substring(lower(col("value")), 1, depth))
+        .withColumn("prefix", substring(lower(col("value")), 1, f.depth))
         .select("field", "prefix", "slug", "value")
     }.reduce(_ unionAll _)
   }
@@ -44,7 +58,13 @@ object Indexing {
     */
   def writeIndex(df: DataFrame, slugField: String, fields: Seq[String], path: String,
                  depth: Int = 1): Unit =
-    indexRelation(df, slugField, fields, depth)
+    writeIndexResolved(df, slugField,
+      fields.map(f => IndexField(f, depth, FieldPath.resolve(df, f))), path)
+
+  /** [[writeIndex]] with per-field depth / custom value columns. */
+  def writeIndexResolved(df: DataFrame, slugField: String, fields: Seq[IndexField],
+                         path: String): Unit =
+    indexRelationResolved(df, slugField, fields)
       .repartition(col("field"), col("prefix"))
       .sortWithinPartitions("field", "prefix", "value", "slug")
       .write
@@ -71,15 +91,107 @@ object Indexing {
 
   /** A diff entry mirroring the reference's `DiffEntry`
     * (reference: src/types.ts, src/diff/extractDiff.ts): A=added, M=modified,
-    * D=deleted, with the record's current field values (empty for D).
+    * D=deleted. `values` holds the record's indexed field values — the NEW
+    * side for A/M, the OLD side for D (like the reference, which emits the
+    * base record's fields for deletions).
     */
   final case class DiffEntry(status: String, slug: String, values: Map[String, Seq[String]])
+
+  /** Snapshot diff — the reference's `extractDiff` made distributed
+    * (reference: src/diff/extractDiff.ts:22,145-149: A = head-only slug,
+    * D = base-only slug, M = both sides but the indexed field values differ;
+    * unchanged indexed values are NOT emitted even if other content changed).
+    *
+    * The reference walks a git ref range file-by-file; a Spark user has two
+    * corpus snapshots instead, so the equivalent is a full-outer join on slug
+    * with a canonical hash over each side's indexed values. Only
+    * `(slug, indexed values, hash)` shuffles — never the document bodies —
+    * so the diff of two 100 TB snapshots moves data proportional to the
+    * index width, and the output is proportional to the change volume.
+    *
+    * Returns `(status, slug, values: map<string, array<string>>)`.
+    */
+  def extractDiff(oldDf: DataFrame, newDf: DataFrame, slugField: String,
+                  fields: Seq[String]): DataFrame = {
+    require(fields.nonEmpty, "extractDiff needs at least one indexed field")
+    val o = snapshotValues(oldDf, slugField, fields)
+      .select(col("slug"), col("values").as("old_values"), col("cmp_hash").as("old_hash"),
+              lit(true).as("in_old"))
+    val n = snapshotValues(newDf, slugField, fields)
+      .select(col("slug"), col("values").as("new_values"), col("cmp_hash").as("new_hash"),
+              lit(true).as("in_new"))
+    o.join(n, Seq("slug"), "full_outer")
+      .withColumn("status",
+        when(col("in_old").isNull, "A")
+          .when(col("in_new").isNull, "D")
+          .when(col("old_hash") =!= col("new_hash"), "M"))
+      .filter(col("status").isNotNull) // both sides present + identical values → no entry
+      .select(col("status"), col("slug"),
+        when(col("status") === "D", col("old_values")).otherwise(col("new_values")).as("values"))
+  }
+
+  /** Per-slug canonical indexed-value state: the values map plus a hash over
+    * the sorted (field, sorted values) entry list (maps aren't comparable in
+    * Catalyst; the canonical JSON hash is).
+    */
+  private def snapshotValues(df: DataFrame, slugField: String, fields: Seq[String]): DataFrame = {
+    val perField = fields.map { f =>
+      df.select(col(slugField).cast("string").as("slug"),
+        lit(f).as("field"),
+        explode(FieldPath.resolve(df, f)).as("value"))
+    }.reduce(_ unionAll _)
+      .groupBy("slug", "field")
+      .agg(sort_array(collect_list(col("value"))).as("values"))
+    val entries = array_sort(collect_list(struct(col("field"), col("values"))))
+    val agg = perField.groupBy("slug")
+      .agg(map_from_entries(entries).as("values"),
+           xxhash64(to_json(entries)).as("cmp_hash"))
+    // Slugs whose every indexed field is null/empty vanish from the exploded
+    // relation but still exist in the corpus — restore them with empty state.
+    df.select(col(slugField).cast("string").as("slug")).distinct()
+      .join(agg, Seq("slug"), "left")
+      .select(col("slug"),
+        coalesce(col("values"), typedLit(Map.empty[String, Seq[String]])).as("values"),
+        coalesce(col("cmp_hash"), lit(0L)).as("cmp_hash"))
+  }
+
+  /** [[extractDiff]] collected to the driver as [[DiffEntry]]s — the input
+    * shape [[updateIndex]] consumes. Bounded by the change volume (the same
+    * boundedness argument as updateIndex's touched-partition collect).
+    */
+  def extractDiffEntries(oldDf: DataFrame, newDf: DataFrame, slugField: String,
+                         fields: Seq[String]): Seq[DiffEntry] =
+    extractDiff(oldDf, newDf, slugField, fields).collect().toSeq.map { r =>
+      DiffEntry(r.getString(0), r.getString(1),
+        r.getMap[String, scala.collection.Seq[String]](2).toMap.map {
+          case (k, v) => k -> v.toSeq
+        })
+    }
+
+  /** End-to-end incremental maintenance from two corpus snapshots: diff →
+    * rewrite only the touched `(field, prefix)` partitions.
+    */
+  def updateIndexFromSnapshots(spark: SparkSession, path: String,
+                               oldDf: DataFrame, newDf: DataFrame,
+                               slugField: String, fields: Seq[String],
+                               depth: Int = 1): Seq[DiffEntry] = {
+    val diff = extractDiffEntries(oldDf, newDf, slugField, fields)
+    if (diff.nonEmpty) updateIndex(spark, path, diff, depth)
+    diff
+  }
 
   /** Incremental index update: merges a diff into an existing index rewriting
     * ONLY the `(field, prefix)` partitions that the changed slugs touch (their
     * old rows found by slug — a pushdown-friendly scan — plus their new rows).
     */
-  def updateIndex(spark: SparkSession, path: String, diff: Seq[DiffEntry], depth: Int = 1): Unit = {
+  def updateIndex(spark: SparkSession, path: String, diff: Seq[DiffEntry], depth: Int = 1): Unit =
+    updateIndexDepths(spark, path, diff, _ => depth)
+
+  /** [[updateIndex]] with per-field prefix depth (config `indexDepth`) —
+    * must match the depths the index was written with.
+    */
+  def updateIndexDepths(spark: SparkSession, path: String, diff: Seq[DiffEntry],
+                        depthOf: String => Int): Unit = {
     import spark.implicits._
     val slugs = diff.map(_.slug)
     val existing = readIndex(spark, path)
@@ -88,7 +200,7 @@ object Indexing {
     val newRows = diff
       .filter(d => d.status == "A" || d.status == "M")
       .flatMap(d => d.values.toSeq.flatMap { case (f, vs) =>
-        vs.map(v => (f, v.toLowerCase(java.util.Locale.ROOT).take(depth), d.slug, v))
+        vs.map(v => (f, v.toLowerCase(java.util.Locale.ROOT).take(depthOf(f)), d.slug, v))
       })
       .toDF("field", "prefix", "slug", "value")
 

@@ -23,7 +23,13 @@ object GraftConfig {
       pattern: String,
       schema: Option[Map[String, Any]],
       relations: Map[String, Relation],
-      indexFields: Set[String])
+      indexFields: Set[String],
+      indexDepths: Map[String, Int] = Map.empty,
+      customIndex: Map[String, Int] = Map.empty) {
+    /** Prefix depth for `field` (schema or custom index), default 1. */
+    def depthOf(field: String): Int =
+      indexDepths.getOrElse(field, customIndex.getOrElse(field, 1))
+  }
 
   private def str(m: Map[String, Any], key: String, ctx: String): String =
     m.get(key) match {
@@ -69,9 +75,32 @@ object GraftConfig {
           case (rn, rm) => rn -> parseRelation(rn, rm.asInstanceOf[Map[String, Any]])
         }).getOrElse(Map.empty),
         indexFields = m.get("index").map(_.asInstanceOf[Map[String, Any]].keySet)
-          .getOrElse(Set.empty))
+          .getOrElse(Set.empty),
+        indexDepths = parseIndexDepths(name, m, "index"),
+        customIndex = parseIndexDepths(name, m, "customIndex"))
     }
   }
+
+  /** Per-field `indexDepth` of an `index`/`customIndex` block, validated to
+    * the reference's 1-10 range with its error message shape
+    * (reference: src/IndexConfigFactory.ts:46-59,85-99). Default depth 1.
+    */
+  private def parseIndexDepths(source: String, m: Map[String, Any], key: String): Map[String, Int] =
+    m.get(key).map(_.asInstanceOf[Map[String, Any]].map { case (field, defn) =>
+      val depth = defn match {
+        case dm: Map[_, _] => dm.asInstanceOf[Map[String, Any]].get("indexDepth") match {
+          case None            => 1
+          case Some(l: Long)   => l.toInt
+          case Some(d: Double) => d.toInt
+          case Some(other) => throw new IllegalArgumentException(
+            s"[$source] indexDepth for field \"$field\" must be a number, got $other")
+        }
+        case _ => 1
+      }
+      if (depth < 1 || depth > 10) throw new IllegalArgumentException(
+        s"[$source] index depth $depth for field \"$field\" is out of range (1-10)")
+      field -> depth
+    }).getOrElse(Map.empty)
 
   /** Build the queryable catalog: every source loaded (parsed, slugged,
     * schema-validated) from `baseDir`. Mirrors `defineStaticQL(config)({repository})`.

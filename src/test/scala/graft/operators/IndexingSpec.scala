@@ -77,6 +77,58 @@ class IndexingSpec extends SparkSpec {
     assert(new java.io.File(s"$path/field=name/prefix=l").exists())
   }
 
+  test("extractDiff classifies A/M/D from two snapshots, skipping unchanged-index records") {
+    val oldSnap = Seq(
+      ("arctium-lappa", "Burdock", "root notes"),
+      ("centella-asiatica", "Gotu Kola", "leaf notes"),
+      ("cymbopogon-citratus", "Lemongrass", "grass notes")
+    ).toDF("slug", "name", "body")
+    val newSnap = Seq(
+      ("arctium-lappa", "Greater Burdock", "root notes"),  // M: indexed value changed
+      ("cymbopogon-citratus", "Lemongrass", "EDITED body"), // body-only change → NOT emitted
+      ("zingiber-officinale", "Ginger", "rhizome notes")    // A
+    ).toDF("slug", "name", "body")
+    // centella-asiatica dropped → D
+
+    val diff = Indexing.extractDiffEntries(oldSnap, newSnap, "slug", Seq("name"))
+      .sortBy(_.slug)
+    assert(diff == Seq(
+      DiffEntry("M", "arctium-lappa", Map("name" -> Seq("Greater Burdock"))),
+      DiffEntry("D", "centella-asiatica", Map("name" -> Seq("Gotu Kola"))),
+      DiffEntry("A", "zingiber-officinale", Map("name" -> Seq("Ginger")))))
+  }
+
+  test("end-to-end incremental flow: build from v1, diff v1→v2, index matches v2 rebuild") {
+    // Mirrors the reference's generate-index.test.ts incremental scenario:
+    // the user has two corpus versions, not a hand-built diff list.
+    val path = freshIndexPath
+    val v2 = Seq(
+      ("arctium-lappa", "Greater Burdock", Seq("root")),
+      ("cymbopogon-citratus", "Lemongrass", Seq("leaf", "edible")),
+      ("zingiber-officinale", "Ginger", Seq("rhizome"))
+    ).toDF("slug", "name", "tagSlugs")
+
+    Indexing.writeIndex(herbs, "slug", Seq("name", "tagSlugs"), path)
+    val diff = Indexing.updateIndexFromSnapshots(spark, path, herbs, v2,
+      "slug", Seq("name", "tagSlugs"))
+    assert(diff.map(d => (d.status, d.slug)).sorted == Seq(
+      ("A", "zingiber-officinale"), ("D", "centella-asiatica"), ("M", "arctium-lappa")))
+
+    val incremental = Indexing.readIndex(spark, path)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val rebuiltPath = freshIndexPath
+    Indexing.writeIndex(v2, "slug", Seq("name", "tagSlugs"), rebuiltPath)
+    val rebuilt = Indexing.readIndex(spark, rebuiltPath)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(incremental == rebuilt)
+  }
+
+  test("extractDiff is a no-op relation for identical snapshots") {
+    assert(Indexing.extractDiff(herbs, herbs, "slug", Seq("name", "tagSlugs")).count() == 0)
+  }
+
   test("find-by-slug over a bucketed source table prunes with pushdown") {
     val path = freshIndexPath
     Indexing.writeIndex(herbs, "slug", Seq("slug"), path)
