@@ -11,13 +11,21 @@ import org.apache.spark.sql.SparkSession
   * work). A short warmup primes the JVM/JIT and OS page cache so timings
   * measure the plans, not first-touch costs (the DuckDB baseline runs warm
   * the same way).
+  *
+  * Each query is sampled three times and the MEDIAN reported: the bench
+  * shares the box with the driver harness, and a single sample can absorb a
+  * multi-second contention stall (rounds 2-3 recorded ~2.5× phantoms this
+  * way). The median of three discards one arbitrarily bad sample while
+  * keeping the run cheap.
   */
 object Bench {
+  private val Samples = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Tables.session() // the shared harness session (one tuning source)
 
-    def force(name: String): Double = {
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -25,6 +33,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9
+    }
+
+    def force(name: String): Double = {
+      val samples = Seq.fill(Samples)(once(name))
+      if (samples.contains(-1.0)) -1.0
+      else samples.sorted.apply(Samples / 2)
     }
 
     // Warmup: noop-WRITE each big table — count() only touches parquet

@@ -21,6 +21,11 @@ final case class QFilter(field: String, op: FilterOp, values: Seq[String])
   * the index); `Some(set)` reproduces the reference's "needs index" guard
   * (reference: src/QueryBuilder.ts:316-327).
   * `broadcastHint = true` marks a small dimension that should broadcast in joins.
+  * `indexDepths` carries per-field prefix depth from config `indexDepth`
+  * (reference: src/IndexConfigFactory.ts:46-59); `customIndexFields` names the
+  * config `customIndex` entries, whose value columns are supplied at
+  * index-build time (reference `customIndexers` callbacks live in code, not
+  * JSON, so graft takes them as a name→Column hook in `saveIndexes`).
   */
 final case class SourceDef(
     name: String,
@@ -28,8 +33,13 @@ final case class SourceDef(
     slugField: String = "slug",
     relations: Map[String, Relation] = Map.empty,
     indexedFields: Option[Set[String]] = None,
-    broadcastHint: Boolean = false
-)
+    broadcastHint: Boolean = false,
+    indexDepths: Map[String, Int] = Map.empty,
+    customIndexFields: Set[String] = Set.empty
+) {
+  /** Prefix depth for an indexed field, falling back to `default`. */
+  def depthOf(field: String, default: Int = 1): Int = indexDepths.getOrElse(field, default)
+}
 
 /** The set of queryable sources. Entry point: `catalog.from("herbs")`. */
 final class Catalog(defs: Seq[SourceDef]) {

@@ -115,24 +115,28 @@ object Indexing {
                   fields: Seq[String]): DataFrame = {
     require(fields.nonEmpty, "extractDiff needs at least one indexed field")
     val o = snapshotValues(oldDf, slugField, fields)
-      .select(col("slug"), col("values").as("old_values"), col("cmp_hash").as("old_hash"),
-              lit(true).as("in_old"))
+      .select(col("slug"), col("values").as("old_values"), lit(true).as("in_old"))
     val n = snapshotValues(newDf, slugField, fields)
-      .select(col("slug"), col("values").as("new_values"), col("cmp_hash").as("new_hash"),
-              lit(true).as("in_new"))
+      .select(col("slug"), col("values").as("new_values"), lit(true).as("in_new"))
+    // Modification test: exact equality of the canonical sorted entry lists
+    // (maps aren't Catalyst-comparable, but array<struct> is; the per-field
+    // value arrays are already sorted by snapshotValues). An earlier version
+    // compared xxhash64(to_json(entries)) — a 64-bit proxy whose collisions
+    // would silently drop M entries at corpus scale.
     o.join(n, Seq("slug"), "full_outer")
       .withColumn("status",
         when(col("in_old").isNull, "A")
           .when(col("in_new").isNull, "D")
-          .when(col("old_hash") =!= col("new_hash"), "M"))
+          .when(array_sort(map_entries(col("old_values"))) =!=
+                array_sort(map_entries(col("new_values"))), "M"))
       .filter(col("status").isNotNull) // both sides present + identical values → no entry
       .select(col("status"), col("slug"),
         when(col("status") === "D", col("old_values")).otherwise(col("new_values")).as("values"))
   }
 
-  /** Per-slug canonical indexed-value state: the values map plus a hash over
-    * the sorted (field, sorted values) entry list (maps aren't comparable in
-    * Catalyst; the canonical JSON hash is).
+  /** Per-slug canonical indexed-value state: `map<field, sorted values>`.
+    * Canonical because each field's values are sorted here — so the sorted
+    * entry list derived from the map is a total comparison key.
     */
   private def snapshotValues(df: DataFrame, slugField: String, fields: Seq[String]): DataFrame = {
     val perField = fields.map { f =>
@@ -142,17 +146,15 @@ object Indexing {
     }.reduce(_ unionAll _)
       .groupBy("slug", "field")
       .agg(sort_array(collect_list(col("value"))).as("values"))
-    val entries = array_sort(collect_list(struct(col("field"), col("values"))))
     val agg = perField.groupBy("slug")
-      .agg(map_from_entries(entries).as("values"),
-           xxhash64(to_json(entries)).as("cmp_hash"))
+      .agg(map_from_entries(array_sort(collect_list(struct(col("field"), col("values")))))
+        .as("values"))
     // Slugs whose every indexed field is null/empty vanish from the exploded
     // relation but still exist in the corpus — restore them with empty state.
     df.select(col(slugField).cast("string").as("slug")).distinct()
       .join(agg, Seq("slug"), "left")
       .select(col("slug"),
-        coalesce(col("values"), typedLit(Map.empty[String, Seq[String]])).as("values"),
-        coalesce(col("cmp_hash"), lit(0L)).as("cmp_hash"))
+        coalesce(col("values"), typedLit(Map.empty[String, Seq[String]])).as("values"))
   }
 
   /** [[extractDiff]] collected to the driver as [[DiffEntry]]s — the input

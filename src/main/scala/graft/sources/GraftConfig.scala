@@ -119,21 +119,43 @@ object GraftConfig {
         df = StaticSources.load(spark, s"$baseDir/${sp.pattern}", sp.format, parsers, sp.schema),
         slugField = "slug",
         relations = sp.relations,
-        indexedFields = if (enforceIndexes) Some(sp.indexFields) else None)
+        indexedFields = if (enforceIndexes) Some(sp.indexFields) else None,
+        indexDepths = sp.indexDepths ++ sp.customIndex,
+        customIndexFields = sp.customIndex.keySet)
     })
   }
 
   /** Build + persist prefix indexes for every indexed field — the
-    * `staticql.saveIndexes()` / `staticql-gen-index` equivalent. Relation-path
-    * index keys (e.g. `herbs.slug`) are NOT materialized: relation filters
-    * execute as semi-joins against the related source directly, which is the
+    * `staticql.saveIndexes()` / `staticql-gen-index` equivalent — honoring each
+    * field's configured `indexDepth` (default `depth`). Relation-path index
+    * keys (e.g. `herbs.slug`) are NOT materialized: relation filters execute
+    * as semi-joins against the related source directly, which is the
     * scale-correct equivalent of the reference's relation index files.
+    *
+    * `customIndexers` supplies the value column for each config `customIndex`
+    * field, keyed `source -> field` — the reference's `customIndexers`
+    * callbacks (src/IndexConfigFactory.ts:85-99) are functions in its config
+    * module, so their Spark shape is a registered DataFrame→Column hook. A
+    * declared custom field with no registered indexer is an error (the
+    * reference cannot express that state: its config carries the code).
     */
-  def saveIndexes(spark: SparkSession, cat: Catalog, outDir: String, depth: Int = 1): Unit =
+  def saveIndexes(spark: SparkSession, cat: Catalog, outDir: String, depth: Int = 1,
+                  customIndexers: Map[String, Map[String, org.apache.spark.sql.DataFrame =>
+                    org.apache.spark.sql.Column]] = Map.empty): Unit =
     cat.sources.values.foreach { src =>
       val own = src.indexedFields.getOrElse(Set.empty)
         .filter(f => !(f.contains('.') && src.relations.contains(f.takeWhile(_ != '.'))))
-      if (own.nonEmpty)
-        Indexing.writeIndex(src.df, src.slugField, own.toSeq.sorted, s"$outDir/${src.name}", depth)
+      val schemaFields = own.toSeq.sorted.map { f =>
+        Indexing.IndexField(f, src.depthOf(f, depth), FieldPath.resolve(src.df, f))
+      }
+      val hooks = customIndexers.getOrElse(src.name, Map.empty)
+      val customFields = src.customIndexFields.toSeq.sorted.map { f =>
+        val mk = hooks.getOrElse(f, throw new IllegalArgumentException(
+          s"[${src.name}] customIndex field \"$f\" has no registered indexer"))
+        Indexing.IndexField(f, src.depthOf(f, depth), mk(src.df))
+      }
+      val all = schemaFields ++ customFields
+      if (all.nonEmpty)
+        Indexing.writeIndexResolved(src.df, src.slugField, all, s"$outDir/${src.name}")
     }
 }

@@ -161,6 +161,41 @@ class GraftConfigSpec extends SparkSpec {
       Seq("arctium-lappa", "cymbopogon-citratus"))
   }
 
+  test("saveIndexes honors per-field indexDepth: 2-char partitions + pruned lookup") {
+    val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
+      "\"index\": {\"name\": {\"indexDepth\": 2}, \"tagSlugs\": {}}")
+    val cat2 = GraftConfig.catalog(spark, root.toString, cfg)
+    assert(cat2("herbs").depthOf("name") == 2 && cat2("herbs").depthOf("tagSlugs") == 1)
+    val idxDir = Files.createTempDirectory("graft-cfg-idx2").toString
+    GraftConfig.saveIndexes(spark, cat2, idxDir)
+    // Depth 2 for name ("Burdock" → prefix=bu), depth 1 default for tagSlugs.
+    assert(new java.io.File(s"$idxDir/herbs/field=name/prefix=bu").exists())
+    assert(!new java.io.File(s"$idxDir/herbs/field=name/prefix=b").exists())
+    assert(new java.io.File(s"$idxDir/herbs/field=tagSlugs/prefix=e").exists())
+    val hit = graft.operators.Indexing.lookup(spark, s"$idxDir/herbs", "name", "Burdock", depth = 2)
+    assert(hit.select("slug").collect().map(_.getString(0)).toSeq == Seq("arctium-lappa"))
+    assert(hit.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+  }
+
+  test("customIndex fields index via registered name->Column hook (with depth)") {
+    val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
+      "\"index\": {\"name\": {}, \"tagSlugs\": {}},\n" +
+        "      \"customIndex\": {\"nameInitial\": {\"indexDepth\": 1}}")
+    val cat2 = GraftConfig.catalog(spark, root.toString, cfg)
+    assert(cat2("herbs").customIndexFields == Set("nameInitial"))
+    val idxDir = Files.createTempDirectory("graft-cfg-idx3").toString
+    // No hook registered for a declared custom field → error, not a silent skip.
+    val e = intercept[IllegalArgumentException](GraftConfig.saveIndexes(spark, cat2, idxDir))
+    assert(e.getMessage.contains("nameInitial"))
+    import org.apache.spark.sql.functions._
+    GraftConfig.saveIndexes(spark, cat2, idxDir, customIndexers =
+      Map("herbs" -> Map("nameInitial" -> (df => array(upper(substring(col("name"), 1, 1)))))))
+    val hit = graft.operators.Indexing.lookup(spark, s"$idxDir/herbs", "nameInitial", "L")
+    assert(hit.select("slug").collect().map(_.getString(0)).toSeq == Seq("cymbopogon-citratus"))
+    // Schema fields still index alongside the custom one.
+    assert(new java.io.File(s"$idxDir/herbs/field=name/prefix=b").exists())
+  }
+
   test("schema validation rejects a bad record at load") {
     val bad = Files.createTempDirectory("graft-bad")
     write(bad, "content/herbs/x.md", "---\nname: NoOverview\n---\n")
