@@ -454,13 +454,15 @@ object SparkEntry {
       operators.Similarity.bucketed(Tables.load(s, dir, "embeddings"), dim = 64)
         .select("vec_id", "bucket")
         .orderBy("vec_id").limit(500)),
-    "q_ann_bruteforce" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
+    "q_ann_bruteforce" -> ((s, dir) =>
+      // Rank the already-limited top-10 without a global window (a
+      // no-partition Window would re-shuffle and warn): one partition of 10
+      // rows, re-sorted locally, ids assigned in row order.
       operators.Similarity.topKForId(Tables.load(s, dir, "embeddings"), 0L, 10)
-        .withColumn("rank",
-          row_number().over(Window.orderBy(desc("score"), col("vec_id"))))
-        .select("rank", "vec_id")
-    })
+        .coalesce(1)
+        .sortWithinPartitions(desc("score"), col("vec_id"))
+        .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
+        .select("rank", "vec_id"))
   )
 
   private def pipelineOracle: Map[String, String] = Map(
@@ -521,7 +523,8 @@ object SparkEntry {
            FROM toks
          )
          SELECT doc_id,
-                CASE WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
+                CASE WHEN c_en IS NULL THEN NULL -- NULL text: Spark langId is null; without this guard every >= is unknown and the cascade falls through to 'zh'
+                     WHEN greatest(c_de, c_en, c_es, c_fr, c_zh) = 0 THEN 'und'
                      WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
                      WHEN c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
                      WHEN c_es >= c_fr AND c_es >= c_zh THEN 'es'

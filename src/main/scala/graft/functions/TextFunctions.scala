@@ -43,16 +43,30 @@ object TextFunctions {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it")
 
-  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+  /** Stopword density: native single-pass expression (the filter-HOF twin
+    * below pays an interpreted traversal per row — same lesson as MinHash,
+    * LangId and Fingerprint). Rounding stays in column algebra.
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String] = defaultStopwords): Column =
+    round(graft.plans.TextExpressions.stopwordRatioRaw(text, stopwords), 4)
+
+  /** Column-algebra twin of [[stopwordRatio]] (parity testing / fallback). */
+  def stopwordRatioColumns(text: Column, stopwords: Seq[String] = defaultStopwords): Column = {
     val toks = tokens(text)
     round(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks), 4)
   }
 
   /** Composite quality score in [0,1]: half stopword density (capped), half
     * length saturation at 100 tokens — the cheap hygiene heuristics a pretraining
-    * pipeline applies before expensive scoring.
+    * pipeline applies before expensive scoring. Native single-pass expression.
     */
-  def qualityScore(text: Column): Column = {
+  def qualityScore(text: Column): Column =
+    round(graft.plans.TextExpressions.qualityScoreRaw(text), 4)
+
+  /** Column-algebra twin of [[qualityScore]] (parity testing / fallback);
+    * bit-identical output, but pays two interpreted `filter`/`size` HOFs.
+    */
+  def qualityScoreColumns(text: Column): Column = {
     val toks  = tokens(text)
     val nTok  = size(toks).cast("double")
     val stopR = size(filter(toks, t => t.isin(defaultStopwords: _*))).cast("double") / nTok

@@ -21,6 +21,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_simhash(text)`       → bigint
   *  - `graft_langid(text)`        → string (language code or 'und')
   *  - `graft_fingerprint(text)`   → bigint (two-lane polynomial rolling hash)
+  *  - `graft_quality(text)`       → double (unrounded composite quality score)
+  *  - `graft_stopword_ratio(text)` → double (unrounded stopword density)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -58,6 +60,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_fingerprint(text) takes exactly 1 argument")
         Fingerprint(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_quality"),
+      new ExpressionInfo(classOf[QualityScore].getName, "graft_quality"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_quality(text) takes exactly 1 argument")
+        QualityScore(children.head, graft.functions.TextFunctions.defaultStopwords)
+      }),
+    (
+      new FunctionIdentifier("graft_stopword_ratio"),
+      new ExpressionInfo(classOf[StopwordRatio].getName, "graft_stopword_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_stopword_ratio(text) takes exactly 1 argument")
+        StopwordRatio(children.head, graft.functions.TextFunctions.defaultStopwords)
       })
   )
 

@@ -54,6 +54,33 @@ object TextExpressions {
     * TextFunctions.fingerprintColumns). */
   def fingerprint(text: Column): Column =
     ColumnShim.column(Fingerprint(ColumnShim.expression(text)))
+
+  /** Unrounded stopword-hit ratio (native twin of the filter-HOF formulation;
+    * callers apply `round(_, 4)` so the rounding stays in column algebra).
+    */
+  def stopwordRatioRaw(text: Column,
+                       stopwords: Seq[String] = graft.functions.TextFunctions.defaultStopwords): Column =
+    ColumnShim.column(StopwordRatio(ColumnShim.expression(text), stopwords))
+
+  /** Unrounded composite quality score (native twin of the two-HOF
+    * formulation in TextFunctions.qualityScoreColumns). */
+  def qualityScoreRaw(text: Column,
+                      stopwords: Seq[String] = graft.functions.TextFunctions.defaultStopwords): Column =
+    ColumnShim.column(QualityScore(ColumnShim.expression(text), stopwords))
+
+  /** Shared tokenizer for every native text expression: edge-strip by the
+    * SAME `\s` class the column twins use (`regexp_replace(text,
+    * "^\\s+|\\s+$", "")` + `split("\\s+")`) — Java `String.trim` strips all
+    * chars <= U+0020 (NUL, the FS..US separators) that `\s` does not match,
+    * so trim-based tokenization would silently diverge from the twins on
+    * text with leading/trailing control characters. Patterns precompiled
+    * (String.replaceAll recompiles per call — this runs per row).
+    */
+  private[plans] object Tok {
+    private val edge = java.util.regex.Pattern.compile("^\\s+|\\s+$")
+    private val ws   = java.util.regex.Pattern.compile("\\s+")
+    def tokens(s: String): Array[String] = ws.split(edge.matcher(s).replaceAll(""))
+  }
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
@@ -75,8 +102,7 @@ case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Lon
     StructField("band_hashes", ArrayType(LongType, containsNull = false))))
 
   override def nullSafeEval(input: Any): Any = {
-    val text   = input.asInstanceOf[UTF8String].toString
-    val tokens = text.trim.split("\\s+")
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
     val nSh    = math.max(1, tokens.length - w + 1)
     // distinct shingle hashes
     val seen   = new java.util.HashSet[Long](nSh * 2)
@@ -138,7 +164,7 @@ case class ShingleSet(child: Expression, w: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
     val nSh    = math.max(1, tokens.length - w + 1)
     val seen   = new java.util.LinkedHashSet[String](nSh * 2)
     val sb     = new java.lang.StringBuilder
@@ -196,7 +222,7 @@ case class LangId(child: Expression, markers: Seq[(String, Seq[String])])
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
     val counts = new Array[Int](langNames.length)
     var t = 0
     while (t < tokens.length) {
@@ -244,7 +270,7 @@ case class Fingerprint(child: Expression)
   private val P = graft.functions.HashFunctions.P
 
   override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
     var l1 = 17L
     var l2 = 29L
     var t = 0
@@ -262,6 +288,75 @@ case class Fingerprint(child: Expression)
     copy(child = newChild)
 }
 
+/** Stopword-hit ratio in one tokens pass: hits/total as an unrounded double
+  * (the column twin is `size(filter(toks, isin(stopwords)))/size(toks)`; that
+  * pays an interpreted-HOF traversal per row). Callers round outside, keeping
+  * the rounding semantics identical between paths.
+  */
+case class StopwordRatio(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
+    var hits = 0
+    var t = 0
+    while (t < tokens.length) {
+      if (stopSet.contains(tokens(t))) hits += 1
+      t += 1
+    }
+    hits.toDouble / tokens.length
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): StopwordRatio =
+    copy(child = newChild)
+}
+
+/** Composite quality score, unrounded: `min(stopRatio*5,1)*0.5 +
+  * min(tokens/100,1)*0.5` in ONE tokens pass — same operation order as the
+  * column twin (`least(stopR*5.0, 1.0)*0.5 + least(nTok/100.0, 1.0)*0.5`), so
+  * the IEEE doubles are bit-identical and the rounded outputs hash-match the
+  * oracle.
+  */
+case class QualityScore(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = DoubleType
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
+    var hits = 0
+    var t = 0
+    while (t < tokens.length) {
+      if (stopSet.contains(tokens(t))) hits += 1
+      t += 1
+    }
+    val nTok  = tokens.length.toDouble
+    val stopR = hits.toDouble / nTok
+    math.min(stopR * 5.0, 1.0) * 0.5 + math.min(nTok / 100.0, 1.0) * 0.5
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
 case class SimHash64(child: Expression)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
@@ -270,7 +365,7 @@ case class SimHash64(child: Expression)
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any = {
-    val tokens = input.asInstanceOf[UTF8String].toString.trim.split("\\s+")
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
     val votes  = new Array[Int](64)
     var t = 0
     while (t < tokens.length) {

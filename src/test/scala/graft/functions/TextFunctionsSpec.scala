@@ -73,4 +73,52 @@ class TextFunctionsSpec extends SparkSpec {
     assert(q.values.forall(v => v >= 0.0 && v <= 1.0))
     assert(q(1L) > q(5L))
   }
+
+  // Edge fixtures for the native-vs-twin parity tests: control characters
+  // <= U+0020 OUTSIDE the \s class (NUL = \u0000, file/unit separators =
+  // \u001c/\u001f) at the string edges — Java String.trim strips them while
+  // regex \s does not, the exact divergence a trim-based native tokenizer
+  // would hide on clean text fixtures.
+  private lazy val edgy = Seq(
+    (200L, "\u0000the quick fox\u001c"),
+    (201L, "\t der \n the \r"),
+    (202L, ""),
+    (203L, "   "),
+    (204L, "\u001fder\u0000 the")
+  ).toDF("doc_id", "text")
+
+  test("native quality/stopword-ratio match the column-algebra twins (incl. control chars)") {
+    val both = df.union(edgy).select(
+        TextFunctions.qualityScore($"text").as("nq"),
+        TextFunctions.qualityScoreColumns($"text").as("cq"),
+        TextFunctions.stopwordRatio($"text").as("nr"),
+        TextFunctions.stopwordRatioColumns($"text").as("cr"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), s"quality: $r")
+      assert(r.getDouble(2) == r.getDouble(3), s"ratio: $r")
+    }
+  }
+
+  test("native langId/fingerprint match twins on control-character edges") {
+    val both = edgy.select(
+        TextFunctions.langId($"text").as("nl"),
+        TextFunctions.langIdColumns($"text").as("cl"),
+        TextFunctions.fingerprint($"text").as("nf"),
+        TextFunctions.fingerprintColumns($"text").as("cf"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getString(0) == r.getString(1), s"langId: $r")
+      assert(r.getLong(2) == r.getLong(3), s"fingerprint: $r")
+    }
+  }
+
+  test("null text propagates null through native quality/ratio") {
+    val out = Seq((1L, Option.empty[String]), (2L, Some("the fox")))
+      .toDF("doc_id", "text")
+      .select(TextFunctions.qualityScore($"text"), TextFunctions.stopwordRatio($"text"),
+              TextFunctions.langId($"text"))
+      .orderBy(lit(1)).collect()
+    assert(out.exists(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
+  }
 }

@@ -45,4 +45,25 @@ class GraftExtensionsSpec extends AnyFunSuite {
       graft.functions.TextFunctions.tokens($"text"))).head().getLong(0)
     assert(sqlSim == hofSim, "native expression must match the column-algebra twin")
   }
+
+  test("graft_quality / graft_stopword_ratio / graft_langid / graft_fingerprint from SQL") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox and the lazy dog")).toDF("id", "text")
+    df.createOrReplaceTempView("qdocs")
+    val row = spark.sql(
+      """SELECT round(graft_quality(text), 4)        AS q,
+               round(graft_stopword_ratio(text), 4) AS r,
+               graft_langid(text)                    AS lang,
+               graft_fingerprint(text)               AS fp
+         FROM qdocs""").head()
+    val dsl = df.select(
+      graft.functions.TextFunctions.qualityScore($"text"),
+      graft.functions.TextFunctions.stopwordRatio($"text"),
+      graft.functions.TextFunctions.langId($"text"),
+      graft.functions.TextFunctions.fingerprint($"text")).head()
+    assert(row.getDouble(0) == dsl.getDouble(0))
+    assert(row.getDouble(1) == dsl.getDouble(1))
+    assert(row.getString(2) == dsl.getString(2) && row.getString(2) == "en")
+    assert(row.getLong(3) == dsl.getLong(3))
+  }
 }
