@@ -12,11 +12,16 @@ import org.apache.spark.sql.SparkSession
   * measure the plans, not first-touch costs (the DuckDB baseline runs warm
   * the same way).
   *
-  * Each query is sampled three times and the MEDIAN reported: the bench
-  * shares the box with the driver harness, and a single sample can absorb a
-  * multi-second contention stall (rounds 2-3 recorded ~2.5× phantoms this
-  * way). The median of three discards one arbitrarily bad sample while
-  * keeping the run cheap.
+  * Each query is sampled three times and the MEDIAN of its successful
+  * samples reported. Crucially the three rounds are INTERLEAVED — the full
+  * query list runs once, then again, then again — so a query's samples land
+  * minutes apart. Round 4 proved back-to-back samples share any sustained
+  * contention window (the driver harness on the same box poisoned all three
+  * consecutive samples: recorded 40.7 s vs a clean 13.0 s); spreading the
+  * samples makes a single contention window cost at most one sample per
+  * query, which the median then discards. A query that throws is not
+  * retried in later rounds (failures are deterministic here — re-running
+  * triples the latency for the same stack trace); it reports -1.0.
   */
 object Bench {
   private val Samples = 3
@@ -35,12 +40,6 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    def force(name: String): Double = {
-      val samples = Seq.fill(Samples)(once(name))
-      if (samples.contains(-1.0)) -1.0
-      else samples.sorted.apply(Samples / 2)
-    }
-
     // Warmup: noop-WRITE each big table — count() only touches parquet
     // footers (the count-star shortcut), which would leave the data pages
     // cold and bias the first timed query per table. The noop write also
@@ -48,8 +47,25 @@ object Bench {
     Tables.names
       .foreach(t => Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
 
-    val names   = SparkEntry.queries.keys.toSeq.sorted
-    val results = names.map(n => n -> force(n))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Interleaved sampling: all queries, Samples passes over the whole list.
+    // A query that failed in an earlier pass is skipped (deterministic error).
+    val samples = scala.collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)
+    val failed  = scala.collection.mutable.Set.empty[String]
+    for (_ <- 1 to Samples; n <- names if !failed(n)) {
+      once(n) match {
+        case -1.0 => failed += n
+        case t    => samples(n) = t :: samples(n)
+      }
+    }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted; s(s.size / 2)
+    }
+    // A failure stops further sampling of that query, but samples that DID
+    // succeed (e.g. a flaky env error on pass 2) still yield a timing.
+    val results = names.map { n =>
+      n -> (if (samples(n).isEmpty) -1.0 else median(samples(n)))
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

@@ -454,15 +454,18 @@ object SparkEntry {
       operators.Similarity.bucketed(Tables.load(s, dir, "embeddings"), dim = 64)
         .select("vec_id", "bucket")
         .orderBy("vec_id").limit(500)),
-    "q_ann_bruteforce" -> ((s, dir) =>
-      // Rank the already-limited top-10 without a global window (a
-      // no-partition Window would re-shuffle and warn): one partition of 10
-      // rows, re-sorted locally, ids assigned in row order.
+    "q_ann_bruteforce" -> ((s, dir) => {
+      // Rank the already-limited top-10 with an order-EXPLICIT window: the
+      // frame is the 10-row limit output, so partitionBy(lit(1)) keeps the
+      // window partition-bounded (no global-window re-shuffle of the corpus)
+      // and row_number carries its own ORDER BY instead of relying on the
+      // projection preserving a prior local sort.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(lit(1)).orderBy(desc("score"), col("vec_id"))
       operators.Similarity.topKForId(Tables.load(s, dir, "embeddings"), 0L, 10)
-        .coalesce(1)
-        .sortWithinPartitions(desc("score"), col("vec_id"))
-        .withColumn("rank", (monotonically_increasing_id() + 1).cast("int"))
-        .select("rank", "vec_id"))
+        .withColumn("rank", row_number().over(w))
+        .select("rank", "vec_id")
+    })
   )
 
   private def pipelineOracle: Map[String, String] = Map(

@@ -14,9 +14,12 @@ object TextFunctions {
   /** Whitespace tokenization (the reference data is space-separated words;
     * for general text swap the pattern).
     *
-    * Trims ALL whitespace (Spark's `trim` strips spaces only — a trailing tab
-    * or newline would leave a trailing empty token and diverge from the
-    * native expressions' Java `trim` semantics).
+    * Trims ALL `\s`-class whitespace before splitting (Spark's `trim` strips
+    * spaces only — a trailing tab or newline would leave a trailing empty
+    * token). The native expressions tokenize through the shared regex-parity
+    * `Tok` helper (TextExpressions.scala), which edge-strips by the same `\s`
+    * class — NOT Java `String.trim`, whose control-character set differs —
+    * so this column form and the natives agree on every edge.
     */
   def tokens(text: Column): Column =
     split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")

@@ -104,10 +104,10 @@ object Indexing {
     *
     * The reference walks a git ref range file-by-file; a Spark user has two
     * corpus snapshots instead, so the equivalent is a full-outer join on slug
-    * with a canonical hash over each side's indexed values. Only
-    * `(slug, indexed values, hash)` shuffles — never the document bodies —
-    * so the diff of two 100 TB snapshots moves data proportional to the
-    * index width, and the output is proportional to the change volume.
+    * comparing each side's canonical (sorted) indexed-value entry lists
+    * exactly. Only `(slug, indexed values)` shuffles — never the document
+    * bodies — so the diff of two 100 TB snapshots moves data proportional to
+    * the index width, and the output is proportional to the change volume.
     *
     * Returns `(status, slug, values: map<string, array<string>>)`.
     */

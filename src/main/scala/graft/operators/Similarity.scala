@@ -92,13 +92,23 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val featured = corpus.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
-    // fit the quantizer on a bounded sample (a coarse quantizer doesn't need
-    // the full corpus — 10 KMeans passes over 100 TB would dwarf the single
-    // assignment scan the index build should cost)
-    val n = featured.count()
-    val fitSet =
-      if (n <= maxFitSample) featured
-      else featured.sample(withReplacement = false, maxFitSample.toDouble / n, seed)
+    // Fit the quantizer on a bounded sample — a coarse quantizer doesn't need
+    // the full corpus; 10 KMeans passes over 100 TB would dwarf the single
+    // assignment scan the index build should cost. Sizing must not pre-scan
+    // the corpus either (the count() used through round 4 was itself a full
+    // pass): a fixed 1% fraction with a hard row cap bounds what reaches the
+    // fit with no sizing pass at all. Because a thin fraction could starve
+    // the fit below `nlist` rows on a small corpus, a bounded file-order
+    // prefix is unioned in: on small data it IS the whole corpus (previous
+    // behavior preserved); at scale it reads only the first few partitions
+    // while the random branch supplies representativeness. Overlap rows are
+    // just duplicate fit weight — harmless for a coarse quantizer.
+    val cap = math.min(maxFitSample, Int.MaxValue.toLong).toInt
+    val prefixCap = math.min(math.max(nlist * 1000, 4096).toLong, cap.toLong).toInt
+    val fitSet = featured
+      .sample(withReplacement = false, fraction = 0.01, seed)
+      .limit(cap)
+      .union(featured.limit(prefixCap))
     val model = new KMeans()
       .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
       .fit(fitSet)

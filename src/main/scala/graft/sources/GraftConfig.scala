@@ -26,9 +26,13 @@ object GraftConfig {
       indexFields: Set[String],
       indexDepths: Map[String, Int] = Map.empty,
       customIndex: Map[String, Int] = Map.empty) {
-    /** Prefix depth for `field` (schema or custom index), default 1. */
+    /** Prefix depth for `field` (schema or custom index), default 1. A field
+      * declared in both blocks resolves to the CUSTOM depth — the reference
+      * builds one `indexes` map where the customIndex assignment lands last
+      * (src/IndexConfigFactory.ts:82), so later-assignment-wins.
+      */
     def depthOf(field: String): Int =
-      indexDepths.getOrElse(field, customIndex.getOrElse(field, 1))
+      customIndex.getOrElse(field, indexDepths.getOrElse(field, 1))
   }
 
   private def str(m: Map[String, Any], key: String, ctx: String): String =
@@ -66,6 +70,11 @@ object GraftConfig {
     }
     sources.toSeq.map { case (name, raw) =>
       val m = raw.asInstanceOf[Map[String, Any]]
+      // A name in both `index` and `customIndex` keeps only the custom
+      // definition — the reference folds both blocks into one indexes map
+      // with the customIndex assignment last (src/IndexConfigFactory.ts:82),
+      // so the custom entry silently replaces the schema one.
+      val custom = parseIndexDepths(name, m, "customIndex")
       SourceSpec(
         name = name,
         format = str(m, "type", s"source $name"),
@@ -75,9 +84,9 @@ object GraftConfig {
           case (rn, rm) => rn -> parseRelation(rn, rm.asInstanceOf[Map[String, Any]])
         }).getOrElse(Map.empty),
         indexFields = m.get("index").map(_.asInstanceOf[Map[String, Any]].keySet)
-          .getOrElse(Set.empty),
-        indexDepths = parseIndexDepths(name, m, "index"),
-        customIndex = parseIndexDepths(name, m, "customIndex"))
+          .getOrElse(Set.empty) -- custom.keySet,
+        indexDepths = parseIndexDepths(name, m, "index") -- custom.keySet,
+        customIndex = custom)
     }
   }
 
@@ -104,22 +113,39 @@ object GraftConfig {
 
   /** Build the queryable catalog: every source loaded (parsed, slugged,
     * schema-validated) from `baseDir`. Mirrors `defineStaticQL(config)({repository})`.
+    *
+    * `customIndexers` (keyed `source -> field`) carries the reference's
+    * `customIndexers` callbacks: each hook's Column is materialized onto the
+    * source as a derived column named after the field, which makes the custom
+    * field QUERYABLE exactly like the reference (QueryBuilder.ts
+    * extractIndexFilters treats every key of the indexes map — schema or
+    * custom — as filterable). Catalyst prunes the derived column away from
+    * queries that never touch it, so non-custom queries pay nothing. A custom
+    * field declared in config but given no hook at catalog time stays
+    * UN-queryable (its filter raises the needs-index error) — that state is
+    * inexpressible in the reference, whose config module carries the code.
     */
   def catalog(
       spark: SparkSession,
       baseDir: String,
       configJson: String,
       parsers: Map[String, StaticSources.Parser] = StaticSources.defaultParsers,
-      enforceIndexes: Boolean = true
+      enforceIndexes: Boolean = true,
+      customIndexers: Map[String, Map[String, org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Column]] = Map.empty
   ): Catalog = {
     val specs = parse(configJson)
     new Catalog(specs.map { sp =>
+      val base  = StaticSources.load(spark, s"$baseDir/${sp.pattern}", sp.format, parsers, sp.schema)
+      val hooks = customIndexers.getOrElse(sp.name, Map.empty)
+      val hooked = sp.customIndex.keySet.intersect(hooks.keySet).toSeq.sorted
+      val df = hooked.foldLeft(base)((d, f) => d.withColumn(f, hooks(f)(d)))
       SourceDef(
         name = sp.name,
-        df = StaticSources.load(spark, s"$baseDir/${sp.pattern}", sp.format, parsers, sp.schema),
+        df = df,
         slugField = "slug",
         relations = sp.relations,
-        indexedFields = if (enforceIndexes) Some(sp.indexFields) else None,
+        indexedFields = if (enforceIndexes) Some(sp.indexFields ++ hooked) else None,
         indexDepths = sp.indexDepths ++ sp.customIndex,
         customIndexFields = sp.customIndex.keySet)
     })
@@ -143,16 +169,30 @@ object GraftConfig {
                   customIndexers: Map[String, Map[String, org.apache.spark.sql.DataFrame =>
                     org.apache.spark.sql.Column]] = Map.empty): Unit =
     cat.sources.values.foreach { src =>
+      // Custom fields are excluded here even though catalog() lists hooked
+      // ones in indexedFields (for the needs-index guard) — they index once,
+      // below, through their value column, never twice.
       val own = src.indexedFields.getOrElse(Set.empty)
         .filter(f => !(f.contains('.') && src.relations.contains(f.takeWhile(_ != '.'))))
+        .diff(src.customIndexFields)
       val schemaFields = own.toSeq.sorted.map { f =>
         Indexing.IndexField(f, src.depthOf(f, depth), FieldPath.resolve(src.df, f))
       }
       val hooks = customIndexers.getOrElse(src.name, Map.empty)
       val customFields = src.customIndexFields.toSeq.sorted.map { f =>
-        val mk = hooks.getOrElse(f, throw new IllegalArgumentException(
+        // Value column priority: an explicit hook here, else the derived
+        // column `catalog(customIndexers = ...)` already materialized. A
+        // custom field with neither is an error, not a silent skip. Scalar
+        // hooks (one value per record) are normalized to single-element
+        // arrays — the index relation explodes multi-valued fields.
+        val valueCol = hooks.get(f).map(_(src.df)).orElse(
+          if (src.df.columns.contains(f)) Some(org.apache.spark.sql.functions.col(f)) else None
+        ).getOrElse(throw new IllegalArgumentException(
           s"[${src.name}] customIndex field \"$f\" has no registered indexer"))
-        Indexing.IndexField(f, src.depthOf(f, depth), mk(src.df))
+        val isArray = src.df.select(valueCol.as("v")).schema.head.dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        val arrCol = if (isArray) valueCol else org.apache.spark.sql.functions.array(valueCol)
+        Indexing.IndexField(f, src.depthOf(f, depth), arrCol)
       }
       val all = schemaFields ++ customFields
       if (all.nonEmpty)

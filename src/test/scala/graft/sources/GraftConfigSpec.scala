@@ -196,6 +196,44 @@ class GraftConfigSpec extends SparkSpec {
     assert(new java.io.File(s"$idxDir/herbs/field=name/prefix=b").exists())
   }
 
+  test("customIndex fields are queryable when the hook is given at catalog time") {
+    val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
+      "\"index\": {\"name\": {}, \"tagSlugs\": {}},\n" +
+        "      \"customIndex\": {\"nameInitial\": {}}")
+    import org.apache.spark.sql.functions._
+    val cat2 = GraftConfig.catalog(spark, root.toString, cfg, customIndexers =
+      Map("herbs" -> Map("nameInitial" -> (df => upper(substring(col("name"), 1, 1))))))
+    // Reference parity: extractIndexFilters treats EVERY indexes-map key as
+    // filterable, customIndex included.
+    val r = cat2.from("herbs").where("nameInitial", Eq, "L").exec()
+    assert(r.data.map(_.getAs[String]("slug")) == Seq("cymbopogon-citratus"))
+    // Without the hook the derived column cannot exist → not queryable.
+    val cat3 = GraftConfig.catalog(spark, root.toString, cfg)
+    val e = intercept[IllegalArgumentException](
+      cat3.from("herbs").where("nameInitial", Eq, "L").exec())
+    assert(e.getMessage.contains("needs index"))
+    // saveIndexes reuses the catalog-materialized column (no hook re-passed),
+    // normalizing the scalar hook value to the index's array shape.
+    val idxDir = Files.createTempDirectory("graft-cfg-idx4").toString
+    GraftConfig.saveIndexes(spark, cat2, idxDir)
+    val hit = graft.operators.Indexing.lookup(spark, s"$idxDir/herbs", "nameInitial", "L")
+    assert(hit.select("slug").collect().map(_.getString(0)).toSeq == Seq("cymbopogon-citratus"))
+    // The schema-indexed fields still wrote once each alongside the custom one.
+    assert(new java.io.File(s"$idxDir/herbs/field=name/prefix=b").exists())
+  }
+
+  test("index/customIndex name collision: the custom definition wins") {
+    val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
+      "\"index\": {\"name\": {\"indexDepth\": 2}, \"tagSlugs\": {}},\n" +
+        "      \"customIndex\": {\"name\": {\"indexDepth\": 3}}")
+    val herbs = GraftConfig.parse(cfg).find(_.name == "herbs").get
+    // Reference folds both blocks into one indexes map with customIndex
+    // assigned last (IndexConfigFactory.ts:82) — later assignment wins.
+    assert(herbs.indexFields == Set("tagSlugs"))
+    assert(herbs.customIndex == Map("name" -> 3))
+    assert(herbs.depthOf("name") == 3)
+  }
+
   test("schema validation rejects a bad record at load") {
     val bad = Files.createTempDirectory("graft-bad")
     write(bad, "content/herbs/x.md", "---\nname: NoOverview\n---\n")
