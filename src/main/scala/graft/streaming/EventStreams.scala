@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured Streaming transforms over the `events` stream.
   *
@@ -25,6 +25,35 @@ object EventStreams {
       .agg(count(lit(1)).as("event_cnt"),
            sum(col("value")).as("sum_value"))
       .select(col("w.start").as("hour"), col("event_type"), col("event_cnt"), col("sum_value"))
+
+  /** Production sink for [[hourlyAgg]]: exactly-once parquet output with
+    * checkpoint-based recovery — the `readStream → transform → writeStream`
+    * deployment shape of the reference's stream utilities
+    * (reference: src/utils/stream.ts, tests/stream.test.ts).
+    *
+    * Durability contract: offsets + window state live in `checkpointDir`
+    * (WAL + HDFS/object-store state store) and the parquet sink's
+    * `_spark_metadata` log records exactly which files each committed batch
+    * wrote — a crash or stop between batches resumes from the last committed
+    * offsets, re-planning the in-flight batch without duplicating output
+    * (readers of the sink see only metadata-committed files). Append mode +
+    * the watermark means each hourly window is written exactly once, when the
+    * watermark passes it; state is evicted then, so a restart replays only
+    * the windows still open at the stop point. At 100 TB/day the sink
+    * partitions by nothing here (one dir per query) — callers wanting
+    * date-partitioned layout can add `.option` partitioning on `hour`.
+    */
+  def writeHourlyParquet(events: DataFrame, outDir: String, checkpointDir: String,
+                         watermark: String = "2 hours",
+                         trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
+    hourlyAgg(events, watermark)
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append") // windowed agg + watermark → each window finalized once
+      .trigger(trigger)
+      .start()
 
   /** One event on the wire for [[streamingSessions]]. */
   final case class Event(ts: java.sql.Timestamp, user_id: Long)

@@ -67,6 +67,77 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet sink + checkpoint recovery: stop mid-stream, restart, exactly-once parity with batch") {
+    // The full deployment shape: file source → hourlyAgg → parquet sink with
+    // a checkpoint. The stream is stopped after HALF the input, restarted
+    // from the same checkpoint against the remaining files, and the sink must
+    // equal the batch twin over the whole input — no lost windows (recovery)
+    // and no duplicated windows (exactly-once file commit via _spark_metadata).
+    import java.nio.file.{Files, Path, StandardCopyOption}
+    val dir   = "/root/testdata/sf0.001"
+    val batch = graft.Tables.load(spark, dir, "events")
+      .select("ts", "user_id", "event_type", "value")
+
+    val streamDir = Files.createTempDirectory("graft-ckpt-stream")
+    val sinkDir   = Files.createTempDirectory("graft-ckpt-sink").resolve("out").toString
+    val ckptDir   = Files.createTempDirectory("graft-ckpt-meta").resolve("ckpt").toString
+
+    // Stage a DataFrame as one parquet file inside the watched directory.
+    // (Write to a side dir, then move the part file in — a direct write would
+    // land _SUCCESS markers and temp dirs in the source's glob space.)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val side = Files.createTempDirectory(s"graft-stage-$name")
+      df.coalesce(1).write.mode("overwrite").parquet(side.resolve("d").toString)
+      val part = Files.list(side.resolve("d")).filter(_.getFileName.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.move(part, streamDir.resolve(s"$name.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    }
+
+    // Split by TIME — a real stream arrives roughly in event-time order. A
+    // value-based split would put half the data behind the watermark the
+    // first half already advanced, and the late rows would (correctly) drop.
+    val mid = batch.selectExpr("percentile_approx(unix_millis(ts), 0.5) AS m").head().getLong(0)
+    val half1 = batch.filter(unix_millis($"ts") <= mid)
+    val half2 = batch.filter(unix_millis($"ts") > mid)
+    stage(half1, "half1")
+
+    val schema = spark.read.parquet(streamDir.resolve("half1.parquet").toString).schema
+    def startQuery() = EventStreams.writeHourlyParquet(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+      sinkDir, ckptDir, watermark = "2 hours")
+
+    val q1 = startQuery()
+    val id1 = q1.id
+    try { q1.processAllAvailable() } finally q1.stop() // stop mid-stream
+
+    // Remaining input + two sentinel files: the first advances the watermark
+    // past every real window, the second triggers the batch that emits them
+    // (watermark updates between micro-batches).
+    stage(half2, "half2")
+    val maxTs = batch.agg(max($"ts")).head().getTimestamp(0)
+    val sentinel = Seq((new Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000),
+      -1L, "__sentinel", 0.0)).toDF("ts", "user_id", "event_type", "value")
+    stage(sentinel, "sentinel1")
+    stage(sentinel, "sentinel2")
+
+    val q2 = startQuery()
+    try {
+      // Restart really resumed THIS query's checkpoint, not a fresh stream.
+      assert(q2.id == id1)
+      q2.processAllAvailable()
+    } finally q2.stop()
+
+    val streamed = spark.read.parquet(sinkDir)
+      .filter($"event_type" =!= "__sentinel")
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val expected = EventStreams.hourlyAgg(batch) // watermark is a no-op in batch
+      .orderBy("hour", "event_type")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == expected.toSeq)
+  }
+
   test("sessionize splits on gaps > 30 min per user") {
     val df = Seq(
       (ts("2026-01-01 09:00:00"), 1L),
