@@ -39,6 +39,45 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1L) != f(2L))
     assert(f(4L).forall(_ == 0f))
     assert(out1.map(_.getAs[Int]("n_bytes")).toSeq == Seq(4, 3, 2, 0))
+    // the fake "image" bytes aren't decodable → stub fallback, flagged as such
+    assert(out1.forall(!_.getAs[Boolean]("decoded")))
+  }
+
+  test("real PNG decodes via ImageIO: true dimensions + luminance grid features") {
+    import java.awt.image.BufferedImage
+    // 8×6 synthetic image: left half black, right half white
+    val img = new BufferedImage(8, 6, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 6; x <- 0 until 8)
+      img.setRGB(x, y, if (x < 4) 0x000000 else 0xffffff)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val rows = Seq(
+      Row(10L, "image", png, Row(8, 6, null, "image/png")),
+      Row(11L, "image", Array[Byte](0, 1, 2), Row(null, null, null, "image/png")), // corrupt
+      Row(12L, "audio", png, Row(null, null, 99L, "audio/wav")) // kind gates decode, not content
+    )
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.assetSchema)
+    val out = Multimodal.extractFeatures(df, dim = 4).orderBy("asset_id").collect()
+
+    val real = out(0)
+    assert(real.getAs[Boolean]("decoded"))
+    assert(real.getAs[Int]("width") == 8 && real.getAs[Int]("height") == 6)
+    // dim=4 → 2×2 grid: sampled columns 0 and 4 → black (0.0) and white (1.0)
+    val feats = real.getAs[scala.collection.Seq[Float]]("features")
+    assert(feats == Seq(0f, 1f, 0f, 1f))
+
+    val corrupt = out(1)
+    assert(!corrupt.getAs[Boolean]("decoded") && corrupt.isNullAt(corrupt.fieldIndex("width")))
+    val audio = out(2)
+    assert(!audio.getAs[Boolean]("decoded")) // audio stays on the stub path
+
+    // direct decode API: the same bytes give the same image
+    val decoded = Multimodal.decodeImage(png).get
+    assert(decoded.getWidth == 8 && decoded.getHeight == 6)
+    assert(Multimodal.decodeImage(Array[Byte](9, 9)).isEmpty)
+    assert(Multimodal.decodeImage(null).isEmpty)
   }
 
   test("video frame sampling emits one row per interval") {
