@@ -21,7 +21,8 @@ import org.apache.spark.sql.SparkSession
   * samples makes a single contention window cost at most one sample per
   * query, which the median then discards. A query that throws is not
   * retried in later rounds (failures are deterministic here — re-running
-  * triples the latency for the same stack trace); it reports -1.0.
+  * triples the latency for the same stack trace); it reports the median of
+  * whatever samples DID succeed, or -1.0 if none did.
   */
 object Bench {
   private val Samples = 3

@@ -41,6 +41,21 @@ final case class SourceDef(
   def depthOf(field: String, default: Int = 1): Int = indexDepths.getOrElse(field, default)
 }
 
+/** Internal column-name conventions shared by the catalog builder and the
+  * query planner.
+  */
+private[graft] object GraftNames {
+  /** Where `catalog(customIndexers=…)` materializes a custom field's hook
+    * values. Internal so hook output can never shadow a real data column
+    * (the reference's customIndexers feed only the index, never records).
+    */
+  def customCol(field: String): String = s"__graft_custom_$field"
+  def dropCustomCols(df: DataFrame): DataFrame = {
+    val internals = df.columns.filter(_.startsWith("__graft_custom_"))
+    if (internals.isEmpty) df else df.drop(internals.toIndexedSeq: _*)
+  }
+}
+
 /** The set of queryable sources. Entry point: `catalog.from("herbs")`. */
 final class Catalog(defs: Seq[SourceDef]) {
   val sources: Map[String, SourceDef] = defs.map(d => d.name -> d).toMap
@@ -68,6 +83,19 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
   private var cursorValue: Option[String] = None
   private var cursorDir: PageDirection    = After
   private var pageSz: Int                 = 20
+
+  /** Independent copy with identical state — the builder is mutable (each
+    * setter returns `this`), so consumers that re-execute with successive
+    * cursors ([[Ssg.writeAllPages]]) copy first to leave the caller's
+    * builder untouched.
+    */
+  private[graft] def copyBuilder(): QueryBuilder = {
+    val b = new QueryBuilder(catalog, src)
+    b.filters = filters; b.joins = joins
+    b.orderKey = orderKey; b.orderDesc = orderDesc
+    b.cursorValue = cursorValue; b.cursorDir = cursorDir; b.pageSz = pageSz
+    b
+  }
 
   def where(field: String, op: FilterOp, value: String): QueryBuilder = {
     filters :+= QFilter(field, op, Seq(value)); this
@@ -108,27 +136,43 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
       throw new IllegalArgumentException(s"[${src.name}] needs index: $base")
   }
 
-  private def ownPredicate(df: DataFrame, f: QFilter): Column =
-    if (FieldPath.isSimpleColumn(df, f.field)) {
-      // Typed predicate on the bare column → parquet pushdown.
-      val dt = df.schema(f.field).dataType
-      val c  = col(f.field)
-      // try_cast: a value that doesn't parse as the column type matches
-      // nothing (reference semantics) instead of an ANSI cast error.
-      f.op match {
-        case Eq         => c === lit(f.values.head).try_cast(dt)
-        case StartsWith => c.cast(StringType).startsWith(f.values.head)
-        // OR-of-typed-equalities: pushdown-friendly and keeps the column typed.
-        // Empty IN matches nothing (SQL semantics), not a crash.
-        case In         =>
-          f.values.map(v => c === lit(v).try_cast(dt)).reduceOption(_ || _).getOrElse(lit(false))
+  /** The filter as a typed predicate over one value column.
+    * try_cast: a value that doesn't parse as the column type matches nothing
+    * (reference semantics) instead of an ANSI cast error.
+    */
+  private def opPredicate(c: Column, dt: org.apache.spark.sql.types.DataType, f: QFilter): Column =
+    f.op match {
+      case Eq         => c === lit(f.values.head).try_cast(dt)
+      case StartsWith => c.cast(StringType).startsWith(f.values.head)
+      // OR-of-typed-equalities: pushdown-friendly and keeps the column typed.
+      // Empty IN matches nothing (SQL semantics), not a crash.
+      case In         =>
+        f.values.map(v => c === lit(v).try_cast(dt)).reduceOption(_ || _).getOrElse(lit(false))
+    }
+
+  private def ownPredicate(df: DataFrame, f: QFilter): Column = {
+    // customIndex fields filter by their HOOK values (the reference's
+    // extractIndexFilters reads the custom index, never record data) — the
+    // catalog materialized those under an internal column that the output
+    // paths strip back out.
+    val internal = GraftNames.customCol(f.field)
+    if (src.customIndexFields.contains(f.field) && df.columns.contains(internal))
+      df.schema(internal).dataType match {
+        case org.apache.spark.sql.types.ArrayType(et, _) =>
+          // multi-valued custom index: a record matches when ANY value does
+          exists(col(internal), x => opPredicate(x, et, f))
+        case dt => opPredicate(col(internal), dt, f)
       }
-    } else
+    else if (FieldPath.isSimpleColumn(df, f.field))
+      // Typed predicate on the bare column → parquet pushdown.
+      opPredicate(col(f.field), df.schema(f.field).dataType, f)
+    else
       FieldPath.anyLeaf(df, f.field, x => f.op match {
         case Eq         => x === f.values.head
         case StartsWith => x.startsWith(f.values.head)
         case In         => x.isin(f.values: _*)
       })
+  }
 
   /** Base source with own-field filters and relation filters (as semi-joins). */
   private def filteredBase(): DataFrame = {
@@ -171,7 +215,10 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
           semiOnKeys(df, r.sourceLocalKey, keysOf(thrMatched, r.throughForeignKey))
       }
     }
-    df
+    // Internal custom-index value columns were only ever filter inputs —
+    // strip them here so no query output (exec/execDf/peek and the cursor
+    // machinery) carries derived columns the source record doesn't have.
+    GraftNames.dropCustomCols(df)
   }
 
   /** Adds a sortable order column. Scalar top-level columns sort directly;
@@ -292,6 +339,7 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     val dt = src.df.schema(src.slugField).dataType
     // try_cast: find("not-a-number") on a numeric slug returns empty, not an
     // ANSI cast error (reference: a missing slug is simply no match)
-    applyJoins(src.df.filter(col(src.slugField) === lit(slug).try_cast(dt)))
+    applyJoins(GraftNames.dropCustomCols(
+      src.df.filter(col(src.slugField) === lit(slug).try_cast(dt))))
   }
 }

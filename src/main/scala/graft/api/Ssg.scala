@@ -41,25 +41,35 @@ object Ssg {
   }
 
   /** Materialize EVERY page of `query` under `outDir` as
-    * `<baseName>-0001.json`, `<baseName>-0002.json`, … following `endCursor`
-    * until `hasNextPage` is false. Returns the written paths in page order.
+    * `<baseName>-000001.json`, `<baseName>-000002.json`, … following
+    * `endCursor` until `hasNextPage` is false. Returns the written paths in
+    * page order (the fixed six-digit padding keeps lexicographic file order
+    * equal to page order for every page count `maxPages` allows).
     *
-    * The builder is re-executed per page with the next cursor — each page is
-    * an independent O(page) keyset query, so the build's memory is one page
-    * regardless of source size.
+    * The caller's builder is copied, never mutated — rerunning the same
+    * builder regenerates the full site, not a resume from a stale cursor.
+    * Each page is an independent O(page) keyset query, so the build's memory
+    * is one page regardless of source size. Exceeding `maxPages` (a runaway
+    * guard, not a sampling knob) throws rather than silently shipping a
+    * truncated site.
     */
   def writeAllPages(query: QueryBuilder, outDir: String, baseName: String,
                     generatedAt: Instant = Instant.now(),
-                    maxPages: Int = 1000000): Seq[Path] = {
+                    maxPages: Int = 999999): Seq[Path] = {
+    val q = query.copyBuilder()
     val written = Seq.newBuilder[Path]
-    var page = query.exec()
+    var page = q.exec()
     var n = 1
     var continue = true
     while (continue) {
-      written += write(page, Paths.get(outDir, f"$baseName-$n%04d.json"), generatedAt)
-      continue = page.pageInfo.hasNextPage && n < maxPages
+      written += write(page, Paths.get(outDir, f"$baseName-$n%06d.json"), generatedAt)
+      continue = page.pageInfo.hasNextPage
       if (continue) {
-        page = query.cursor(page.pageInfo.endCursor.getOrElse(
+        if (n >= maxPages)
+          throw new IllegalStateException(
+            s"writeAllPages passed maxPages=$maxPages with hasNextPage still true — " +
+              "raise maxPages or narrow the query; refusing to ship a silently truncated site")
+        page = q.cursor(page.pageInfo.endCursor.getOrElse(
           throw new IllegalStateException("hasNextPage with no endCursor"))).exec()
         n += 1
       }

@@ -52,6 +52,7 @@ object Multimodal {
     * sampling keeps it allocation-free and deterministic.
     */
   def imageGridFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    if (dim <= 0) return Array.emptyFloatArray // match stubDecode's contract for degenerate dims
     val g = math.max(1, math.sqrt(dim.toDouble).toInt)
     val out = new Array[Float](dim)
     var y = 0

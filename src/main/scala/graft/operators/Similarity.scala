@@ -96,17 +96,19 @@ object Similarity {
     // the full corpus; 10 KMeans passes over 100 TB would dwarf the single
     // assignment scan the index build should cost. Sizing must not pre-scan
     // the corpus either (the count() used through round 4 was itself a full
-    // pass): a fixed 1% fraction with a hard row cap bounds what reaches the
-    // fit with no sizing pass at all. Because a thin fraction could starve
-    // the fit below `nlist` rows on a small corpus, a bounded file-order
-    // prefix is unioned in: on small data it IS the whole corpus (previous
-    // behavior preserved); at scale it reads only the first few partitions
-    // while the random branch supplies representativeness. Overlap rows are
-    // just duplicate fit weight — harmless for a coarse quantizer.
+    // pass): a fixed 10% fraction with a hard row cap bounds what reaches
+    // the fit with no sizing pass at all. Because a thin fraction could
+    // starve the fit below `nlist` rows on a tiny corpus, a bounded
+    // file-order prefix is unioned in. Net fit coverage by corpus size:
+    // ≤ prefixCap rows → the whole corpus (prefix branch); prefixCap..~10×cap
+    // rows → prefix + 10% random (a file-order-clustered corpus contributes
+    // its random slice from every region); beyond → prefix + cap random
+    // rows. Overlap rows are duplicate fit weight — harmless for a coarse
+    // quantizer.
     val cap = math.min(maxFitSample, Int.MaxValue.toLong).toInt
     val prefixCap = math.min(math.max(nlist * 1000, 4096).toLong, cap.toLong).toInt
     val fitSet = featured
-      .sample(withReplacement = false, fraction = 0.01, seed)
+      .sample(withReplacement = false, fraction = 0.1, seed)
       .limit(cap)
       .union(featured.limit(prefixCap))
     val model = new KMeans()

@@ -116,11 +116,15 @@ object GraftConfig {
     *
     * `customIndexers` (keyed `source -> field`) carries the reference's
     * `customIndexers` callbacks: each hook's Column is materialized onto the
-    * source as a derived column named after the field, which makes the custom
-    * field QUERYABLE exactly like the reference (QueryBuilder.ts
-    * extractIndexFilters treats every key of the indexes map — schema or
-    * custom — as filterable). Catalyst prunes the derived column away from
-    * queries that never touch it, so non-custom queries pay nothing. A custom
+    * source under an INTERNAL column name ([[graft.api.GraftNames.customCol]]),
+    * which makes the custom field QUERYABLE exactly like the reference
+    * (QueryBuilder.ts extractIndexFilters treats every key of the indexes map
+    * — schema or custom — as filterable): filters on the field route to the
+    * hook values, while record data stays untouched and query outputs never
+    * carry the derived column (the reference's customIndexers feed only the
+    * index, never records — so a hook may even share a data column's name
+    * without shadowing it). Catalyst prunes the internal column away from
+    * queries that never filter on it, so other queries pay nothing. A custom
     * field declared in config but given no hook at catalog time stays
     * UN-queryable (its filter raises the needs-index error) — that state is
     * inexpressible in the reference, whose config module carries the code.
@@ -139,7 +143,8 @@ object GraftConfig {
       val base  = StaticSources.load(spark, s"$baseDir/${sp.pattern}", sp.format, parsers, sp.schema)
       val hooks = customIndexers.getOrElse(sp.name, Map.empty)
       val hooked = sp.customIndex.keySet.intersect(hooks.keySet).toSeq.sorted
-      val df = hooked.foldLeft(base)((d, f) => d.withColumn(f, hooks(f)(d)))
+      val df = hooked.foldLeft(base)((d, f) =>
+        d.withColumn(graft.api.GraftNames.customCol(f), hooks(f)(d)))
       SourceDef(
         name = sp.name,
         df = df,
@@ -180,13 +185,18 @@ object GraftConfig {
       }
       val hooks = customIndexers.getOrElse(src.name, Map.empty)
       val customFields = src.customIndexFields.toSeq.sorted.map { f =>
-        // Value column priority: an explicit hook here, else the derived
-        // column `catalog(customIndexers = ...)` already materialized. A
-        // custom field with neither is an error, not a silent skip. Scalar
-        // hooks (one value per record) are normalized to single-element
-        // arrays — the index relation explodes multi-valued fields.
+        // Value column priority: an explicit hook here, else the INTERNAL
+        // column `catalog(customIndexers = ...)` materialized (never a data
+        // column that merely shares the field's name — silently indexing raw
+        // data for a custom field would invert the contract). A custom field
+        // with neither is an error, not a silent skip. Scalar hooks (one
+        // value per record) are normalized to single-element arrays — the
+        // index relation explodes multi-valued fields.
+        val internal = graft.api.GraftNames.customCol(f)
         val valueCol = hooks.get(f).map(_(src.df)).orElse(
-          if (src.df.columns.contains(f)) Some(org.apache.spark.sql.functions.col(f)) else None
+          if (src.df.columns.contains(internal))
+            Some(org.apache.spark.sql.functions.col(internal))
+          else None
         ).getOrElse(throw new IllegalArgumentException(
           s"[${src.name}] customIndex field \"$f\" has no registered indexer"))
         val isArray = src.df.select(valueCol.as("v")).schema.head.dataType

@@ -39,21 +39,23 @@ object EventStreams {
     * (readers of the sink see only metadata-committed files). Append mode +
     * the watermark means each hourly window is written exactly once, when the
     * watermark passes it; state is evicted then, so a restart replays only
-    * the windows still open at the stop point. At 100 TB/day the sink
-    * partitions by nothing here (one dir per query) — callers wanting
-    * date-partitioned layout can add `.option` partitioning on `hour`.
+    * the windows still open at the stop point. At 100 TB/day pass
+    * `partitionCols = Seq("hour")` for a date-partitioned sink layout
+    * readers can prune.
     */
   def writeHourlyParquet(events: DataFrame, outDir: String, checkpointDir: String,
                          watermark: String = "2 hours",
-                         trigger: Trigger = Trigger.ProcessingTime(0L)): StreamingQuery =
-    hourlyAgg(events, watermark)
+                         trigger: Trigger = Trigger.ProcessingTime(0L),
+                         partitionCols: Seq[String] = Nil): StreamingQuery = {
+    val w = hourlyAgg(events, watermark)
       .writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", checkpointDir)
       .outputMode("append") // windowed agg + watermark → each window finalized once
       .trigger(trigger)
-      .start()
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
+  }
 
   /** One event on the wire for [[streamingSessions]]. */
   final case class Event(ts: java.sql.Timestamp, user_id: Long)

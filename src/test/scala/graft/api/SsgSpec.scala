@@ -48,7 +48,7 @@ class SsgSpec extends SparkSpec {
     val outDir = Files.createTempDirectory("graft-ssg").toString
     val paths = Ssg.writeAllPages(
       catalog.from("herbs").orderBy("name").pageSize(2), outDir, "herbs", generatedAt = t0)
-    assert(paths.map(_.getFileName.toString) == Seq("herbs-0001.json", "herbs-0002.json"))
+    assert(paths.map(_.getFileName.toString) == Seq("herbs-000001.json", "herbs-000002.json"))
     val pages = paths.map(p =>
       graft.sources.MiniJson.parse(Files.readString(p)).asInstanceOf[Map[String, Any]])
     val names = pages.flatMap(_("data").asInstanceOf[Seq[Map[String, Any]]].map(_("name")))

@@ -207,6 +207,10 @@ class GraftConfigSpec extends SparkSpec {
     // filterable, customIndex included.
     val r = cat2.from("herbs").where("nameInitial", Eq, "L").exec()
     assert(r.data.map(_.getAs[String]("slug")) == Seq("cymbopogon-citratus"))
+    // ...but hook values never surface as record data (the reference's
+    // customIndexers feed only the index)
+    assert(!r.data.head.schema.fieldNames.contains("nameInitial"))
+    assert(!r.data.head.schema.fieldNames.exists(_.startsWith("__graft_custom_")))
     // Without the hook the derived column cannot exist → not queryable.
     val cat3 = GraftConfig.catalog(spark, root.toString, cfg)
     val e = intercept[IllegalArgumentException](
@@ -220,6 +224,20 @@ class GraftConfigSpec extends SparkSpec {
     assert(hit.select("slug").collect().map(_.getString(0)).toSeq == Seq("cymbopogon-citratus"))
     // The schema-indexed fields still wrote once each alongside the custom one.
     assert(new java.io.File(s"$idxDir/herbs/field=name/prefix=b").exists())
+  }
+
+  test("customIndex hook sharing a data column's name never shadows record data") {
+    val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
+      "\"index\": {\"name\": {}, \"tagSlugs\": {}},\n" +
+        "      \"customIndex\": {\"name\": {}}")
+    import org.apache.spark.sql.functions._
+    val cat2 = GraftConfig.catalog(spark, root.toString, cfg, customIndexers =
+      Map("herbs" -> Map("name" -> (df => upper(substring(col("name"), 1, 1))))))
+    // filter on 'name' uses the HOOK values (the custom definition won)...
+    val r = cat2.from("herbs").where("name", Eq, "L").exec()
+    assert(r.data.map(_.getAs[String]("slug")) == Seq("cymbopogon-citratus"))
+    // ...while the record's own 'name' column still carries source data
+    assert(r.data.head.getAs[String]("name") == "Lemongrass")
   }
 
   test("index/customIndex name collision: the custom definition wins") {
