@@ -211,6 +211,10 @@ class GraftConfigSpec extends SparkSpec {
     // customIndexers feed only the index)
     assert(!r.data.head.schema.fieldNames.contains("nameInitial"))
     assert(!r.data.head.schema.fieldNames.exists(_.startsWith("__graft_custom_")))
+    // queries that never touch the custom field don't evaluate the hook at
+    // all — Catalyst prunes the internal column out of the physical plan
+    val untouched = cat2.from("herbs").orderBy("name").execDf()
+    assert(!untouched.queryExecution.executedPlan.toString.contains("__graft_custom_"))
     // Without the hook the derived column cannot exist → not queryable.
     val cat3 = GraftConfig.catalog(spark, root.toString, cfg)
     val e = intercept[IllegalArgumentException](
