@@ -215,10 +215,11 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
           semiOnKeys(df, r.sourceLocalKey, keysOf(thrMatched, r.throughForeignKey))
       }
     }
-    // Internal custom-index value columns were only ever filter inputs —
-    // strip them here so no query output (exec/execDf/peek and the cursor
-    // machinery) carries derived columns the source record doesn't have.
-    GraftNames.dropCustomCols(df)
+    // Internal custom-index value columns stay attached here — they may
+    // still serve as the ORDER key (withOrderCol) — and are stripped at
+    // every output boundary (execDf/exec/peek project them away) so no
+    // query result carries derived columns the source record doesn't have.
+    df
   }
 
   /** Adds a sortable order column. Scalar top-level columns sort directly;
@@ -228,8 +229,19 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     * A raw complex column must NOT sort as-is: arrays/structs mint cursors
     * that can never round-trip through the keyset predicate.
     */
-  private def withOrderCol(df: DataFrame): (DataFrame, String) =
-    if (FieldPath.isSimpleColumn(df, orderKey)) {
+  private def withOrderCol(df: DataFrame): (DataFrame, String) = {
+    // A custom-index order key sorts by its HOOK values, like the reference
+    // sorting by `values[orderByKey][0]` of the custom index; multi-valued
+    // hooks sort by their first value, mirroring the array-field rule below.
+    val internal = GraftNames.customCol(orderKey)
+    if (src.customIndexFields.contains(orderKey) && df.columns.contains(internal)) {
+      requireIndexed(orderKey)
+      val ordExpr = df.schema(internal).dataType match {
+        case _: org.apache.spark.sql.types.ArrayType => get(col(internal), lit(0))
+        case _                                       => col(internal)
+      }
+      (df.withColumn("__graft_ord", ordExpr), "__graft_ord")
+    } else if (FieldPath.isSimpleColumn(df, orderKey)) {
       requireIndexed(orderKey) // the reference's guard covers sort keys too
       (df, orderKey)
     } else {
@@ -239,6 +251,7 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
       // crashing the query with INVALID_ARRAY_INDEX.
       (df.withColumn("__graft_ord", get(FieldPath.resolve(df, orderKey), lit(0))), "__graft_ord")
     }
+  }
 
   private def applyJoins(df: DataFrame): DataFrame =
     joins.foldLeft(df) { (d, relName) =>
@@ -273,7 +286,7 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     val (df, ordCol) = withOrderCol(filteredBase())
     val page = Pagination.pageDf(df, ordCol, src.slugField, orderDesc, pageSz,
       decodedCursor(), cursorDir)
-    resorted(applyJoins(page), ordCol)
+    GraftNames.dropCustomCols(resorted(applyJoins(page), ordCol))
   }
 
   /** Materialize one page with `PageInfo` — reference `exec()`
@@ -285,16 +298,21 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     val info = Pagination.exec(df, ordCol, src.slugField, orderDesc, pageSz, cur, cursorDir,
       cursorKey = orderKey)
     if (joins.isEmpty) {
-      // strip the synthetic order column so exec() rows match execDf()'s schema
-      if (ordCol != "__graft_ord") info
+      // strip the synthetic order column AND any internal custom-index value
+      // columns so exec() rows match execDf()'s schema
+      val internalIdx = df.schema.fields.zipWithIndex.collect {
+        case (f, i) if f.name == "__graft_ord" && ordCol == "__graft_ord" => i
+        case (f, i) if f.name.startsWith("__graft_custom_")               => i
+      }.toSet
+      if (internalIdx.isEmpty) info
       else {
-        val i = df.schema.fieldIndex("__graft_ord")
+        val keep = df.schema.fields.indices.filterNot(internalIdx)
         val pruned = org.apache.spark.sql.types.StructType(
-          df.schema.fields.patch(i, Nil, 1))
+          keep.map(df.schema.fields).toArray)
         info.copy(data = info.data.map(r =>
           // keep rows schema-bearing: getAs(name)/fieldIndex must still work
           new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
-            r.toSeq.patch(i, Nil, 1).toArray, pruned)))
+            keep.map(r.get).toArray, pruned)))
       }
     } else {
       // Joins run against the ALREADY-COLLECTED page as a local relation —
@@ -305,7 +323,7 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(info.data).asJava),
         df.schema)
-      val data = resorted(applyJoins(page), ordCol)
+      val data = GraftNames.dropCustomCols(resorted(applyJoins(page), ordCol))
       PageResult(data.collect().toSeq, info.pageInfo)
     }
   }

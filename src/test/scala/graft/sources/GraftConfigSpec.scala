@@ -230,6 +230,25 @@ class GraftConfigSpec extends SparkSpec {
     assert(new java.io.File(s"$idxDir/herbs/field=name/prefix=b").exists())
   }
 
+  test("orderBy on a customIndex field sorts by hook values; cursor round-trips") {
+    val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
+      "\"index\": {\"name\": {}, \"tagSlugs\": {}},\n" +
+        "      \"customIndex\": {\"nameRev\": {}}")
+    import org.apache.spark.sql.functions._
+    val cat2 = GraftConfig.catalog(spark, root.toString, cfg, customIndexers =
+      Map("herbs" -> Map("nameRev" -> (df => reverse(col("name"))))))
+    // reversed names sort: "aloK utoG" < "kcodruB" < "ssargnomeL"
+    val first = cat2.from("herbs").orderBy("nameRev").pageSize(2).exec()
+    assert(first.data.map(_.getAs[String]("slug")) ==
+      Seq("centella-asiatica", "arctium-lappa"))
+    assert(!first.data.head.schema.fieldNames.exists(_.startsWith("__graft_custom_")))
+    // the cursor minted under the custom order key pages correctly
+    val second = cat2.from("herbs").orderBy("nameRev").pageSize(2)
+      .cursor(first.pageInfo.endCursor.get).exec()
+    assert(second.data.map(_.getAs[String]("slug")) == Seq("cymbopogon-citratus"))
+    assert(second.pageInfo.hasPreviousPage && !second.pageInfo.hasNextPage)
+  }
+
   test("customIndex hook sharing a data column's name never shadows record data") {
     val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
       "\"index\": {\"name\": {}, \"tagSlugs\": {}},\n" +
