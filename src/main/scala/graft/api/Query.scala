@@ -23,9 +23,12 @@ final case class QFilter(field: String, op: FilterOp, values: Seq[String])
   * `broadcastHint = true` marks a small dimension that should broadcast in joins.
   * `indexDepths` carries per-field prefix depth from config `indexDepth`
   * (reference: src/IndexConfigFactory.ts:46-59); `customIndexFields` names the
-  * config `customIndex` entries, whose value columns are supplied at
-  * index-build time (reference `customIndexers` callbacks live in code, not
-  * JSON, so graft takes them as a name→Column hook in `saveIndexes`).
+  * config `customIndex` entries, whose value columns come from name→Column
+  * hooks (reference `customIndexers` callbacks live in code, not JSON):
+  * supplied to `GraftConfig.catalog` they materialize as internal
+  * `__graft_custom_*` columns, making the field filterable and orderable by
+  * hook values (never surfacing in results); `saveIndexes` indexes from the
+  * same hooks or internal columns.
   */
 final case class SourceDef(
     name: String,

@@ -58,4 +58,16 @@ class SsgSpec extends SparkSpec {
     assert(last("hasNextPage") == false && last("hasPreviousPage") == true)
     assert(pages.forall(_("generatedAt") == "2026-01-02T03:04:05Z"))
   }
+
+  test("writeAllPages never mutates the caller's builder: rerun regenerates from page 1") {
+    val qb = catalog.from("herbs").orderBy("name").pageSize(2)
+    val dir1 = Files.createTempDirectory("graft-ssg-r1").toString
+    val dir2 = Files.createTempDirectory("graft-ssg-r2").toString
+    val run1 = Ssg.writeAllPages(qb, dir1, "herbs", generatedAt = t0)
+    val run2 = Ssg.writeAllPages(qb, dir2, "herbs", generatedAt = t0) // same builder, again
+    assert(run1.size == 2 && run2.size == 2) // NOT a one-page resume from a stale cursor
+    val bytes1 = run1.map(Files.readString)
+    val bytes2 = run2.map(Files.readString)
+    assert(bytes1 == bytes2)
+  }
 }

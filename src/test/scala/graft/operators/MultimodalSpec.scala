@@ -78,6 +78,10 @@ class MultimodalSpec extends SparkSpec {
     assert(decoded.getWidth == 8 && decoded.getHeight == 6)
     assert(Multimodal.decodeImage(Array[Byte](9, 9)).isEmpty)
     assert(Multimodal.decodeImage(null).isEmpty)
+    // degenerate dims degrade like stubDecode, never crash the scan
+    assert(Multimodal.imageGridFeatures(decoded, 0).isEmpty)
+    assert(Multimodal.imageGridFeatures(decoded, -3).isEmpty)
+    assert(Multimodal.imageGridFeatures(decoded, 1).length == 1)
   }
 
   test("video frame sampling emits one row per interval") {
