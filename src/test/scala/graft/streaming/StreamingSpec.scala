@@ -138,6 +138,32 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == expected.toSeq)
   }
 
+  test("partitioned parquet sink lays out partition directories readers can prune") {
+    import java.nio.file.{Files, StandardCopyOption}
+    val dir   = "/root/testdata/sf0.001"
+    val batch = graft.Tables.load(spark, dir, "events")
+      .select("ts", "user_id", "event_type", "value")
+    val streamDir = Files.createTempDirectory("graft-part-stream")
+    val sinkDir   = Files.createTempDirectory("graft-part-sink").resolve("out").toString
+    val ckptDir   = Files.createTempDirectory("graft-part-meta").resolve("ckpt").toString
+    val side = Files.createTempDirectory("graft-part-stage")
+    batch.coalesce(1).write.mode("overwrite").parquet(side.resolve("d").toString)
+    val part = Files.list(side.resolve("d")).filter(_.getFileName.toString.endsWith(".parquet"))
+      .findFirst().get()
+    Files.move(part, streamDir.resolve("all.parquet"), StandardCopyOption.ATOMIC_MOVE)
+    val schema = spark.read.parquet(streamDir.resolve("all.parquet").toString).schema
+    val q = EventStreams.writeHourlyParquet(
+      spark.readStream.schema(schema).parquet(streamDir.toString),
+      sinkDir, ckptDir, watermark = "0 seconds", partitionCols = Seq("event_type"))
+    try q.processAllAvailable() finally q.stop()
+    // windows closed by the watermark landed under event_type=... partition
+    // dirs (column pruned into the path, prunable by any reader)
+    val dirs = new java.io.File(sinkDir).listFiles().map(_.getName).filter(_.startsWith("event_type="))
+    assert(dirs.nonEmpty)
+    val back = spark.read.parquet(sinkDir)
+    assert(back.columns.contains("event_type") && back.count() > 0)
+  }
+
   test("sessionize splits on gaps > 30 min per user") {
     val df = Seq(
       (ts("2026-01-01 09:00:00"), 1L),
