@@ -144,16 +144,20 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
     * (reference semantics) instead of an ANSI cast error.
     */
   private def opPredicate(c: Column, dt: org.apache.spark.sql.types.DataType, f: QFilter): Column =
-    f.op match {
+    // A programmatically-built filter with NO values matches nothing for
+    // every op (SQL empty-IN semantics) — not a NoSuchElementException from
+    // values.head deep inside plan construction.
+    if (f.values.isEmpty) lit(false)
+    else f.op match {
       case Eq         => c === lit(f.values.head).try_cast(dt)
       case StartsWith => c.cast(StringType).startsWith(f.values.head)
       // OR-of-typed-equalities: pushdown-friendly and keeps the column typed.
-      // Empty IN matches nothing (SQL semantics), not a crash.
       case In         =>
-        f.values.map(v => c === lit(v).try_cast(dt)).reduceOption(_ || _).getOrElse(lit(false))
+        f.values.map(v => c === lit(v).try_cast(dt)).reduce(_ || _)
     }
 
   private def ownPredicate(df: DataFrame, f: QFilter): Column = {
+    if (f.values.isEmpty) return lit(false) // covers the dot-path branch too
     // customIndex fields filter by their HOOK values (the reference's
     // extractIndexFilters reads the custom index, never record data) — the
     // catalog materialized those under an internal column that the output

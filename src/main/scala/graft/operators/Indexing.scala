@@ -72,18 +72,38 @@ object Indexing {
       .mode("overwrite")
       .parquet(path)
 
+  /** The driver-side twin of the build-time prefix expression
+    * `substring(lower(value), 1, depth)`. Spark's `substring` counts CODE
+    * POINTS, so the JVM side must too — a UTF-16 `String.take(depth)` would
+    * split a leading surrogate pair (e.g. an emoji at depth 1) and compute a
+    * prefix the index never wrote, silently losing the lookup.
+    */
+  private[operators] def prefixOf(value: String, depth: Int): String = {
+    val lower = value.toLowerCase(java.util.Locale.ROOT)
+    val cp = lower.codePointCount(0, lower.length)
+    lower.substring(0, lower.offsetByCodePoints(0, math.min(depth, cp)))
+  }
+
+  /** Read the index relation. Empty-string prefixes round-trip as NULL
+    * through Spark's partitioned writer (`__HIVE_DEFAULT_PARTITION__`) —
+    * restore them so prefix equality and the incremental update's touched-set
+    * comparison see the value that was written.
+    */
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+      .withColumn("prefix", coalesce(col("prefix"), lit("")))
 
   /** Point/prefix lookup: `(field, prefix)` partition pruning + value pushdown.
     * `startsWith=false` → exact match.
     */
   def lookup(spark: SparkSession, path: String, field: String, value: String,
              depth: Int = 1, startsWith: Boolean = false): DataFrame = {
-    val pfx = value.toLowerCase(java.util.Locale.ROOT).take(depth)
+    val pfx = prefixOf(value, depth)
+    val valueCp = value.codePointCount(0, value.length)
     val base = readIndex(spark, path)
       .filter(col("field") === field)
-      .filter(if (startsWith && value.length < depth) col("prefix").startsWith(value.toLowerCase(java.util.Locale.ROOT))
+      .filter(if (startsWith && valueCp < depth)
+                col("prefix").startsWith(value.toLowerCase(java.util.Locale.ROOT))
               else col("prefix") === pfx)
     if (startsWith) base.filter(col("value").startsWith(value))
     else base.filter(col("value") === value)
@@ -189,20 +209,99 @@ object Indexing {
   def updateIndex(spark: SparkSession, path: String, diff: Seq[DiffEntry], depth: Int = 1): Unit =
     updateIndexDepths(spark, path, diff, _ => depth)
 
+  private val TmpSuffix    = "__graft_update_tmp"
+  private val ManifestName = "_graft_update_manifest.json" // leading _: invisible to Spark readers
+
+  /** Replay or clean up a partition swap a previous update started but did
+    * not finish. [[updateIndexDepths]] stages rebuilt partitions in a temp
+    * dir, records the touched-partition list (with a rebuilt/pure-delete
+    * marker per partition) in a manifest, then delete+renames partition by
+    * partition — so a crash mid-loop leaves manifest + temp dir behind and
+    * the index in a mixed old/new state. Replaying from the manifest is
+    * idempotent: a rebuilt partition whose rename already happened has no
+    * temp dir left and is skipped; one that never started still has it; a
+    * pure-deletion partition is just deleted again. A manifest that exists
+    * but does not parse means the crash happened while WRITING it — i.e.
+    * before any swap began — so the staged update is abandoned and the
+    * intact pre-update index stands. Runs automatically at the start of
+    * every update; safe no-op when nothing is pending.
+    */
+  def recoverPendingSwap(spark: SparkSession, path: String): Unit = {
+    val hconf   = spark.sparkContext.hadoopConfiguration
+    val root    = new org.apache.hadoop.fs.Path(path)
+    val fs      = root.getFileSystem(hconf)
+    val tmpPath = new org.apache.hadoop.fs.Path(path + TmpSuffix)
+    val manifest = new org.apache.hadoop.fs.Path(root, ManifestName)
+    if (!fs.exists(manifest)) {
+      // no swap was in flight; a stray temp dir is a crashed STAGING write
+      if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
+      return
+    }
+    if (fs.exists(tmpPath)) {
+      val parsed: Option[Seq[(String, String, Boolean)]] =
+        try {
+          val len = fs.getFileStatus(manifest).getLen.toInt
+          val buf = new Array[Byte](len)
+          val in  = fs.open(manifest)
+          try in.readFully(0, buf) finally in.close()
+          val raw = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+          Some(graft.sources.MiniJson.parse(raw).asInstanceOf[Seq[Any]].map { e =>
+            val t = e.asInstanceOf[Seq[Any]]
+            (t(0).asInstanceOf[String], t(1).asInstanceOf[String], t(2).asInstanceOf[Boolean])
+          })
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed.foreach(applySwap(fs, root, tmpPath, _)) // None → abandon staged update
+      fs.delete(tmpPath, true)
+    }
+    fs.delete(manifest, false)
+  }
+
+  /** The swap itself, shared by the live path and crash recovery — each step
+    * idempotent (see [[recoverPendingSwap]]).
+    */
+  private def applySwap(fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path,
+                        tmpPath: org.apache.hadoop.fs.Path,
+                        parts: Seq[(String, String, Boolean)]): Unit = {
+    // Partition dirs on disk are Hive-escaped by Spark's writer (':' → %3A,
+    // empty → __HIVE_DEFAULT_PARTITION__, …) — build paths the same way or
+    // special-character prefixes would silently never swap.
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString
+    parts.foreach { case (f, p, hasNew) =>
+      val rel    = s"${getPartitionPathString("field", f)}/${getPartitionPathString("prefix", p)}"
+      val oldDir = new org.apache.hadoop.fs.Path(root, rel)
+      val newDir = new org.apache.hadoop.fs.Path(tmpPath, rel)
+      if (hasNew) {
+        // a missing newDir here means this partition's rename already ran in
+        // a previous (crashed) attempt — deleting oldDir then would destroy
+        // the already-swapped data
+        if (fs.exists(newDir)) {
+          if (fs.exists(oldDir)) fs.delete(oldDir, true)
+          fs.mkdirs(oldDir.getParent)
+          fs.rename(newDir, oldDir)
+        }
+      } else if (fs.exists(oldDir)) fs.delete(oldDir, true) // all rows removed
+    }
+  }
+
   /** [[updateIndex]] with per-field prefix depth (config `indexDepth`) —
     * must match the depths the index was written with.
     */
   def updateIndexDepths(spark: SparkSession, path: String, diff: Seq[DiffEntry],
                         depthOf: String => Int): Unit = {
     import spark.implicits._
+    // complete any crashed predecessor FIRST — `existing` below must read a
+    // consistent index, not a half-swapped one
+    recoverPendingSwap(spark, path)
     val slugs = diff.map(_.slug)
     val existing = readIndex(spark, path)
 
-    // New rows for A/M entries.
+    // New rows for A/M entries. prefixOf: the same code-point prefix rule the
+    // index was built with.
     val newRows = diff
       .filter(d => d.status == "A" || d.status == "M")
       .flatMap(d => d.values.toSeq.flatMap { case (f, vs) =>
-        vs.map(v => (f, v.toLowerCase(java.util.Locale.ROOT).take(depthOf(f)), d.slug, v))
+        vs.map(v => (f, prefixOf(v, depthOf(f)), d.slug, v))
       })
       .toDF("field", "prefix", "slug", "value")
 
@@ -223,33 +322,37 @@ object Indexing {
 
     // Durable swap: write the rebuilt partitions to a temp dir FIRST (the old
     // files are still the source of truth while this job runs — no reliance
-    // on cached blocks), then delete the touched partitions and rename the
-    // new ones in. A crash before the rename loop leaves the index intact;
-    // explicit deletion also CLEARS partitions whose rows were all removed
+    // on cached blocks), record the touched-partition list in a manifest,
+    // then delete+rename partition by partition. A crash at ANY point leaves
+    // a recoverable state: before the manifest → old index intact, staged
+    // update abandoned; mid-loop → the next update (or an explicit
+    // recoverPendingSwap) replays the swap idempotently from the manifest.
+    // Explicit deletion also CLEARS partitions whose rows were all removed
     // (dynamic partition overwrite cannot).
     val hconf   = spark.sparkContext.hadoopConfiguration
     val root    = new org.apache.hadoop.fs.Path(path)
     val fs      = root.getFileSystem(hconf)
-    val tmpPath = new org.apache.hadoop.fs.Path(path + "__graft_update_tmp")
+    val tmpPath = new org.apache.hadoop.fs.Path(path + TmpSuffix)
     if (fs.exists(tmpPath)) fs.delete(tmpPath, true)
     rebuilt.write
       .partitionBy("field", "prefix")
       .mode("overwrite")
       .parquet(tmpPath.toString)
-    // Partition dirs on disk are Hive-escaped by Spark's writer (':' → %3A,
-    // empty → __HIVE_DEFAULT_PARTITION__, …) — build paths the same way or
-    // special-character prefixes would silently never swap.
+    // hasNew per partition: rebuilt wrote a dir only where rows survive; the
+    // marker lets crash replay distinguish "already renamed" from
+    // "pure deletion" (both lack a temp dir at replay time)
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString
-    touchedParts.foreach { case (f, p) =>
-      val rel    = s"${getPartitionPathString("field", f)}/${getPartitionPathString("prefix", p)}"
-      val oldDir = new org.apache.hadoop.fs.Path(root, rel)
-      val newDir = new org.apache.hadoop.fs.Path(tmpPath, rel)
-      if (fs.exists(oldDir)) fs.delete(oldDir, true)
-      if (fs.exists(newDir)) {
-        fs.mkdirs(oldDir.getParent)
-        fs.rename(newDir, oldDir)
-      }
+    val parts = touchedParts.toSeq.map { case (f, p) =>
+      val rel = s"${getPartitionPathString("field", f)}/${getPartitionPathString("prefix", p)}"
+      (f, p, fs.exists(new org.apache.hadoop.fs.Path(tmpPath, rel)))
     }
+    val manifest = new org.apache.hadoop.fs.Path(root, ManifestName)
+    val out = fs.create(manifest, true)
+    out.write(graft.sources.MiniYaml.toJson(parts.map(t => Seq(t._1, t._2, t._3)))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    out.close()
+    applySwap(fs, root, tmpPath, parts)
+    fs.delete(manifest, false)
     fs.delete(tmpPath, true)
   }
 }

@@ -72,9 +72,13 @@ object Similarity {
     idx
       .join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
+      // dedupe candidates BEFORE scoring: a row sharing the query's bucket
+      // and several probe flips would otherwise pay the dim-length cosine
+      // once per shared bucket (up to nbits+1×) just to collapse later
+      .select(col("query_id"), col(idCol), col(vecCol), col("__qvec"))
+      .distinct()
       .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
       .select(col("query_id"), col(idCol), col("score"))
-      .distinct()
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }

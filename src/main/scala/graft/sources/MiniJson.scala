@@ -81,7 +81,13 @@ object MiniJson {
             case '\\' => sb += '\\'; pos += 1
             case 'u' =>
               require(pos + 5 <= s.length, s"Truncated \\u escape at $pos")
-              sb += Integer.parseInt(s.substring(pos + 1, pos + 5), 16).toChar
+              val hex = s.substring(pos + 1, pos + 5)
+              // stay inside the parser's IllegalArgumentException contract —
+              // a raw NumberFormatException would escape with no position
+              sb += (try Integer.parseInt(hex, 16) catch {
+                case _: NumberFormatException =>
+                  throw new IllegalArgumentException(s"Bad \\u escape '\\u$hex' at $pos")
+              }).toChar
               pos += 5
             case c => throw new IllegalArgumentException(s"Bad escape '\\$c' at $pos")
           }

@@ -29,6 +29,12 @@ object MiniYaml {
         // throwing inside an executor and failing the whole ingest
         if (s.contains('.')) scala.util.Try(s.toDouble).getOrElse(s)
         else scala.util.Try(s.toLong).getOrElse(s)
+      // Inline-array elements stay STRINGS (no scalar parsing) while block
+      // arrays route through parseValue — asymmetric, but byte-for-byte the
+      // reference's behavior (yaml.ts parseValue slices/splits inline arrays
+      // without recursing; parseBlock pushes parseValue(item) for block
+      // items). The same goes for commas inside quoted elements: neither
+      // parser supports them. Reference compatibility is the spec here.
       case s if s.startsWith("[") && s.endsWith("]") =>
         s.substring(1, s.length - 1).split(",")
           .map(_.replaceAll("^[\\s'\"]+|[\\s'\",]+$", ""))

@@ -129,6 +129,84 @@ class IndexingSpec extends SparkSpec {
     assert(Indexing.extractDiff(herbs, herbs, "slug", Seq("name", "tagSlugs")).count() == 0)
   }
 
+  test("prefixOf counts code points exactly like the build-time prefix expression") {
+    // The bug class: build-time substring(lower, 1, d) counts CODE POINTS,
+    // so a UTF-16 String.take(d) on the lookup side splits a leading
+    // surrogate pair and probes a prefix the index never wrote. Assert the
+    // driver twin equals the Catalyst expression for astral/accented/plain
+    // values at several depths. (Writing emoji partition DIRS is skipped —
+    // this container's JVM runs an ASCII sun.jnu.encoding and cannot create
+    // such paths; a UTF-8-locale cluster can.)
+    val df = Seq(("d1", "😀cat"), ("d2", "Ürgüp"), ("d3", "plain"), ("d4", "émile"))
+      .toDF("slug", "name")
+    for (depth <- Seq(1, 2, 3)) {
+      val rel = Indexing.indexRelation(df, "slug", Seq("name"), depth)
+      rel.select("value", "prefix").collect().foreach { r =>
+        assert(Indexing.prefixOf(r.getString(0), depth) == r.getString(1),
+          s"value=${r.getString(0)} depth=$depth")
+      }
+    }
+    assert(Indexing.prefixOf("😀cat", 1) == "😀") // the pair stays whole
+    assert(Indexing.prefixOf("😀cat", 2) == "😀c")
+    assert(Indexing.prefixOf("AB", 1) == "a")
+  }
+
+  test("empty-string index values survive the HIVE_DEFAULT_PARTITION round-trip") {
+    val path = freshIndexPath
+    val df = Seq(("doc-1", ""), ("doc-2", "x")).toDF("slug", "name")
+    Indexing.writeIndex(df, "slug", Seq("name"), path)
+    // empty prefix becomes __HIVE_DEFAULT_PARTITION__ on disk and NULL on a
+    // raw read; readIndex restores "" so equality still matches
+    assert(Indexing.lookup(spark, path, "name", "")
+      .select("slug").collect().map(_.getString(0)).toSeq == Seq("doc-1"))
+    // and incremental updates against such an index keep working
+    Indexing.updateIndex(spark, path, Seq(DiffEntry("D", "doc-1", Map.empty)))
+    assert(Indexing.lookup(spark, path, "name", "").count() == 0)
+    assert(Indexing.lookup(spark, path, "name", "x").count() == 1)
+  }
+
+  test("crashed partition swap recovers: manifest replay completes the update") {
+    val path = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("name"), path)
+    // run a normal update to know the expected end state
+    val diff = Seq(
+      DiffEntry("M", "arctium-lappa", Map("name" -> Seq("Greater Burdock"))),
+      DiffEntry("D", "centella-asiatica", Map.empty))
+    val expectedPath = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("name"), expectedPath)
+    Indexing.updateIndex(spark, expectedPath, diff)
+    val expected = Indexing.readIndex(spark, expectedPath)
+      .orderBy("field", "prefix", "value", "slug")
+      .collect().map(_.toSeq).toSeq
+
+    // simulate the crash window: stage the same update's temp dir + manifest
+    // against the ORIGINAL index, but "die" before any partition renames by
+    // copying the artifacts a real run produces, then deleting one swapped
+    // partition to mimic a half-applied loop
+    Indexing.updateIndex(spark, path, diff) // produces the final state...
+    // ...now roll one partition back to its pre-update content and plant a
+    // manifest claiming the swap for it is still pending WITH its temp data
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gDir   = new org.apache.hadoop.fs.Path(path + "/field=name/prefix=g")
+    val tmpDir = new org.apache.hadoop.fs.Path(path + "__graft_update_tmp/field=name/prefix=g")
+    fs.mkdirs(tmpDir.getParent)
+    fs.rename(gDir, tmpDir) // pretend prefix=g never got renamed in
+    val manifest = new org.apache.hadoop.fs.Path(path + "/_graft_update_manifest.json")
+    val out = fs.create(manifest, true)
+    out.write("""[["name","g",true]]""".getBytes("UTF-8"))
+    out.close()
+
+    // recovery replays the pending rename and the index matches the clean run
+    Indexing.recoverPendingSwap(spark, path)
+    assert(!fs.exists(manifest))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__graft_update_tmp")))
+    val recovered = Indexing.readIndex(spark, path)
+      .orderBy("field", "prefix", "value", "slug")
+      .collect().map(_.toSeq).toSeq
+    assert(recovered == expected)
+  }
+
   test("find-by-slug over a bucketed source table prunes with pushdown") {
     val path = freshIndexPath
     Indexing.writeIndex(herbs, "slug", Seq("slug"), path)
