@@ -395,6 +395,20 @@ object SparkEntry {
       operators.Dedup.exactCorpus(Tables.load(s, dir, "documents"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
+    "q_pipeline_corpus" -> ((s, dir) => {
+      // End-to-end training-corpus pipeline as ONE declarative plan —
+      // language gate → quality gate → exact dedup → surviving documents.
+      // Catalyst fuses both native text expressions into the single scan and
+      // only the winners' ids shuffle (exactCorpus semi-join); at 100 TB the
+      // pipeline costs one pass + one hash-width shuffle.
+      val docs = Tables.load(s, dir, "documents")
+      val gated = docs
+        .filter(functions.TextFunctions.langId(col("text")) === "en")
+        .filter(functions.TextFunctions.qualityScore(col("text")) >= 0.5)
+      operators.Dedup.exactCorpus(gated)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       // Per-doc LSH band hashes exploded to scalar (doc_id, band, bhash) rows
       // — the registered shape must be scalar columns only. Pair generation is
@@ -534,6 +548,35 @@ object SparkEntry {
                      WHEN c_fr >= c_zh THEN 'fr'
                      ELSE 'zh' END AS lang_pred
          FROM c ORDER BY doc_id""",
+    "q_pipeline_corpus" ->
+      // the same langid cascade + quality expression as their standalone
+      // oracles, composed: 'en' = not the de-branch, c_en >= later languages
+      """WITH toks AS (
+           SELECT doc_id, lang, n_chars, text,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents
+         ), feat AS (
+           SELECT doc_id, lang, n_chars, text,
+                  len(list_filter(t, x -> x IN ('der','die','und','das','nicht'))) AS c_de,
+                  len(list_filter(t, x -> x IN ('the','and','of','is','to')))      AS c_en,
+                  len(list_filter(t, x -> x IN ('el','los','las','una','es')))     AS c_es,
+                  len(list_filter(t, x -> x IN ('le','la','et','les','des')))      AS c_fr,
+                  len(list_filter(t, x -> x IN ('的','是','在','了','和')))          AS c_zh,
+                  round(LEAST(CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                              / len(t) * 5.0, 1.0) * 0.5
+                      + LEAST(CAST(len(t) AS DOUBLE) / 100.0, 1.0) * 0.5, 4) AS quality
+           FROM toks
+         ), gated AS (
+           SELECT doc_id, lang, n_chars, text FROM feat
+           WHERE c_en IS NOT NULL
+             AND greatest(c_de, c_en, c_es, c_fr, c_zh) > 0
+             AND NOT (c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh)
+             AND c_en >= c_es AND c_en >= c_fr AND c_en >= c_zh
+             AND quality >= 0.5
+         )
+         SELECT doc_id, lang, n_chars FROM gated
+         WHERE doc_id IN (SELECT min(doc_id) FROM gated GROUP BY text)
+         ORDER BY doc_id""",
     "q_ann_bruteforce" ->
       """SELECT CAST(row_number() OVER (ORDER BY s DESC, vec_id) AS INTEGER) AS rank, vec_id
          FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.embedding) AS s
