@@ -265,10 +265,14 @@ final class QueryBuilder private[api] (catalog: Catalog, src: SourceDef) {
       val rel     = src.relations(relName)
       val foreign = catalog(rel.to)
       val through = rel match {
-        case t: ThroughRelation => Some(catalog(t.through).df)
+        case t: ThroughRelation => Some(GraftNames.dropCustomCols(catalog(t.through).df))
         case _                  => None
       }
-      Relations.nested(d, rel, foreign.df, through, broadcastForeign = foreign.broadcastHint)
+      // strip the FOREIGN side's internal custom-index columns too —
+      // Relations embeds every foreign column into the nested structs, and a
+      // hook column leaking there would surface in join output (and Ssg JSON)
+      Relations.nested(d, rel, GraftNames.dropCustomCols(foreign.df), through,
+        broadcastForeign = foreign.broadcastHint)
     }
 
   // ---- execution ---------------------------------------------------------

@@ -238,18 +238,23 @@ object Indexing {
       return
     }
     if (fs.exists(tmpPath)) {
+      // IO errors while READING the manifest propagate — the index state is
+      // untouched and a later recovery can retry. Only a manifest that reads
+      // fine but does not PARSE means the crash happened while writing it
+      // (the writer hsyncs before the swap loop starts), i.e. the swap never
+      // began and the staged update is safe to abandon.
+      val len = fs.getFileStatus(manifest).getLen.toInt
+      val buf = new Array[Byte](len)
+      val in  = fs.open(manifest)
+      try in.readFully(0, buf) finally in.close()
+      val raw = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
       val parsed: Option[Seq[(String, String, Boolean)]] =
-        try {
-          val len = fs.getFileStatus(manifest).getLen.toInt
-          val buf = new Array[Byte](len)
-          val in  = fs.open(manifest)
-          try in.readFully(0, buf) finally in.close()
-          val raw = new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-          Some(graft.sources.MiniJson.parse(raw).asInstanceOf[Seq[Any]].map { e =>
+        scala.util.Try {
+          graft.sources.MiniJson.parse(raw).asInstanceOf[Seq[Any]].map { e =>
             val t = e.asInstanceOf[Seq[Any]]
             (t(0).asInstanceOf[String], t(1).asInstanceOf[String], t(2).asInstanceOf[Boolean])
-          })
-        } catch { case scala.util.control.NonFatal(_) => None }
+          }
+        }.toOption
       parsed.foreach(applySwap(fs, root, tmpPath, _)) // None → abandon staged update
       fs.delete(tmpPath, true)
     }
@@ -278,7 +283,11 @@ object Indexing {
         if (fs.exists(newDir)) {
           if (fs.exists(oldDir)) fs.delete(oldDir, true)
           fs.mkdirs(oldDir.getParent)
-          fs.rename(newDir, oldDir)
+          // Hadoop rename signals failure by RETURNING false, not throwing —
+          // ignoring it would let the caller delete tmpPath, the only copy
+          if (!fs.rename(newDir, oldDir))
+            throw new java.io.IOException(
+              s"index partition swap: rename $newDir -> $oldDir failed; temp data preserved")
         }
       } else if (fs.exists(oldDir)) fs.delete(oldDir, true) // all rows removed
     }
@@ -350,6 +359,9 @@ object Indexing {
     val out = fs.create(manifest, true)
     out.write(graft.sources.MiniYaml.toJson(parts.map(t => Seq(t._1, t._2, t._3)))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // durably on disk BEFORE any partition is touched — recovery's "manifest
+    // unparseable → swap never began" reasoning depends on this ordering
+    try out.hsync() catch { case _: UnsupportedOperationException => out.hflush() }
     out.close()
     applySwap(fs, root, tmpPath, parts)
     fs.delete(manifest, false)

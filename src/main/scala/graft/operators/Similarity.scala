@@ -74,9 +74,12 @@ object Similarity {
       .filter(col(idCol) =!= col("query_id"))
       // dedupe candidates BEFORE scoring: a row sharing the query's bucket
       // and several probe flips would otherwise pay the dim-length cosine
-      // once per shared bucket (up to nbits+1×) just to collapse later
+      // once per shared bucket (up to nbits+1×) just to collapse later.
+      // Key on the two scalar ids only — the vectors are functionally
+      // determined by them, and hashing dim-length arrays in the dedup would
+      // reintroduce the very work this step removes
       .select(col("query_id"), col(idCol), col(vecCol), col("__qvec"))
-      .distinct()
+      .dropDuplicates("query_id", idCol)
       .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
       .select(col("query_id"), col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))

@@ -82,12 +82,13 @@ object MiniJson {
             case 'u' =>
               require(pos + 5 <= s.length, s"Truncated \\u escape at $pos")
               val hex = s.substring(pos + 1, pos + 5)
-              // stay inside the parser's IllegalArgumentException contract —
-              // a raw NumberFormatException would escape with no position
-              sb += (try Integer.parseInt(hex, 16) catch {
-                case _: NumberFormatException =>
-                  throw new IllegalArgumentException(s"Bad \\u escape '\\u$hex' at $pos")
-              }).toChar
+              // strict hex digits only: parseInt(_, 16) would also accept a
+              // sign ("\\u-abc" → -2748 → a garbage char) — and a raw
+              // NumberFormatException would escape the parser's
+              // IllegalArgumentException-with-position contract
+              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+                throw new IllegalArgumentException(s"Bad \\u escape '\\u$hex' at $pos")
+              sb += Integer.parseInt(hex, 16).toChar
               pos += 5
             case c => throw new IllegalArgumentException(s"Bad escape '\\$c' at $pos")
           }

@@ -263,6 +263,18 @@ class GraftConfigSpec extends SparkSpec {
     assert(r.data.head.getAs[String]("name") == "Lemongrass")
   }
 
+  test("foreign-source custom columns never leak into nested join structs") {
+    val cfg = config.replace("\"pattern\": \"content/processes.yaml\",",
+      "\"pattern\": \"content/processes.yaml\",\n      \"customIndex\": {\"nameInitial\": {}},")
+    import org.apache.spark.sql.functions._
+    val cat2 = GraftConfig.catalog(spark, root.toString, cfg, customIndexers =
+      Map("processes" -> Map("nameInitial" -> (df => upper(substring(col("name"), 1, 1))))))
+    val r = cat2.from("recipes").join("process").orderBy("slug").exec()
+    val processStruct = r.data.head.getAs[Row]("process")
+    assert(!processStruct.schema.fieldNames.exists(_.startsWith("__graft_custom_")))
+    assert(processStruct.getAs[String]("name") == "Infusion")
+  }
+
   test("index/customIndex name collision: the custom definition wins") {
     val cfg = config.replace("\"index\": {\"name\": {}, \"tagSlugs\": {}}",
       "\"index\": {\"name\": {\"indexDepth\": 2}, \"tagSlugs\": {}},\n" +

@@ -85,4 +85,15 @@ class MiniYamlSpec extends AnyFunSuite {
       Map("a" -> List(1L, 2.5, "x\n", true, null)))
     intercept[IllegalArgumentException](MiniJson.parse("""{"a": }"""))
   }
+
+  test("MiniJson \\u escapes: valid decodes, malformed raises positioned error") {
+    assert(MiniJson.parse("\"\\u0041\\u00e9\"") == "Aé")
+    // non-hex and SIGNED 'hex' (parseInt would accept "-abc") both reject
+    // inside the parser's IllegalArgumentException contract
+    val e1 = intercept[IllegalArgumentException](MiniJson.parse("\"\\uZZZZ\""))
+    assert(e1.getMessage.contains("\\u"))
+    intercept[IllegalArgumentException](MiniJson.parse("\"\\u-abc\""))
+    intercept[IllegalArgumentException](MiniJson.parse("\"\\u+abc\""))
+    intercept[IllegalArgumentException](MiniJson.parse("\"\\u00\"")) // truncated
+  }
 }
