@@ -61,4 +61,14 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(p.contains("TakeOrderedAndProject"), s"$q sorts globally:\n$p")
     }
   }
+
+  test("pipeline corpus: winners broadcast into a semi-join; bodies never shuffle") {
+    val p = plan("q_pipeline_corpus")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"winners not broadcast-semi-joined:\n$p")
+    // the only non-sort exchange carries (hash, min id) aggregates — if the
+    // text column ever appears in an Exchange's schema, bodies are moving
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(!exchanges.contains("text#"), s"document bodies shuffle:\n$exchanges")
+  }
 }
