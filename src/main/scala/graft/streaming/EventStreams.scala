@@ -14,11 +14,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventStreams {
 
+  /** One policy, two entry points: [[hourlyAgg]] and [[writeHourlyParquet]]
+    * share this default so the sink can never silently drift from the
+    * transform it deploys.
+    */
+  val DefaultWatermark = "2 hours"
+
   /** Hourly tumbling-window counts/sums per event type. Watermark bounds the
     * state store: late events beyond it are dropped, so state size is
     * O(windows-in-flight × event types), independent of stream length.
     */
-  def hourlyAgg(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+  def hourlyAgg(events: DataFrame, watermark: String = DefaultWatermark): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -35,19 +41,29 @@ object EventStreams {
     * (WAL + HDFS/object-store state store) and the parquet sink's
     * `_spark_metadata` log records exactly which files each committed batch
     * wrote — a crash or stop between batches resumes from the last committed
-    * offsets, re-planning the in-flight batch without duplicating output
-    * (readers of the sink see only metadata-committed files). Append mode +
-    * the watermark means each hourly window is written exactly once, when the
-    * watermark passes it; state is evicted then, so a restart replays only
-    * the windows still open at the stop point. At 100 TB/day pass
-    * `partitionCols = Seq("hour")` for a date-partitioned sink layout
-    * readers can prune.
+    * offsets and re-plans the in-flight batch. Exactly-once holds for
+    * readers that honor the metadata log (Spark reads of the sink): they see
+    * only committed files. A crash mid-batch can leave ORPHAN part files the
+    * log never references — a non-Spark reader scanning raw files (Trino,
+    * Hive, DuckDB over the directory) can see those windows twice; run a
+    * log-driven compaction/cleanup before handing the directory to such
+    * readers. Append mode + the watermark means each hourly window is
+    * committed once, when the watermark passes it; state is evicted then, so
+    * a restart replays only the windows still open at the stop point. At
+    * 100 TB/day pass `partitionCols = Seq("dt")`: the sink derives
+    * `dt = to_date(hour)` and lays out true date partitions
+    * (`dt=2026-08-12/`) external engines can range-prune. Partitioning
+    * directly on `hour` also works but yields 24 URL-escaped timestamp dirs
+    * per day, which date-pruning tooling handles poorly.
     */
   def writeHourlyParquet(events: DataFrame, outDir: String, checkpointDir: String,
-                         watermark: String = "2 hours",
+                         watermark: String = DefaultWatermark,
                          trigger: Trigger = Trigger.ProcessingTime(0L),
                          partitionCols: Seq[String] = Nil): StreamingQuery = {
-    val w = hourlyAgg(events, watermark)
+    val agg = hourlyAgg(events, watermark)
+    val out = if (partitionCols.contains("dt") && !agg.columns.contains("dt"))
+      agg.withColumn("dt", to_date(col("hour"))) else agg
+    val w = out
       .writeStream
       .format("parquet")
       .option("path", outDir)

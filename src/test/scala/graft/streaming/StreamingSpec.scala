@@ -154,14 +154,17 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(streamDir.resolve("all.parquet").toString).schema
     val q = EventStreams.writeHourlyParquet(
       spark.readStream.schema(schema).parquet(streamDir.toString),
-      sinkDir, ckptDir, watermark = "0 seconds", partitionCols = Seq("event_type"))
+      sinkDir, ckptDir, watermark = "0 seconds", partitionCols = Seq("dt"))
     try q.processAllAvailable() finally q.stop()
-    // windows closed by the watermark landed under event_type=... partition
-    // dirs (column pruned into the path, prunable by any reader)
-    val dirs = new java.io.File(sinkDir).listFiles().map(_.getName).filter(_.startsWith("event_type="))
+    // windows closed by the watermark landed under derived dt=YYYY-MM-DD
+    // date-partition dirs (range-prunable by any reader)
+    val dirs = new java.io.File(sinkDir).listFiles().map(_.getName).filter(_.startsWith("dt="))
     assert(dirs.nonEmpty)
+    assert(dirs.forall(_.matches("dt=\\d{4}-\\d{2}-\\d{2}")), dirs.mkString(","))
     val back = spark.read.parquet(sinkDir)
-    assert(back.columns.contains("event_type") && back.count() > 0)
+    assert(back.columns.contains("dt") && back.count() > 0)
+    // the derived key is consistent with the window column
+    assert(back.filter(org.apache.spark.sql.functions.to_date($"hour") =!= $"dt").count() == 0)
   }
 
   test("sessionize splits on gaps > 30 min per user") {
