@@ -207,6 +207,30 @@ class IndexingSpec extends SparkSpec {
     assert(recovered == expected)
   }
 
+  test("unparseable manifest (torn write): staged update abandoned, index intact") {
+    val path = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("name"), path)
+    val before = Indexing.readIndex(spark, path)
+      .orderBy("field", "prefix", "value", "slug").collect().map(_.toSeq).toSeq
+    // a crash DURING the manifest write: temp data staged, manifest torn —
+    // the swap loop never started, so recovery must abandon and keep the
+    // pre-update index byte-identical
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + "__graft_update_tmp/field=name/prefix=z")
+    fs.mkdirs(tmp)
+    val manifest = new org.apache.hadoop.fs.Path(path + "/_graft_update_manifest.json")
+    val out = fs.create(manifest, true)
+    out.write("""[["name","z",tru""".getBytes("UTF-8")) // truncated mid-token
+    out.close()
+    Indexing.recoverPendingSwap(spark, path)
+    assert(!fs.exists(manifest))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__graft_update_tmp")))
+    val after = Indexing.readIndex(spark, path)
+      .orderBy("field", "prefix", "value", "slug").collect().map(_.toSeq).toSeq
+    assert(after == before)
+  }
+
   test("find-by-slug over a bucketed source table prunes with pushdown") {
     val path = freshIndexPath
     Indexing.writeIndex(herbs, "slug", Seq("slug"), path)
