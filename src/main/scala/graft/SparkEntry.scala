@@ -471,13 +471,17 @@ object SparkEntry {
         .select("vec_id", "bucket")
         .orderBy("vec_id").limit(500)),
     "q_ann_bruteforce" -> ((s, dir) => {
-      // Rank the already-limited top-10 with an order-EXPLICIT window: the
-      // frame is the 10-row limit output, so partitionBy(lit(1)) keeps the
-      // window partition-bounded (no global-window re-shuffle of the corpus)
-      // and row_number carries its own ORDER BY instead of relying on the
-      // projection preserving a prior local sort.
+      // Rank the already-limited top-10 with an order-EXPLICIT window.
+      // The partition key is pmod(vec_id, 1) — constant 0 for every row, but
+      // NOT foldable (Catalyst folds literal partition keys like lit(1) out
+      // of the window spec entirely, which re-fires the "No Partition
+      // Defined" WindowExec warning). A column-dependent constant survives
+      // into the physical plan, so the window stays partitioned. Either way
+      // only the 10 limit-output rows move; row_number carries its own
+      // ORDER BY instead of relying on projection order preservation.
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy(lit(1)).orderBy(desc("score"), col("vec_id"))
+      val w = Window.partitionBy(pmod(col("vec_id"), lit(1)))
+        .orderBy(desc("score"), col("vec_id"))
       operators.Similarity.topKForId(Tables.load(s, dir, "embeddings"), 0L, 10)
         .withColumn("rank", row_number().over(w))
         .select("rank", "vec_id")

@@ -82,11 +82,15 @@ object MiniJson {
             case 'u' =>
               require(pos + 5 <= s.length, s"Truncated \\u escape at $pos")
               val hex = s.substring(pos + 1, pos + 5)
-              // strict hex digits only: parseInt(_, 16) would also accept a
-              // sign ("\\u-abc" → -2748 → a garbage char) — and a raw
-              // NumberFormatException would escape the parser's
+              // strict ASCII hex digits only: parseInt(_, 16) would also
+              // accept a sign ("\\u-abc" → -2748 → a garbage char), and
+              // Character.digit(c, 16) would accept non-ASCII Unicode digits
+              // (Arabic-Indic, fullwidth) — and a raw NumberFormatException
+              // would escape the parser's
               // IllegalArgumentException-with-position contract
-              if (!hex.forall(c => Character.digit(c, 16) >= 0))
+              def asciiHex(c: Char): Boolean =
+                (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+              if (!hex.forall(asciiHex))
                 throw new IllegalArgumentException(s"Bad \\u escape '\\u$hex' at $pos")
               sb += Integer.parseInt(hex, 16).toChar
               pos += 5

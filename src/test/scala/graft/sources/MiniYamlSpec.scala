@@ -95,5 +95,9 @@ class MiniYamlSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MiniJson.parse("\"\\u-abc\""))
     intercept[IllegalArgumentException](MiniJson.parse("\"\\u+abc\""))
     intercept[IllegalArgumentException](MiniJson.parse("\"\\u00\"")) // truncated
+    // non-ASCII Unicode digits (Character.digit accepts them; JSON does not):
+    // fullwidth '０' (U+FF10) and Arabic-Indic '٠' (U+0660)
+    intercept[IllegalArgumentException](MiniJson.parse("\"\\u\uFF10041\""))
+    intercept[IllegalArgumentException](MiniJson.parse("\"\\u\u0660041\""))
   }
 }
