@@ -335,7 +335,62 @@ object SparkEntry {
                  col("event_type"))
         .agg(count(lit(1)).as("event_cnt"),
              sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
-        .orderBy("hour", "event_type"))
+        .orderBy("hour", "event_type")),
+    "q_asof_join" -> ((s, dir) => {
+      // As-of temporal join: each event gets the latest order placed at-or-
+      // before it by the same user. Orders pre-aggregate to unique
+      // (custkey, orderdate) — AsOf's determinism precondition. The plan is
+      // tag+union+ONE key shuffle+running window (operators/AsOf.scala),
+      // never an inequality join.
+      val ev = Tables.load(s, dir, "events").select("event_id", "user_id", "ts")
+      val ord = Tables.load(s, dir, "orders")
+        // parquet NTZ → session-TZ timestamp (UTC session: same instant) so
+        // both sides' timestamps union to one type; AsOf requires equality
+        .groupBy(col("o_custkey"), col("o_orderdate").cast("timestamp").as("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      operators.AsOf.asOfJoin(ev, ord, "user_id", "o_custkey", "ts", "o_orderdate",
+          payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
+        .orderBy("event_id")
+    }),
+    "q_agg_rollup" -> ((s, dir) =>
+      // ROLLUP: per-group, subtotal and grand-total rows in one pass (Spark
+      // expands the grouping sets BEFORE the partial aggregate, so the
+      // expanded rows still combine map-side). Grouping-set nulls are
+      // coalesced to a marker on both sides — also sidesteps the Spark
+      // nulls-first vs DuckDB nulls-last default sort divergence.
+      Tables.load(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+             count(lit(1)).as("cnt"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+                coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+                col("sum_qty"), col("cnt"))
+        .orderBy("returnflag", "linestatus")),
+    "q_agg_quantiles" -> ((s, dir) =>
+      // EXACT sort-based percentiles with linear interpolation — the same
+      // estimator as DuckDB quantile_cont, so the oracle is bit-comparable.
+      // At 100 TB swap in approx_percentile (t-digest, mergeable sketches);
+      // exact percentile shuffles each group's values to one reducer.
+      Tables.load(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, CAST(0.25 AS DOUBLE))"), 4).as("p25"),
+          round(expr("percentile(l_quantity, CAST(0.5 AS DOUBLE))"), 4).as("p50"),
+          round(expr("percentile(l_quantity, CAST(0.75 AS DOUBLE))"), 4).as("p75"),
+          round(expr("percentile(l_quantity, CAST(0.95 AS DOUBLE))"), 4).as("p95"))
+        .orderBy("l_returnflag")),
+    "q_anti_join" -> ((s, dir) => {
+      // NOT EXISTS as a left-anti equi-join; the status filter sits on the
+      // build side BEFORE the join, so it pushes to the orders scan and
+      // shrinks what shuffles.
+      val c = Tables.catalog(s, dir)
+      c("customer").df
+        .join(c("orders").df.filter(col("o_orderstatus") === "F").select("o_custkey"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    })
   )
 
   private def analyticsOracle: Map[String, String] = Map(
@@ -382,7 +437,33 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type,
                 COUNT(*) AS event_cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
-         FROM events GROUP BY 1, 2 ORDER BY hour, event_type"""
+         FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_asof_join" ->
+      """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                    FROM orders GROUP BY o_custkey, o_orderdate)
+         SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
+         FROM events e ASOF LEFT JOIN o
+           ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY event_id""",
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+                coalesce(l_linestatus, '(all)') AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    "q_agg_quantiles" ->
+      """SELECT l_returnflag,
+                round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+                round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+                round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+                round(quantile_cont(l_quantity, 0.95), 4) AS p95
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey"""
   )
 
   // ---- LLM-pipeline: dedup / text / similarity (SURVEY §2 #32-#42) -------
@@ -470,6 +551,25 @@ object SparkEntry {
       operators.Similarity.bucketed(Tables.load(s, dir, "embeddings"), dim = 64)
         .select("vec_id", "bucket")
         .orderBy("vec_id").limit(500)),
+    "q_embed_centroid" -> ((s, dir) => {
+      // Per-label embedding profile: per-row vector reductions (codegen'd
+      // array HOFs, one traversal each) feed a tiny per-label aggregate.
+      // Cross-row totals route through DECIMAL (like every money sum here)
+      // so partition-order-dependent double addition can't flip the last
+      // rounded digit vs the sequential DuckDB twin.
+      val v = col("embedding").cast("array<double>")
+      Tables.load(s, dir, "embeddings")
+        .select(col("label"),
+          (aggregate(v, lit(0.0), (a, x) => a + x) / size(col("embedding")))
+            .cast("decimal(28,12)").as("elem_row"),
+          functions.VectorFunctions.norm(col("embedding"))
+            .cast("decimal(28,12)").as("norm_row"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+             round(sum(col("elem_row")), 4).cast("double").as("sum_elem"),
+             round(sum(col("norm_row")), 4).cast("double").as("sum_norm"))
+        .orderBy("label")
+    }),
     "q_ann_bruteforce" -> ((s, dir) => {
       // Rank the already-limited top-10 with an order-EXPLICIT window.
       // The partition key is pmod(vec_id, 1) — constant 0 for every row, but
@@ -588,7 +688,15 @@ object SparkEntry {
          FROM (SELECT e.vec_id, list_cosine_similarity(e.embedding, q.embedding) AS s
                FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
                WHERE e.vec_id <> 0)
-         ORDER BY rank LIMIT 10"""
+         ORDER BY rank LIMIT 10""",
+    "q_embed_centroid" ->
+      // identical per-row arithmetic (sequential double sum over the list,
+      // /len, sqrt) then DECIMAL cross-row totals — see the Spark twin's
+      // determinism note
+      """SELECT label, COUNT(*) AS n,
+                CAST(round(sum(CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding) AS DECIMAL(28,12))), 4) AS DOUBLE) AS sum_elem,
+                CAST(round(sum(CAST(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS DECIMAL(28,12))), 4) AS DOUBLE) AS sum_norm
+         FROM embeddings GROUP BY label ORDER BY label"""
   )
 
   // ---- indexing / validation / sessionization (SURVEY §2 #19, #22, #31) --

@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of (point-in-time) join: for every left row, attach the payload of the
+  * latest right row with the same key whose timestamp is `<=` (or `<` when
+  * `strict`) the left timestamp — the temporal join behind feature lookups,
+  * slowly-changing-dimension reads, and "state at event time" queries. The
+  * reference has no aggregation/temporal surface at all (staticql README
+  * "Not the right tool for"); this is part of graft's analytics extension,
+  * expressed the Spark-first way.
+  *
+  * Plan shape (the 100 TB-safe one): tag both sides, union, ONE shuffle on
+  * the key, in-partition sort by `(ts, side)`, and a running
+  * `last(payload, ignoreNulls)` window. Cost is O((|L|+|R|) log p) — a
+  * sort-based prefix scan. The naive alternative, an inequality join
+  * (`l.key = r.key AND r.ts <= l.ts` + max-per-row), explodes to O(|L|·|R|)
+  * pairs per key under Spark's range-join planning and cannot survive scale;
+  * it exists here only as the spec's tiny-data oracle.
+  *
+  * Determinism: right rows must be unique per `(key, ts)` — with duplicates
+  * the tie-winner is sort-order-dependent. Pre-aggregate the right side
+  * (e.g. `max` of the payload per key+ts) when the source has ties.
+  *
+  * Nulls: right rows with a null key or null timestamp can never match and
+  * are filtered; left rows always survive (left-outer semantics) — a null
+  * left timestamp sorts before every right row and yields a null match.
+  *
+  * Skew: one key's full timeline sorts within one task. For a hot key with a
+  * bounded-staleness requirement, set `toleranceMillis` and pre-bucket both
+  * sides by `(key, window(ts, tolerance))`, replicating each right row into
+  * its own and the following bucket — same results, partition count scales
+  * with time instead of keys. The unbounded-lookback form below is the
+  * general case.
+  */
+object AsOf {
+
+  private val K = "__graft_asof_k"
+  private val TS = "__graft_asof_ts"
+  private val SIDE = "__graft_asof_side"
+  private val L = "__graft_asof_l"
+  private val R = "__graft_asof_r"
+  private val M = "__graft_asof_m"
+
+  /** @param payload   right columns to carry onto matched left rows (must not
+    *                  collide with left column names)
+    * @param strict    `true` → match strictly-earlier right rows only
+    * @param toleranceMillis max age of a match: right rows older than
+    *                  `leftTs - tolerance` yield null payloads instead
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      strict: Boolean = false,
+      toleranceMillis: Option[Long] = None): DataFrame = {
+    require(payload.nonEmpty, "asOfJoin: payload must name at least one right column")
+    val leftCols = left.columns.toSeq
+    val clash = payload.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty, s"asOfJoin: payload collides with left columns: ${clash.mkString(", ")}")
+    require(
+      left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"asOfJoin: timestamp types differ: ${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}")
+
+    // The match struct always carries the right timestamp (first field) so the
+    // tolerance check can read it even when the caller didn't ask for it.
+    val carried = (rightTs +: payload.filterNot(_ == rightTs)).toIndexedSeq
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(carried.map(right.schema(_)))
+
+    val lTagged = left.select(
+      struct(leftCols.map(col): _*).as(L),
+      col(leftKey).as(K),
+      col(leftTs).as(TS),
+      lit(1).as(SIDE),
+      lit(null).cast(rStruct).as(R))
+    // side ordering does the inclusivity: at an equal timestamp, right rows
+    // sort before left (0 < 1, inclusive) or after (2 > 1, strict-excluded).
+    val rTagged = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        lit(null).cast(lStruct).as(L),
+        col(rightKey).as(K),
+        col(rightTs).as(TS),
+        lit(if (strict) 2 else 0).as(SIDE),
+        struct(carried.map(col): _*).as(R))
+
+    val w = Window.partitionBy(K).orderBy(col(TS).asc, col(SIDE).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn(M, last(col(R), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === 1)
+
+    val freshEnough = toleranceMillis match {
+      case Some(tol) =>
+        // unix_micros is exact on the timestamp range (no double rounding)
+        when(unix_micros(col(TS)) - unix_micros(col(M).getField(rightTs)) <= tol * 1000L, col(M))
+      case None => col(M)
+    }
+    matched
+      .withColumn(M, freshEnough)
+      .select(leftCols.map(c => col(s"$L.`$c`").as(c)) ++
+              payload.map(p => col(s"$M.`$p`").as(p)): _*)
+  }
+}
