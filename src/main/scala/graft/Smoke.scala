@@ -1,19 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
-
 /** Driver t1 mimic: `SparkEntry.entry` must return rows > 0 on sf0.001.
   * Run: `sbt "runMain graft.Smoke"`. Exits non-zero on an empty result so it
   * can gate commits the way the driver gates rounds.
   */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-smoke")
-      .config("spark.sql.shuffle.partitions", 4)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // the shared harness session (UTC timezone, UI off, tuned shuffle
+    // partitions) — NOT a hand-rolled builder, which would silently drop the
+    // UTC setting when run outside sbt's forked JVM options
+    val spark = Tables.session(master = "local[4]")
     try {
       val n = SparkEntry.entry(spark).count()
       println(s"[smoke] entry rows=$n")

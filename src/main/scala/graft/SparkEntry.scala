@@ -356,29 +356,39 @@ object SparkEntry {
     "q_agg_rollup" -> ((s, dir) =>
       // ROLLUP: per-group, subtotal and grand-total rows in one pass (Spark
       // expands the grouping sets BEFORE the partial aggregate, so the
-      // expanded rows still combine map-side). Grouping-set nulls are
-      // coalesced to a marker on both sides — also sidesteps the Spark
-      // nulls-first vs DuckDB nulls-last default sort divergence.
+      // expanded rows still combine map-side). Subtotal rows are marked via
+      // grouping() — NOT by coalescing the grouping-set null, which would
+      // conflate a genuine NULL data value with a subtotal and leave two
+      // identically-keyed rows in engine-dependent order. The markers also
+      // sidestep the Spark nulls-first vs DuckDB nulls-last sort divergence.
       Tables.load(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-             count(lit(1)).as("cnt"))
-        .select(coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
-                coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
-                col("sum_qty"), col("cnt"))
+             count(lit(1)).as("cnt"),
+             grouping(col("l_returnflag")).as("g1"),
+             grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, lit("(all)"))
+            .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("returnflag"),
+          when(col("g2") === 1, lit("(all)"))
+            .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("linestatus"),
+          col("sum_qty"), col("cnt"))
         .orderBy("returnflag", "linestatus")),
     "q_agg_quantiles" -> ((s, dir) =>
       // EXACT sort-based percentiles with linear interpolation — the same
       // estimator as DuckDB quantile_cont, so the oracle is bit-comparable.
-      // At 100 TB swap in approx_percentile (t-digest, mergeable sketches);
-      // exact percentile shuffles each group's values to one reducer.
+      // ONE percentile aggregate with an array of percentages: the per-group
+      // value buffer (the scale hazard of exact quantiles) is built once,
+      // not once per requested quantile. At 100 TB swap in approx_percentile
+      // (t-digest, mergeable fixed-size sketches).
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(
-          round(expr("percentile(l_quantity, CAST(0.25 AS DOUBLE))"), 4).as("p25"),
-          round(expr("percentile(l_quantity, CAST(0.5 AS DOUBLE))"), 4).as("p50"),
-          round(expr("percentile(l_quantity, CAST(0.75 AS DOUBLE))"), 4).as("p75"),
-          round(expr("percentile(l_quantity, CAST(0.95 AS DOUBLE))"), 4).as("p95"))
+        .agg(expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D, 0.95D))").as("qs"))
+        .select(col("l_returnflag"),
+          round(col("qs").getItem(0), 4).as("p25"),
+          round(col("qs").getItem(1), 4).as("p50"),
+          round(col("qs").getItem(2), 4).as("p75"),
+          round(col("qs").getItem(3), 4).as("p95"))
         .orderBy("l_returnflag")),
     "q_anti_join" -> ((s, dir) => {
       // NOT EXISTS as a left-anti equi-join; the status filter sits on the
@@ -446,8 +456,10 @@ object SparkEntry {
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
          ORDER BY event_id""",
     "q_agg_rollup" ->
-      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
-                coalesce(l_linestatus, '(all)') AS linestatus,
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+                     ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
+                CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+                     ELSE coalesce(l_linestatus, '(null)') END AS linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
@@ -559,6 +571,10 @@ object SparkEntry {
       // rounded digit vs the sequential DuckDB twin.
       val v = col("embedding").cast("array<double>")
       Tables.load(s, dir, "embeddings")
+        // dense-vector precondition, enforced: a NULL element would null-
+        // poison Spark's aggregate() while DuckDB's list_aggregate skips
+        // NULLs — both sides drop such rows explicitly instead of diverging
+        .filter(forall(col("embedding"), x => x.isNotNull))
         .select(col("label"),
           (aggregate(v, lit(0.0), (a, x) => a + x) / size(col("embedding")))
             .cast("decimal(28,12)").as("elem_row"),
@@ -696,7 +712,9 @@ object SparkEntry {
       """SELECT label, COUNT(*) AS n,
                 CAST(round(sum(CAST(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding) AS DECIMAL(28,12))), 4) AS DOUBLE) AS sum_elem,
                 CAST(round(sum(CAST(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum')) AS DECIMAL(28,12))), 4) AS DOUBLE) AS sum_norm
-         FROM embeddings GROUP BY label ORDER BY label"""
+         FROM embeddings
+         WHERE len(list_filter(embedding, x -> x IS NULL)) = 0
+         GROUP BY label ORDER BY label"""
   )
 
   // ---- indexing / validation / sessionization (SURVEY §2 #19, #22, #31) --

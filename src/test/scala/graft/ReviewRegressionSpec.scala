@@ -303,4 +303,36 @@ class ReviewRegressionSpec extends SparkSpec {
       spark.sparkContext.emptyRDD[Row], Multimodal.assetSchema)
     assert(Multimodal.repartitionByBytes(empty).count() == 0)
   }
+
+  test("rollup grouping() marker keeps a NULL data value distinct from the subtotal row") {
+    // round-6 review: coalescing the grouping-set null to '(all)' conflated
+    // a genuine NULL group with the subtotal — same sort key, two rows,
+    // engine-dependent order. grouping() disambiguates (q_agg_rollup shape).
+    val df = Seq(("F", Some("O"), 1.0), ("F", None, 2.0), ("N", Some("F"), 3.0))
+      .toDF("rf", "ls", "qty")
+      .rollup("rf", "ls")
+      .agg(sum(col("qty")).as("s"), grouping(col("rf")).as("g1"), grouping(col("ls")).as("g2"))
+      .select(
+        when(col("g1") === 1, lit("(all)")).otherwise(coalesce(col("rf"), lit("(null)"))).as("rf"),
+        when(col("g2") === 1, lit("(all)")).otherwise(coalesce(col("ls"), lit("(null)"))).as("ls"),
+        col("s"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(rows.contains(("F", "(null)", 2.0)))  // the real NULL group
+    assert(rows.contains(("F", "(all)", 3.0)))   // the subtotal over F
+    assert(rows.contains(("(all)", "(all)", 6.0)))
+  }
+
+  test("embed-centroid dense-vector guard drops rows with NULL elements on both sides' semantics") {
+    // round-6 review: Spark aggregate() null-poisons a sum over a NULL
+    // element while DuckDB list_aggregate skips it — the query filters such
+    // rows explicitly so the engines can't diverge.
+    val df = Seq(
+      (0, Seq[java.lang.Double](1.0, 2.0)),
+      (0, Seq[java.lang.Double](1.0, null))
+    ).toDF("label", "embedding")
+      .filter(forall(col("embedding"), x => x.isNotNull))
+      .select(col("label"),
+        aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, x) => a + x).as("s"))
+    assert(df.collect().map(_.getDouble(1)).toSeq == Seq(3.0))
+  }
 }

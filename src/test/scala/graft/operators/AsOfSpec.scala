@@ -106,8 +106,10 @@ class AsOfSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    // a single hashpartitioning exchange feeds the window sort
-    assert("hashpartitioning\\(__graft_asof_k".r.findAllIn(plan).size >= 1)
+    // EXACTLY one hashpartitioning exchange on the key feeds the window sort
+    // (a second one would mean the union's co-partitioning broke and the
+    // operator re-shuffles — the cost it exists to avoid)
+    assert("hashpartitioning\\(__graft_asof_k".r.findAllIn(plan).size == 1)
     assert(plan.contains("Window"))
   }
 }
