@@ -353,6 +353,22 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("o_orderkey").as("asof_orderkey"))
         .orderBy("event_id")
     }),
+    "q_asof_bucketed" -> ((s, dir) => {
+      // Bounded-staleness as-of, the skew-safe variant: each purchase event
+      // finds the user's latest view within the last hour. Partitioned by
+      // (user, hour bucket) — a hot user's timeline splits across buckets
+      // instead of sorting in one task (operators/AsOf.asOfJoinBucketed).
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id").as("v_user"), col("ts").as("vts"))
+        .agg(max("event_id").as("view_id"))
+      operators.AsOf.asOfJoinBucketed(purchases, views, "user_id", "v_user", "ts", "vts",
+          payload = Seq("view_id"), toleranceMillis = 3600_000L, bucketMillis = 3600_000L)
+        .select(col("event_id"), col("view_id").as("asof_view_id"))
+        .orderBy("event_id")
+    }),
     "q_agg_rollup" -> ((s, dir) =>
       // ROLLUP: per-group, subtotal and grand-total rows in one pass (Spark
       // expands the grouping sets BEFORE the partial aggregate, so the
@@ -454,6 +470,14 @@ object SparkEntry {
          SELECT e.event_id, e.user_id, o.o_orderkey AS asof_orderkey
          FROM events e ASOF LEFT JOIN o
            ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+         ORDER BY event_id""",
+    "q_asof_bucketed" ->
+      """WITH v AS (SELECT user_id AS v_user, ts AS vts, max(event_id) AS view_id
+                    FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+              p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id,
+                CASE WHEN p.ts - v.vts <= INTERVAL 1 HOUR THEN v.view_id END AS asof_view_id
+         FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts >= v.vts
          ORDER BY event_id""",
     "q_agg_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'

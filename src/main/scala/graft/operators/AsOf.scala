@@ -30,11 +30,10 @@ import org.apache.spark.sql.types.StructType
   * left timestamp sorts before every right row and yields a null match.
   *
   * Skew: one key's full timeline sorts within one task. For a hot key with a
-  * bounded-staleness requirement, set `toleranceMillis` and pre-bucket both
-  * sides by `(key, window(ts, tolerance))`, replicating each right row into
-  * its own and the following bucket — same results, partition count scales
-  * with time instead of keys. The unbounded-lookback form below is the
-  * general case.
+  * bounded-staleness requirement, [[asOfJoinBucketed]] partitions by
+  * `(key, time bucket)` instead — same results (parity-tested), partition
+  * count scales with time instead of keys. The unbounded-lookback form below
+  * is the general case.
   */
 object AsOf {
 
@@ -108,5 +107,79 @@ object AsOf {
       .withColumn(M, freshEnough)
       .select(leftCols.map(c => col(s"$L.`$c`").as(c)) ++
               payload.map(p => col(s"$M.`$p`").as(p)): _*)
+  }
+
+  private val BKT = "__graft_asof_bkt"
+
+  /** Bounded-staleness as-of join partitioned by `(key, time bucket)` — the
+    * skew-safe scale path. With a match tolerance `T` and bucket width
+    * `B >= T`, a left row at `t` can only match right rows in `[t-T, t]`,
+    * which live in `bucket(t)` or `bucket(t)-1`; so each right row is
+    * replicated into its own and the following bucket and the running-last
+    * window runs per `(key, bucket)`. A hot key's timeline now splits across
+    * `time-range / B` partitions instead of sorting in one task, at the cost
+    * of ≤2× the (narrow, payload-only) right rows in the shuffle. Results
+    * are identical to `asOfJoin(..., toleranceMillis = Some(tol))` — pinned
+    * by AsOfSpec parity.
+    */
+  def asOfJoinBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      toleranceMillis: Long,
+      bucketMillis: Long,
+      strict: Boolean = false): DataFrame = {
+    require(toleranceMillis > 0, "asOfJoinBucketed: tolerance must be positive")
+    require(bucketMillis >= toleranceMillis,
+      s"asOfJoinBucketed: bucket width ($bucketMillis ms) must cover the tolerance ($toleranceMillis ms) — a match can span at most one bucket boundary")
+    require(payload.nonEmpty, "asOfJoinBucketed: payload must name at least one right column")
+    val leftCols = left.columns.toSeq
+    val clash = payload.toSet.intersect(leftCols.toSet)
+    require(clash.isEmpty, s"asOfJoinBucketed: payload collides with left columns: ${clash.mkString(", ")}")
+    require(
+      left.schema(leftTs).dataType == right.schema(rightTs).dataType,
+      s"asOfJoinBucketed: timestamp types differ: ${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}")
+
+    def bucketOf(ts: org.apache.spark.sql.Column) =
+      floor(unix_micros(ts) / lit(bucketMillis * 1000L))
+
+    val carried = (rightTs +: payload.filterNot(_ == rightTs)).toIndexedSeq
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(carried.map(right.schema(_)))
+
+    val lTagged = left.select(
+      struct(leftCols.map(col): _*).as(L),
+      col(leftKey).as(K),
+      bucketOf(col(leftTs)).as(BKT),
+      col(leftTs).as(TS),
+      lit(1).as(SIDE),
+      lit(null).cast(rStruct).as(R))
+    val rBase = right
+      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
+      .select(
+        lit(null).cast(lStruct).as(L),
+        col(rightKey).as(K),
+        bucketOf(col(rightTs)).as(BKT),
+        col(rightTs).as(TS),
+        lit(if (strict) 2 else 0).as(SIDE),
+        struct(carried.map(col): _*).as(R))
+    // each right row also serves the next bucket's early left rows
+    val rTagged = rBase.unionByName(rBase.withColumn(BKT, col(BKT) + 1))
+
+    val w = Window.partitionBy(K, BKT).orderBy(col(TS).asc, col(SIDE).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = lTagged.unionByName(rTagged)
+      .withColumn(M, last(col(R), ignoreNulls = true).over(w))
+      .filter(col(SIDE) === 1)
+      .withColumn(M, when(
+        unix_micros(col(TS)) - unix_micros(col(M).getField(rightTs)) <= toleranceMillis * 1000L,
+        col(M)))
+
+    matched.select(leftCols.map(c => col(s"$L.`$c`").as(c)) ++
+                   payload.map(p => col(s"$M.`$p`").as(p)): _*)
   }
 }

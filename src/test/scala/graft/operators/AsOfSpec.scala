@@ -101,6 +101,49 @@ class AsOfSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("bucketed variant is result-identical to the unbounded join with the same tolerance") {
+    val rnd = new scala.util.Random(7)
+    val lf = (1 to 400).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", ts(f"2024-01-01 ${10 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d")))
+      .toDF("id", "tkey", "tts")
+    val rf = (0 until 5).flatMap(k => (0 until 170).map(i =>
+        (s"k$k", ts(f"2024-01-01 ${10 + i / 60}%02d:${i % 60}%02d:30"), k * 1000.0 + i)))
+      .toDF("qkey", "qts", "px")
+    val tol = 300_000L // 5 minutes
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "px").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[java.lang.Double]("px")))).toMap
+    val base = collect(AsOf.asOfJoin(lf, rf, "tkey", "qkey", "tts", "qts", Seq("px"),
+      toleranceMillis = Some(tol)))
+    for (bucket <- Seq(tol, 2 * tol, 7 * tol)) {
+      val bucketed = collect(AsOf.asOfJoinBucketed(lf, rf, "tkey", "qkey", "tts", "qts",
+        Seq("px"), toleranceMillis = tol, bucketMillis = bucket))
+      assert(bucketed == base, s"bucket=$bucket diverged")
+    }
+    // strict parity too (equal-timestamp right rows excluded)
+    val baseStrict = collect(AsOf.asOfJoin(lf, rf, "tkey", "qkey", "tts", "qts", Seq("px"),
+      strict = true, toleranceMillis = Some(tol)))
+    val bucketedStrict = collect(AsOf.asOfJoinBucketed(lf, rf, "tkey", "qkey", "tts", "qts",
+      Seq("px"), toleranceMillis = tol, bucketMillis = tol, strict = true))
+    assert(bucketedStrict == baseStrict)
+  }
+
+  test("bucketed variant rejects a bucket narrower than the tolerance") {
+    val e = intercept[IllegalArgumentException](
+      AsOf.asOfJoinBucketed(trades, quotes, "tkey", "qkey", "tts", "qts", Seq("px"),
+        toleranceMillis = 1000L, bucketMillis = 999L))
+    assert(e.getMessage.contains("must cover"))
+  }
+
+  test("bucketed plan partitions the window by (key, bucket) — hot-key timelines split") {
+    val plan = AsOf.asOfJoinBucketed(trades, quotes, "tkey", "qkey", "tts", "qts", Seq("px"),
+        toleranceMillis = 60_000L, bucketMillis = 60_000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("hashpartitioning(__graft_asof_k") &&
+           plan.contains("__graft_asof_bkt"))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("plan shape: one exchange on the key, no cartesian/inequality join") {
     val plan = AsOf.asOfJoin(trades, quotes, "tkey", "qkey", "tts", "qts", Seq("px"))
       .queryExecution.executedPlan.toString
