@@ -369,6 +369,21 @@ object SparkEntry {
         .select(col("event_id"), col("view_id").as("asof_view_id"))
         .orderBy("event_id")
     }),
+    "q_range_join" -> ((s, dir) => {
+      // Bounded range join, pair-emitting: every (purchase, view) by the
+      // same user within the preceding hour. The lookback bound makes it
+      // bandable — equi-join on (user, hour bucket) with ≤2× right
+      // replication (operators/RangeJoin.scala) — never an inequality join.
+      val ev = Tables.load(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id").as("v_user"), col("ts").as("vts"))
+      operators.RangeJoin.bounded(purchases, views, "user_id", "v_user", "ts", "vts",
+          lookbackMillis = 3600_000L, payload = Seq("view_id"))
+        .select("event_id", "view_id")
+        .orderBy("event_id", "view_id")
+    }),
     "q_agg_rollup" -> ((s, dir) =>
       // ROLLUP: per-group, subtotal and grand-total rows in one pass (Spark
       // expands the grouping sets BEFORE the partial aggregate, so the
@@ -479,6 +494,14 @@ object SparkEntry {
                 CASE WHEN p.ts - v.vts <= INTERVAL 1 HOUR THEN v.view_id END AS asof_view_id
          FROM p ASOF LEFT JOIN v ON p.user_id = v.v_user AND p.ts >= v.vts
          ORDER BY event_id""",
+    "q_range_join" ->
+      """WITH v AS (SELECT event_id AS view_id, user_id AS v_user, ts AS vts
+                    FROM events WHERE event_type = 'view'),
+              p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, v.view_id
+         FROM p JOIN v ON p.user_id = v.v_user
+                      AND v.vts > p.ts - INTERVAL 1 HOUR AND v.vts <= p.ts
+         ORDER BY event_id, view_id""",
     "q_agg_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
                      ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
