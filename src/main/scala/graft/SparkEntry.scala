@@ -384,6 +384,27 @@ object SparkEntry {
         .select("event_id", "view_id")
         .orderBy("event_id", "view_id")
     }),
+    "q_range_agg" -> ((s, dir) => {
+      // Join-free windowed range aggregate: views in the trailing hour per
+      // purchase. When only an AGGREGATE over the range is needed (not the
+      // pairs), union+RANGE-frame window does it in ONE key shuffle with no
+      // join at all — frame (t-1h, t] as micros offsets, lower-exclusive via
+      // (bound - 1). Same shape as q_range_join's count, zero replication.
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+      val tagged = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), lit(0).as("is_view"))
+        .unionByName(ev.filter(col("event_type") === "view")
+          .select(lit(null).cast("bigint").as("event_id"), col("user_id"),
+                  unix_micros(col("ts")).as("us"), lit(1).as("is_view")))
+      val w = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(-(3600_000_000L - 1L), 0L)
+      tagged
+        .withColumn("views_1h", sum(col("is_view")).over(w).cast("bigint"))
+        .filter(col("is_view") === 0)
+        .select("event_id", "views_1h")
+        .orderBy("event_id")
+    }),
     "q_agg_rollup" -> ((s, dir) =>
       // ROLLUP: per-group, subtotal and grand-total rows in one pass (Spark
       // expands the grouping sets BEFORE the partial aggregate, so the
@@ -502,6 +523,14 @@ object SparkEntry {
          FROM p JOIN v ON p.user_id = v.v_user
                       AND v.vts > p.ts - INTERVAL 1 HOUR AND v.vts <= p.ts
          ORDER BY event_id, view_id""",
+    "q_range_agg" ->
+      """WITH v AS (SELECT user_id AS v_user, ts AS vts, event_id AS view_id
+                    FROM events WHERE event_type = 'view'),
+              p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+         SELECT p.event_id, count(v.view_id) AS views_1h
+         FROM p LEFT JOIN v ON p.user_id = v.v_user
+                           AND v.vts > p.ts - INTERVAL 1 HOUR AND v.vts <= p.ts
+         GROUP BY p.event_id ORDER BY p.event_id""",
     "q_agg_rollup" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
                      ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
