@@ -640,19 +640,19 @@ object SparkEntry {
         .select("vec_id", "bucket")
         .orderBy("vec_id").limit(500)),
     "q_embed_centroid" -> ((s, dir) => {
-      // Per-label embedding profile: per-row vector reductions (codegen'd
-      // array HOFs, one traversal each) feed a tiny per-label aggregate.
-      // Cross-row totals route through DECIMAL (like every money sum here)
-      // so partition-order-dependent double addition can't flip the last
-      // rounded digit vs the sequential DuckDB twin.
-      val v = col("embedding").cast("array<double>")
+      // Per-label embedding profile: per-row vector reductions (native
+      // one-pass fold expressions, bit-identical to the HOF formulation)
+      // feed a tiny per-label aggregate. Cross-row totals route through
+      // DECIMAL (like every money sum here) so partition-order-dependent
+      // double addition can't flip the last rounded digit vs the
+      // sequential DuckDB twin.
       Tables.load(s, dir, "embeddings")
         // dense-vector precondition, enforced: a NULL element would null-
-        // poison Spark's aggregate() while DuckDB's list_aggregate skips
-        // NULLs — both sides drop such rows explicitly instead of diverging
+        // poison the fold while DuckDB's list_aggregate skips NULLs —
+        // both sides drop such rows explicitly instead of diverging
         .filter(forall(col("embedding"), x => x.isNotNull))
         .select(col("label"),
-          (aggregate(v, lit(0.0), (a, x) => a + x) / size(col("embedding")))
+          (functions.VectorFunctions.arraySum(col("embedding")) / size(col("embedding")))
             .cast("decimal(28,12)").as("elem_row"),
           functions.VectorFunctions.norm(col("embedding"))
             .cast("decimal(28,12)").as("norm_row"))

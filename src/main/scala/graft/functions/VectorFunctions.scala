@@ -3,42 +3,78 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** Dense-vector math over `array<float|double>` columns via `zip_with` /
-  * `aggregate` — per-row, codegen'd, shuffle-free. A custom Catalyst
-  * Expression with `doGenCode` would shave the ArrayData boxing; these
-  * compose identically and stay optimizer-visible, which matters more here.
+import graft.plans.VectorExpressions
+
+/** Dense-vector math over `array<float|double>` columns.
+  *
+  * Primary API delegates to native one-pass Catalyst expressions
+  * ([[graft.plans.VectorExpressions]]) — `zip_with`/`aggregate` higher-order
+  * functions evaluate interpreted (per-element lambda dispatch + boxing), and
+  * `hyperplaneBucket` embedded one aggregate node PER PLANE, i.e. nbits
+  * interpreted array traversals per row in the bucket-assignment scan. The
+  * `*Columns` twins keep the original column-algebra formulations as the
+  * executable spec: parity tests (VectorParitySpec) pin the native results
+  * bit-identical on every edge (nulls, length mismatch, zero vectors).
   */
 object VectorFunctions {
 
   private def d(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column =
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(d(a), d(b))
+
+  /** Column-algebra twin of [[dot]] (interpreted HOFs; parity-test spec). */
+  def dotColumns(a: Column, b: Column): Column =
     aggregate(zip_with(d(a), d(b), (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Left-fold element sum; native twin of `aggregate(v, 0.0, _ + _)`. */
+  def arraySum(a: Column): Column = VectorExpressions.arraySum(d(a))
+
   /** Zero-guarded: a zero vector scores 0.0, not NaN (NaN sorts ABOVE every
-    * double in Spark and would top every desc-score ranking).
+    * double in Spark and would top every desc-score ranking). One fused pass
+    * per pair — this is the inner loop of every ANN candidate scoring join.
     */
-  def cosine(a: Column, b: Column): Column = {
-    val denom = norm(a) * norm(b)
-    when(denom === 0.0, lit(0.0)).otherwise(dot(a, b) / denom)
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(d(a), d(b))
+
+  /** Column-algebra twin of [[cosine]] (the original formulation whose IEEE
+    * operation order the native expression replicates exactly).
+    */
+  def cosineColumns(a: Column, b: Column): Column = {
+    val denom = sqrt(dotColumns(a, a)) * sqrt(dotColumns(b, b))
+    when(denom === 0.0, lit(0.0)).otherwise(dotColumns(a, b) / denom)
   }
 
-  /** Signature of `nbits` random-hyperplane sign bits as an int bucket id.
-    * Hyperplane components are deterministic ±1 draws from `seed`, embedded as
-    * literals — every executor and every run sees identical planes.
+  /** Deterministic ±1 hyperplane components drawn from `seed` — shared by the
+    * native expression and the column twin so both see identical planes.
+    */
+  private[graft] def planesFor(dim: Int, nbits: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nbits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** Signature of `nbits` random-hyperplane sign bits as an int bucket id —
+    * all bits in ONE native pass over the vector.
     */
   def hyperplaneBucket(vec: Column, dim: Int, nbits: Int = 8, seed: Long = 7L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val planes = Array.fill(nbits, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+    val planes = planesFor(dim, nbits, seed)
+    val bucket = VectorExpressions.hyperplaneBits(d(vec), planes.map(_.toSeq).toSeq)
+    // A dim mismatch would silently collapse ALL vectors into bucket 0 — the
+    // exact all-pairs blowup bucketing exists to prevent. Fail loudly instead.
+    when(size(vec) === dim, bucket)
+      .otherwise(raise_error(concat(
+        lit(s"hyperplaneBucket: expected $dim dims, got "), size(vec).cast("string"))))
+  }
+
+  /** Column-algebra twin of [[hyperplaneBucket]]'s bit computation (nbits
+    * interpreted aggregate nodes; parity-test spec). Same planes, same guard.
+    */
+  def hyperplaneBucketColumns(vec: Column, dim: Int, nbits: Int = 8, seed: Long = 7L): Column = {
+    val planes = planesFor(dim, nbits, seed)
     val bucket = (0 until nbits).map { p =>
-      val proj = dot(vec, typedLit(planes(p).toSeq))
+      val proj = dotColumns(vec, typedLit(planes(p).toSeq))
       when(proj > 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
-    // A dim mismatch null-poisons every projection (zip_with pads with nulls)
-    // and would silently collapse ALL vectors into bucket 0 — the exact
-    // all-pairs blowup bucketing exists to prevent. Fail loudly instead.
     when(size(vec) === dim, bucket)
       .otherwise(raise_error(concat(
         lit(s"hyperplaneBucket: expected $dim dims, got "), size(vec).cast("string"))))

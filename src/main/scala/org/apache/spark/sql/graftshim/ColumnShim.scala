@@ -19,6 +19,13 @@ object ColumnShim {
   val stringInput: Seq[org.apache.spark.sql.types.AbstractDataType] =
     Seq(org.apache.spark.sql.types.StringType)
 
+  /** Input-type specs for array<double> expressions (unary / binary). */
+  val doubleArrayInput: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+  val doubleArrayInput2: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
+
   /** Register a function into an ALREADY-RUNNING session's registry (the
     * `withExtensions` path only applies to sessions built after the fact).
     */
