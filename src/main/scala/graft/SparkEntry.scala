@@ -611,6 +611,29 @@ object SparkEntry {
         .select(col("doc_id"),
           functions.TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy("doc_id")),
+    "q_text_repetition" -> ((s, dir) =>
+      // Gopher-style repetition quality signals. Raw struct aliased in one
+      // select, fields rounded in a second — CollapseProject won't inline a
+      // non-cheap expression into multiple consumers, so the document
+      // tokenizes ONCE per row (pinned in PlanPropertiesSpec).
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextFunctions.repetitionStats(col("text")).as("r"))
+        .select(col("doc_id"),
+          col("r.n_tokens").as("n_tokens"),
+          round(col("r.dup_word_frac"), 4).as("dup_word_frac"),
+          round(col("r.dup_bigram_frac"), 4).as("dup_bigram_frac"),
+          round(col("r.top_word_frac"), 4).as("top_word_frac"))
+        .orderBy("doc_id")),
+    "q_sample_split" -> ((s, dir) =>
+      // Deterministic train/val/test assignment: pure function of the key
+      // (md5-prefix thresholds), reproducible on any engine at any
+      // parallelism — the DuckDB oracle recomputes the very same split.
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          operators.Sampling.splitAssign(col("doc_id"),
+            Seq("test" -> 0.1, "val" -> 0.1)).as("split"))
+        .orderBy("doc_id")),
     "q_text_langid" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -720,6 +743,28 @@ object SparkEntry {
                       / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          WHERE a.doc_id < 19 ORDER BY id_a""",
+    "q_text_repetition" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+           FROM documents),
+         b AS (
+           SELECT doc_id, w,
+                  list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+           FROM t)
+         SELECT doc_id,
+                CAST(len(w) AS INTEGER) AS n_tokens,
+                round(CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w), 4) AS dup_word_frac,
+                round(CASE WHEN len(bg) = 0 THEN 0.0
+                      ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 4) AS dup_bigram_frac,
+                round(CAST(len(list_filter(w, x -> x = list_aggregate(w, 'mode'))) AS DOUBLE) / len(w), 4) AS top_word_frac
+         FROM b ORDER BY doc_id""",
+    "q_sample_split" ->
+      """SELECT doc_id,
+                CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+                     WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
+                     ELSE 'train' END AS split
+         FROM documents ORDER BY doc_id""",
     "q_text_langid" ->
       // Same contract as TextFunctions.langId: marker-token counts per
       // language, argmax with ties → first language in sorted-code order

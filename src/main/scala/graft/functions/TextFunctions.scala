@@ -59,6 +59,18 @@ object TextFunctions {
     round(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks), 4)
   }
 
+  /** Gopher-style repetition signals:
+    * `struct(n_tokens, dup_word_frac, dup_bigram_frac, top_word_frac)` —
+    * excess-duplication heuristics (duplicate words/bigrams, single-word
+    * domination) used to filter boilerplate and degenerate text. Native
+    * single-pass expression returning the RAW struct: alias it in one
+    * select, extract/round fields in a SECOND select (the minhashState
+    * pattern) — rebuilding a rounded struct inline would inline the
+    * expression once per field and tokenize the document four times.
+    */
+  def repetitionStats(text: Column): Column =
+    graft.plans.TextExpressions.repetitionStats(text)
+
   /** Composite quality score in [0,1]: half stopword density (capped), half
     * length saturation at 100 tokens — the cheap hygiene heuristics a pretraining
     * pipeline applies before expensive scoring. Native single-pass expression.

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and split assignment for training
+  * pipelines.
+  *
+  * `df.sample()` is seed-stable only for a fixed partitioning of a fixed
+  * plan — repartition the corpus (or rescale the cluster) and the sampled SET
+  * changes. Training-data splits need the opposite contract: the same record
+  * lands in the same split forever, on any engine, at any parallelism. That
+  * is a pure function of the record key: hash the key, compare the hex prefix
+  * against a fraction threshold. md5 is used (not xxhash64) precisely because
+  * every engine implements it identically — the assignment is reproducible
+  * in DuckDB/Trino/pandas byte-for-byte, so the DuckDB oracle checks the
+  * actual split, not a lookalike.
+  *
+  * Scale shape: per-row hash of an already-present key column inside the
+  * scan projection — no shuffle, no state, trivially codegen'd. A NULL key
+  * nulls the comparison and falls through to the default split (documented
+  * contract; same CASE semantics in SQL).
+  */
+object Sampling {
+
+  /** Lowercase hex md5 of the key's string form (engine-portable). */
+  def keyHash(key: Column): Column = md5(key.cast("string").cast("binary"))
+
+  /** 8-hex-char threshold: keys whose hash prefix sorts below it are "in".
+    * Granularity 2^-32 of the requested fraction.
+    */
+  private[operators] def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    f"${math.floor(fraction * 4294967296.0).toLong.min(0xffffffffL)}%08x"
+  }
+
+  /** Deterministic membership flag for a `fraction` sample keyed on `key`.
+    * Monotone in `fraction`: sample(0.1) is a subset of sample(0.2).
+    */
+  def inSample(key: Column, fraction: Double): Column =
+    substring(keyHash(key), 1, 8) < lit(hexThreshold(fraction))
+
+  /** Deterministic sample: keep `fraction` of rows keyed on `key`. */
+  def deterministicSample(df: org.apache.spark.sql.DataFrame, key: Column,
+                          fraction: Double): org.apache.spark.sql.DataFrame =
+    df.filter(inSample(key, fraction))
+
+  /** Split assignment as a CASE cascade over cumulative thresholds:
+    * `splits = Seq("test" -> 0.1, "val" -> 0.1)` sends ~10% to "test",
+    * the next ~10% to "val", everything else (and NULL keys) to `default`.
+    * Disjoint and exhaustive by construction; stable under data growth —
+    * a record's split never changes when other records arrive.
+    */
+  def splitAssign(key: Column, splits: Seq[(String, Double)],
+                  default: String = "train"): Column = {
+    require(splits.nonEmpty, "need at least one named split")
+    val total = splits.map(_._2).sum
+    require(total < 1.0, s"named splits sum to $total; must leave room for '$default'")
+    val h = substring(keyHash(key), 1, 8)
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    val cased = splits.zip(cumulative).foldLeft(Option.empty[Column]) {
+      case (acc, ((name, _), cum)) =>
+        val cond = h < lit(hexThreshold(cum))
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+    }.get
+    cased.otherwise(lit(default))
+  }
+}

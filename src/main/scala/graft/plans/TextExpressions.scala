@@ -68,6 +68,14 @@ object TextExpressions {
                       stopwords: Seq[String] = graft.functions.TextFunctions.defaultStopwords): Column =
     ColumnShim.column(QualityScore(ColumnShim.expression(text), stopwords))
 
+  /** struct<n_tokens, dup_word_frac, dup_bigram_frac, top_word_frac> —
+    * Gopher-style repetition signals in ONE tokens pass (fracs unrounded;
+    * callers round, keeping rounding in column algebra like the other text
+    * expressions).
+    */
+  def repetitionStats(text: Column): Column =
+    ColumnShim.column(RepetitionStats(ColumnShim.expression(text)))
+
   /** Shared tokenizer for every native text expression: edge-strip by the
     * SAME `\s` class the column twins use (`regexp_replace(text,
     * "^\\s+|\\s+$", "")` + `split("\\s+")`) — Java `String.trim` strips all
@@ -354,6 +362,61 @@ case class QualityScore(child: Expression, stopwords: Seq[String])
   }
 
   override protected def withNewChildInternal(newChild: Expression): QualityScore =
+    copy(child = newChild)
+}
+
+/** Repetition (excess-duplication) signals — the Gopher/MassiveText-style
+  * quality rules for filtering boilerplate and degenerate generations:
+  * duplicate-word fraction, duplicate-bigram fraction, and the fraction of
+  * the document taken by its single most frequent word. One pass over the
+  * tokens; bigrams joined with a single space. Division order matches the
+  * DuckDB oracle exactly: `(count - distinct).toDouble / count`. A document
+  * always has ≥1 token (splitting "" yields [""]), so the word divisions are
+  * safe; zero bigrams (single-token doc) → 0.0 by definition.
+  */
+case class RepetitionStats(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("dup_bigram_frac", DoubleType, nullable = false),
+    StructField("top_word_frac", DoubleType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
+    val n = tokens.length
+    val counts = new java.util.HashMap[String, Integer](n * 2)
+    var maxC = 0
+    var i = 0
+    while (i < n) {
+      val c = counts.merge(tokens(i), 1, (a, b) => a + b)
+      if (c > maxC) maxC = c
+      i += 1
+    }
+    val nb = n - 1
+    var dupB = 0.0
+    if (nb > 0) {
+      val bigrams = new java.util.HashSet[String](nb * 2)
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < nb) {
+        sb.setLength(0)
+        sb.append(tokens(j)).append(' ').append(tokens(j + 1))
+        bigrams.add(sb.toString)
+        j += 1
+      }
+      dupB = (nb - bigrams.size).toDouble / nb
+    }
+    InternalRow(n,
+      (n - counts.size).toDouble / n,
+      dupB,
+      maxC.toDouble / n)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
     copy(child = newChild)
 }
 

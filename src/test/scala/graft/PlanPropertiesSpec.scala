@@ -62,6 +62,18 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q_text_repetition tokenizes once: a single RepetitionStats node in the plan") {
+    val p = plan("q_text_repetition")
+    val count = "(?i)repetitionstats".r.findAllIn(p).length
+    assert(count == 1, s"expected exactly 1 RepetitionStats (4-field extraction must not inline the expression per field), found $count:\n$p")
+  }
+
+  test("q_sample_split is a pure scan projection: no shuffle before the output sort") {
+    val p = plan("q_sample_split")
+    assert("(?i)exchange".r.findAllIn(p).length == 1,
+      s"split assignment must add no shuffle beyond the final orderBy:\n$p")
+  }
+
   test("pipeline corpus: winners broadcast into a semi-join; bodies never shuffle") {
     val p = plan("q_pipeline_corpus")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val keys = {
+    import spark.implicits._
+    (0L until 5000L).toDF("k")
+  }
+
+  test("split assignment is deterministic, disjoint-exhaustive, and ~proportional") {
+    val assigned = keys.select(col("k"),
+      Sampling.splitAssign(col("k"), Seq("test" -> 0.1, "val" -> 0.1)).as("split"))
+    val counts = assigned.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("test", "val", "train"))
+    assert(counts.values.sum == 5000L)
+    // binomial(5000, 0.1) is ~500 ± 21σ-ish; ±25% is far outside flake range
+    assert(counts("test") > 375 && counts("test") < 625, s"test split ${counts("test")}")
+    assert(counts("val") > 375 && counts("val") < 625, s"val split ${counts("val")}")
+    // determinism: the same frame computed twice is identical
+    val again = keys.select(col("k"),
+      Sampling.splitAssign(col("k"), Seq("test" -> 0.1, "val" -> 0.1)).as("split"))
+    assert(assigned.except(again).isEmpty && again.except(assigned).isEmpty)
+  }
+
+  test("assignment is stable under repartition and row-subset (pure key function)") {
+    val full = keys.select(col("k"),
+      Sampling.splitAssign(col("k"), Seq("test" -> 0.2)).as("split"))
+    val shuffled = keys.repartition(17).filter(col("k") % 3 === 0)
+      .select(col("k"), Sampling.splitAssign(col("k"), Seq("test" -> 0.2)).as("split"))
+    val joined = full.withColumnRenamed("split", "a")
+      .join(shuffled.withColumnRenamed("split", "b"), "k")
+    assert(joined.filter(col("a") =!= col("b")).isEmpty)
+  }
+
+  test("deterministic sample is monotone in fraction (0.1 subset-of 0.2)") {
+    val s1 = Sampling.deterministicSample(keys, col("k"), 0.1)
+    val s2 = Sampling.deterministicSample(keys, col("k"), 0.2)
+    assert(s1.except(s2).isEmpty, "sample(0.1) not a subset of sample(0.2)")
+    assert(s2.count() > s1.count())
+  }
+
+  test("NULL key falls through to the default split") {
+    val df = spark.sql("SELECT cast(null as bigint) AS k")
+      .select(Sampling.splitAssign(col("k"), Seq("test" -> 0.5)).as("split"))
+    assert(df.head.getString(0) == "train")
+  }
+
+  test("invalid fractions are rejected") {
+    intercept[IllegalArgumentException](Sampling.splitAssign(col("k"), Seq("a" -> 0.6, "b" -> 0.4)))
+    intercept[IllegalArgumentException](Sampling.splitAssign(col("k"), Seq.empty))
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.5))
+  }
+
+  test("hexThreshold edges: 0 keeps nothing, 1 keeps everything (clamped)") {
+    assert(Sampling.hexThreshold(0.0) == "00000000")
+    assert(Sampling.hexThreshold(1.0) == "ffffffff")
+    assert(Sampling.deterministicSample(keys, col("k"), 0.0).isEmpty)
+  }
+}
