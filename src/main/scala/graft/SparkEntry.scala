@@ -392,15 +392,22 @@ object SparkEntry {
       // (bound - 1). Same shape as q_range_join's count, zero replication.
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.load(s, dir, "events")
+      // Null semantics must match the oracle's LEFT JOIN: views with a null
+      // user/ts can never join (filtered here — Spark's window would group
+      // nulls TOGETHER and count them); purchases always emit a row, with a
+      // forced 0 when their own key/ts is null (no join match possible).
       val tagged = ev.filter(col("event_type") === "purchase")
           .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"), lit(0).as("is_view"))
-        .unionByName(ev.filter(col("event_type") === "view")
+        .unionByName(ev.filter(col("event_type") === "view" &&
+                               col("user_id").isNotNull && col("ts").isNotNull)
           .select(lit(null).cast("bigint").as("event_id"), col("user_id"),
                   unix_micros(col("ts")).as("us"), lit(1).as("is_view")))
       val w = Window.partitionBy("user_id").orderBy("us")
         .rangeBetween(-(3600_000_000L - 1L), 0L)
       tagged
-        .withColumn("views_1h", sum(col("is_view")).over(w).cast("bigint"))
+        .withColumn("views_1h",
+          when(col("user_id").isNull || col("us").isNull, lit(0L))
+            .otherwise(sum(col("is_view")).over(w)).cast("bigint"))
         .filter(col("is_view") === 0)
         .select("event_id", "views_1h")
         .orderBy("event_id")

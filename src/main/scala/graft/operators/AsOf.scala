@@ -59,55 +59,9 @@ object AsOf {
       rightTs: String,
       payload: Seq[String],
       strict: Boolean = false,
-      toleranceMillis: Option[Long] = None): DataFrame = {
-    require(payload.nonEmpty, "asOfJoin: payload must name at least one right column")
-    val leftCols = left.columns.toSeq
-    val clash = payload.toSet.intersect(leftCols.toSet)
-    require(clash.isEmpty, s"asOfJoin: payload collides with left columns: ${clash.mkString(", ")}")
-    require(
-      left.schema(leftTs).dataType == right.schema(rightTs).dataType,
-      s"asOfJoin: timestamp types differ: ${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}")
-
-    // The match struct always carries the right timestamp (first field) so the
-    // tolerance check can read it even when the caller didn't ask for it.
-    val carried = (rightTs +: payload.filterNot(_ == rightTs)).toIndexedSeq
-    val lStruct = StructType(left.schema.fields)
-    val rStruct = StructType(carried.map(right.schema(_)))
-
-    val lTagged = left.select(
-      struct(leftCols.map(col): _*).as(L),
-      col(leftKey).as(K),
-      col(leftTs).as(TS),
-      lit(1).as(SIDE),
-      lit(null).cast(rStruct).as(R))
-    // side ordering does the inclusivity: at an equal timestamp, right rows
-    // sort before left (0 < 1, inclusive) or after (2 > 1, strict-excluded).
-    val rTagged = right
-      .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
-      .select(
-        lit(null).cast(lStruct).as(L),
-        col(rightKey).as(K),
-        col(rightTs).as(TS),
-        lit(if (strict) 2 else 0).as(SIDE),
-        struct(carried.map(col): _*).as(R))
-
-    val w = Window.partitionBy(K).orderBy(col(TS).asc, col(SIDE).asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched = lTagged.unionByName(rTagged)
-      .withColumn(M, last(col(R), ignoreNulls = true).over(w))
-      .filter(col(SIDE) === 1)
-
-    val freshEnough = toleranceMillis match {
-      case Some(tol) =>
-        // unix_micros is exact on the timestamp range (no double rounding)
-        when(unix_micros(col(TS)) - unix_micros(col(M).getField(rightTs)) <= tol * 1000L, col(M))
-      case None => col(M)
-    }
-    matched
-      .withColumn(M, freshEnough)
-      .select(leftCols.map(c => col(s"$L.`$c`").as(c)) ++
-              payload.map(p => col(s"$M.`$p`").as(p)): _*)
-  }
+      toleranceMillis: Option[Long] = None): DataFrame =
+    core("asOfJoin", left, right, leftKey, rightKey, leftTs, rightTs,
+      payload, strict, toleranceMillis, bucketMillis = None)
 
   private val BKT = "__graft_asof_bkt"
 
@@ -136,50 +90,90 @@ object AsOf {
     require(toleranceMillis > 0, "asOfJoinBucketed: tolerance must be positive")
     require(bucketMillis >= toleranceMillis,
       s"asOfJoinBucketed: bucket width ($bucketMillis ms) must cover the tolerance ($toleranceMillis ms) — a match can span at most one bucket boundary")
-    require(payload.nonEmpty, "asOfJoinBucketed: payload must name at least one right column")
+    core("asOfJoinBucketed", left, right, leftKey, rightKey, leftTs, rightTs,
+      payload, strict, Some(toleranceMillis), Some(bucketMillis))
+  }
+
+  /** Shared tag→union→running-last pipeline; `bucketMillis` switches between
+    * the unbounded per-key window and the `(key, bucket)` bounded form with
+    * right-row replication into the following bucket.
+    */
+  private def core(
+      opName: String,
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String,
+      leftTs: String,
+      rightTs: String,
+      payload: Seq[String],
+      strict: Boolean,
+      toleranceMillis: Option[Long],
+      bucketMillis: Option[Long]): DataFrame = {
+    require(payload.nonEmpty, s"$opName: payload must name at least one right column")
     val leftCols = left.columns.toSeq
     val clash = payload.toSet.intersect(leftCols.toSet)
-    require(clash.isEmpty, s"asOfJoinBucketed: payload collides with left columns: ${clash.mkString(", ")}")
+    require(clash.isEmpty, s"$opName: payload collides with left columns: ${clash.mkString(", ")}")
     require(
       left.schema(leftTs).dataType == right.schema(rightTs).dataType,
-      s"asOfJoinBucketed: timestamp types differ: ${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}")
+      s"$opName: timestamp types differ: ${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}")
 
-    def bucketOf(ts: org.apache.spark.sql.Column) =
-      floor(unix_micros(ts) / lit(bucketMillis * 1000L))
+    // Integer `div` on micros: exact at every magnitude (double `/` is exact
+    // only below 2^53 ≈ year 2255 in micros). `div` truncates toward zero, so
+    // bucket 0 spans (-B, B) for pre-1970 data — harmless: banding only needs
+    // consistent bucketing plus the replicate-into-next-bucket adjacency,
+    // both of which hold for a double-width bucket (tolerance ≤ B still
+    // reaches at most one boundary back).
+    def bucketOf(ts: org.apache.spark.sql.Column, widthMillis: Long) =
+      org.apache.spark.sql.graftshim.ColumnShim.intDiv(
+        unix_micros(ts), lit(widthMillis * 1000L))
 
+    // The match struct always carries the right timestamp (first field) so the
+    // tolerance check can read it even when the caller didn't ask for it.
     val carried = (rightTs +: payload.filterNot(_ == rightTs)).toIndexedSeq
     val lStruct = StructType(left.schema.fields)
     val rStruct = StructType(carried.map(right.schema(_)))
 
+    def bucketCol(ts: String): Seq[(org.apache.spark.sql.Column)] =
+      bucketMillis.map(b => bucketOf(col(ts), b).as(BKT)).toSeq
+
     val lTagged = left.select(
-      struct(leftCols.map(col): _*).as(L),
-      col(leftKey).as(K),
-      bucketOf(col(leftTs)).as(BKT),
-      col(leftTs).as(TS),
-      lit(1).as(SIDE),
-      lit(null).cast(rStruct).as(R))
+      Seq(struct(leftCols.map(col): _*).as(L), col(leftKey).as(K)) ++
+      bucketCol(leftTs) ++ Seq(
+        col(leftTs).as(TS),
+        lit(1).as(SIDE),
+        lit(null).cast(rStruct).as(R)): _*)
+    // side ordering does the inclusivity: at an equal timestamp, right rows
+    // sort before left (0 < 1, inclusive) or after (2 > 1, strict-excluded).
     val rBase = right
       .filter(col(rightKey).isNotNull && col(rightTs).isNotNull)
       .select(
-        lit(null).cast(lStruct).as(L),
-        col(rightKey).as(K),
-        bucketOf(col(rightTs)).as(BKT),
-        col(rightTs).as(TS),
-        lit(if (strict) 2 else 0).as(SIDE),
-        struct(carried.map(col): _*).as(R))
-    // each right row also serves the next bucket's early left rows
-    val rTagged = rBase.unionByName(rBase.withColumn(BKT, col(BKT) + 1))
+        Seq(lit(null).cast(lStruct).as(L), col(rightKey).as(K)) ++
+        bucketCol(rightTs) ++ Seq(
+          col(rightTs).as(TS),
+          lit(if (strict) 2 else 0).as(SIDE),
+          struct(carried.map(col): _*).as(R)): _*)
+    // bucketed form: each right row also serves the next bucket's early left rows
+    val rTagged =
+      if (bucketMillis.isDefined) rBase.unionByName(rBase.withColumn(BKT, col(BKT) + 1))
+      else rBase
 
-    val w = Window.partitionBy(K, BKT).orderBy(col(TS).asc, col(SIDE).asc)
+    val partKeys = col(K) +: (if (bucketMillis.isDefined) Seq(col(BKT)) else Nil)
+    val w = Window.partitionBy(partKeys: _*).orderBy(col(TS).asc, col(SIDE).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
       .withColumn(M, last(col(R), ignoreNulls = true).over(w))
       .filter(col(SIDE) === 1)
-      .withColumn(M, when(
-        unix_micros(col(TS)) - unix_micros(col(M).getField(rightTs)) <= toleranceMillis * 1000L,
-        col(M)))
 
-    matched.select(leftCols.map(c => col(s"$L.`$c`").as(c)) ++
-                   payload.map(p => col(s"$M.`$p`").as(p)): _*)
+    val freshEnough = toleranceMillis match {
+      case Some(tol) =>
+        // unix_micros is exact on the timestamp range (no double rounding)
+        when(unix_micros(col(TS)) - unix_micros(col(M).getField(rightTs)) <= tol * 1000L, col(M))
+      case None => col(M)
+    }
+    matched
+      .withColumn(M, freshEnough)
+      .select(leftCols.map(c => col(s"$L.`$c`").as(c)) ++
+              payload.map(p => col(s"$M.`$p`").as(p)): _*)
   }
 }

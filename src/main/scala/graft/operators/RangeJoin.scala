@@ -54,8 +54,14 @@ object RangeJoin {
       left.schema(leftTs).dataType == right.schema(rightTs).dataType,
       s"RangeJoin.bounded: timestamp types differ: ${left.schema(leftTs).dataType} vs ${right.schema(rightTs).dataType}")
 
+    // Integer `div` on micros: exact at every magnitude (double `/` is exact
+    // only below 2^53). Truncation toward zero makes bucket 0 span (-B, B)
+    // for pre-1970 data — harmless: the band join only needs consistent
+    // bucketing + next-bucket replication adjacency, which a double-width
+    // bucket preserves, and the exact range predicate filters afterwards.
     def bucketOf(ts: org.apache.spark.sql.Column) =
-      floor(unix_micros(ts) / lit(lookbackMillis * 1000L))
+      org.apache.spark.sql.graftshim.ColumnShim.intDiv(
+        unix_micros(ts), lit(lookbackMillis * 1000L))
 
     val l = left
       .withColumn(K, col(leftKey))

@@ -36,9 +36,15 @@ object Sampling {
 
   /** Deterministic membership flag for a `fraction` sample keyed on `key`.
     * Monotone in `fraction`: sample(0.1) is a subset of sample(0.2).
+    * `fraction = 1.0` keeps EVERY row — the strict `<` against a clamped
+    * max threshold would silently drop keys whose hash prefix is exactly
+    * "ffffffff" (~1 in 2^32 — real keys at corpus scale).
     */
-  def inSample(key: Column, fraction: Double): Column =
-    substring(keyHash(key), 1, 8) < lit(hexThreshold(fraction))
+  def inSample(key: Column, fraction: Double): Column = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
+    if (fraction == 1.0) lit(true)
+    else substring(keyHash(key), 1, 8) < lit(hexThreshold(fraction))
+  }
 
   /** Deterministic sample: keep `fraction` of rows keyed on `key`. */
   def deterministicSample(df: org.apache.spark.sql.DataFrame, key: Column,

@@ -93,40 +93,32 @@ case class CosineSim(left: Expression, right: Expression)
     val b = r.asInstanceOf[ArrayData]
     val la = a.numElements()
     val lb = b.numElements()
-    // norms: each folds its OWN full array (zip_with(a, a) never mismatches),
-    // null element → null norm
+    // One fused pass: three independent accumulators, each folding in index
+    // order — the same IEEE sequence as the twin's three separate folds.
+    // ANY null element → null overall in the twin (a null norm nulls the
+    // denom and its side's dot simultaneously), so we can return early.
     var accAA = 0.0
-    var nullA = false
-    var i = 0
-    while (i < la && !nullA) {
-      if (a.isNullAt(i)) nullA = true
-      else { val x = a.getDouble(i); accAA += x * x }
-      i += 1
-    }
     var accBB = 0.0
-    var nullB = false
-    i = 0
-    while (i < lb && !nullB) {
-      if (b.isNullAt(i)) nullB = true
-      else { val x = b.getDouble(i); accBB += x * x }
+    var accAB = 0.0
+    val n = math.max(la, lb)
+    var i = 0
+    while (i < n) {
+      val inA = i < la
+      val inB = i < lb
+      if ((inA && a.isNullAt(i)) || (inB && b.isNullAt(i))) return null
+      var x = 0.0
+      var y = 0.0
+      if (inA) { x = a.getDouble(i); accAA += x * x }
+      if (inB) { y = b.getDouble(i); accBB += y * y }
+      if (inA && inB) accAB += x * y
       i += 1
     }
-    val denomNull = nullA || nullB
     val denom = math.sqrt(accAA) * math.sqrt(accBB)
     // twin decides `when(denom === 0.0, 0.0)` FIRST — a zero vector scores
-    // 0.0 even against a mismatched-length partner
-    if (!denomNull && denom == 0.0) return java.lang.Double.valueOf(0.0)
-    var dotNull = la != lb || denomNull
-    var acc = 0.0
-    if (!dotNull) {
-      var j = 0
-      while (j < la && !dotNull) {
-        if (a.isNullAt(j) || b.isNullAt(j)) dotNull = true
-        else acc += a.getDouble(j) * b.getDouble(j)
-        j += 1
-      }
-    }
-    if (dotNull) null else java.lang.Double.valueOf(acc / denom)
+    // 0.0 even against a mismatched-length partner (whose dot would be null)
+    if (denom == 0.0) java.lang.Double.valueOf(0.0)
+    else if (la != lb) null
+    else java.lang.Double.valueOf(accAB / denom)
   }
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =

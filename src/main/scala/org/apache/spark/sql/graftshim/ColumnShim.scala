@@ -26,6 +26,13 @@ object ColumnShim {
     Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
+  /** Integer division (`div`) — exact at every long magnitude, unlike `/`
+    * (double division, exact only below 2^53). Truncates toward zero.
+    */
+  def intDiv(a: Column, b: Column): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      expression(a), expression(b)))
+
   /** Register a function into an ALREADY-RUNNING session's registry (the
     * `withExtensions` path only applies to sessions built after the fact).
     */

@@ -25,6 +25,27 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(r.data.head.getAs[scala.collection.Seq[Row]]("tags").nonEmpty)
   }
 
+  test("q_range_agg matches LEFT-JOIN null semantics: null-key purchases count 0, null-key views count nowhere") {
+    // events-shaped parquet with nulls (ts stored as long nanos like the real
+    // table); the window formulation must not group null users together
+    val h = 3600L * 1000 * 1000 * 1000 // one hour in nanos
+    val rows = Seq[(java.lang.Long, java.lang.Long, java.lang.Long, String)](
+      (1L, 10L * h, 7L, "purchase"),       // normal: one view 30min before → 1
+      (null, (10L * h) - (h / 2), 7L, "view"),
+      (2L, 20L * h, null, "purchase"),     // null user: oracle LEFT JOIN → 0
+      (null, (20L * h) - (h / 4), null, "view"), // null-user view: joins nothing
+      (3L, null, 8L, "purchase"),          // null ts: → 0
+      (null, 30L * h, 8L, "view"),
+      (4L, 40L * h, 9L, "purchase"),       // no views in window → 0
+      (null, (40L * h) - 2 * h, 9L, "view"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rangeagg_nulls").toString
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("q_range_agg")(spark, dir)
+      .collect().map(r => (Option(r.get(0)), r.getLong(1))).toSet
+    assert(got == Set((Some(1L), 1L), (Some(2L), 0L), (Some(3L), 0L), (Some(4L), 0L)), s"got $got")
+  }
+
   test("bruteForceTopK returns k rows PER query") {
     val vecs = (0L until 30L).map(i => (i, Seq.fill(4)((i % 7).toFloat + 1f))).toDF("vec_id", "embedding")
     val queries = vecs.filter($"vec_id" < 2).select($"vec_id".as("query_id"), $"embedding")

@@ -56,9 +56,11 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.hexThreshold(1.5))
   }
 
-  test("hexThreshold edges: 0 keeps nothing, 1 keeps everything (clamped)") {
+  test("fraction edges: 0 keeps nothing, 1.0 keeps EVERY row (no ffffffff hole)") {
     assert(Sampling.hexThreshold(0.0) == "00000000")
-    assert(Sampling.hexThreshold(1.0) == "ffffffff")
     assert(Sampling.deterministicSample(keys, col("k"), 0.0).isEmpty)
+    // 1.0 must short-circuit to true — a strict `<` against the clamped max
+    // threshold "ffffffff" would drop keys whose hash prefix is exactly that
+    assert(Sampling.deterministicSample(keys, col("k"), 1.0).count() == 5000L)
   }
 }
