@@ -632,6 +632,18 @@ object SparkEntry {
           round(col("r.dup_bigram_frac"), 4).as("dup_bigram_frac"),
           round(col("r.top_word_frac"), 4).as("top_word_frac"))
         .orderBy("doc_id")),
+    "q_pack_sequences" -> ((s, dir) =>
+      // Sequence packing for training batches: shard-local prefix-sum bins
+      // (capacity 512 tokens, 8 lanes) — ONE shard shuffle, (id, tokens)
+      // width only. Pack ids are a pure function of (doc_id, token count);
+      // the oracle recomputes them with the same window algebra.
+      operators.Packing.packBySequence(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"),
+              functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          idCol = "doc_id", tokenCol = "n_tokens", capacity = 512L, shards = 8)
+        .select("doc_id", "shard", "pack_id")
+        .orderBy("doc_id")),
     "q_sample_split" -> ((s, dir) =>
       // Deterministic train/val/test assignment: pure function of the key
       // (md5-prefix thresholds), reproducible on any engine at any
@@ -766,6 +778,16 @@ object SparkEntry {
                       ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 4) AS dup_bigram_frac,
                 round(CAST(len(list_filter(w, x -> x = list_aggregate(w, 'mode'))) AS DOUBLE) / len(w), 4) AS top_word_frac
          FROM b ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS tok
+           FROM documents)
+         SELECT doc_id,
+                CAST(doc_id % 8 AS INTEGER) AS shard,
+                CAST((SUM(tok) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok) // 512 AS BIGINT) AS pack_id
+         FROM t ORDER BY doc_id""",
     "q_sample_split" ->
       """SELECT doc_id,
                 CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' THEN 'test'

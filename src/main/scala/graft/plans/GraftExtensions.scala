@@ -23,6 +23,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_fingerprint(text)`   → bigint (two-lane polynomial rolling hash)
   *  - `graft_quality(text)`       → double (unrounded composite quality score)
   *  - `graft_stopword_ratio(text)` → double (unrounded stopword density)
+  *  - `graft_repetition(text)`    → struct<n_tokens, dup_word_frac, dup_bigram_frac, top_word_frac>
+  *  - `graft_cosine(a, b)`        → double (fused one-pass cosine over array<double>)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -74,6 +76,20 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_stopword_ratio(text) takes exactly 1 argument")
         StopwordRatio(children.head, graft.functions.TextFunctions.defaultStopwords)
+      }),
+    (
+      new FunctionIdentifier("graft_repetition"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repetition"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_repetition(text) takes exactly 1 argument")
+        RepetitionStats(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSim].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_cosine(a, b) takes exactly 2 arguments")
+        CosineSim(children.head, children(1))
       })
   )
 

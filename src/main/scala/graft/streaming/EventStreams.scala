@@ -73,6 +73,29 @@ object EventStreams {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).start()
   }
 
+  /** Streaming exact dedup at ingest — the streaming twin of `Dedup.exact`.
+    *
+    * `dropDuplicatesWithinWatermark` keeps ONE row per key among duplicates
+    * arriving within the watermark horizon, and — the property that matters
+    * at 100 TB/day — EVICTS a key's state once the watermark passes its
+    * event time, so state is O(keys-per-horizon), not O(keys-ever-seen)
+    * (plain `dropDuplicates` on a stream grows state forever). The contract
+    * is exactly an ingest pipeline's: duplicate deliveries cluster in time
+    * (retries, at-least-once sources); a re-send beyond the horizon is
+    * indistinguishable from a new record and passes — downstream batch dedup
+    * (`Dedup.exact`) remains the corpus-level backstop.
+    *
+    * `keyCols` chooses the identity: `event_id` for delivery dedup, a
+    * content hash (`sha2(text, 256)`) for document-content dedup.
+    */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+                    watermark: String = DefaultWatermark): DataFrame = {
+    require(keyCols.nonEmpty, "dedupedStream: need at least one key column")
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** One event on the wire for [[streamingSessions]]. */
   final case class Event(ts: java.sql.Timestamp, user_id: Long)
 

@@ -66,4 +66,26 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(row.getString(2) == dsl.getString(2) && row.getString(2) == "en")
     assert(row.getLong(3) == dsl.getLong(3))
   }
+
+  test("graft_repetition and graft_cosine from SQL match the DSL twins") {
+    import spark.implicits._
+    val df = Seq((1L, "buy now buy now buy now")).toDF("id", "text")
+    df.createOrReplaceTempView("rdocs")
+    val row = spark.sql(
+      """SELECT graft_repetition(text).n_tokens       AS n,
+               graft_repetition(text).dup_word_frac  AS dw,
+               graft_repetition(text).top_word_frac  AS tw
+         FROM rdocs""").head()
+    val dsl = df.select(graft.functions.TextFunctions.repetitionStats($"text").as("r"))
+      .select("r.n_tokens", "r.dup_word_frac", "r.top_word_frac").head()
+    assert(row.getInt(0) == dsl.getInt(0) && row.getInt(0) == 6)
+    assert(row.getDouble(1) == dsl.getDouble(1))
+    assert(row.getDouble(2) == dsl.getDouble(2))
+
+    val cos = spark.sql(
+      """SELECT graft_cosine(array(1.0d, 2.0d, 3.0d), array(3.0d, 2.0d, 1.0d)) AS c""").head()
+    val dslCos = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosine($"a", $"b")).head()
+    assert(cos.getDouble(0) == dslCos.getDouble(0))
+  }
 }

@@ -31,6 +31,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest dedup keeps one row per key within the watermark, then evicts state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "event_id", "payload")
+
+    val q = EventStreams.dedupedStream(events, Seq("event_id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      // duplicate deliveries of event 1 within the horizon → ONE survives
+      mem.addData(
+        (ts("2026-01-01 10:00:00"), 1L, "first"),
+        (ts("2026-01-01 10:01:00"), 1L, "retry"),
+        (ts("2026-01-01 10:02:00"), 2L, "other"))
+      q.processAllAvailable()
+      // same key again in the NEXT batch, still inside the horizon → dropped
+      mem.addData((ts("2026-01-01 10:30:00"), 1L, "late-retry"))
+      q.processAllAvailable()
+      val afterNear = spark.table("deduped").filter($"event_id" === 1L).count()
+      assert(afterNear == 1L, "duplicate within the watermark horizon must be dropped")
+
+      // advance the watermark far past event 1's time → its state is EVICTED
+      mem.addData((ts("2026-01-01 15:00:00"), 3L, "mover"))
+      q.processAllAvailable()
+      // a re-send beyond the horizon is a new record by contract (state must
+      // not grow with keys-ever-seen) — it passes
+      mem.addData((ts("2026-01-01 14:30:00"), 1L, "beyond-horizon"))
+      q.processAllAvailable()
+      assert(spark.table("deduped").filter($"event_id" === 1L).count() == 2L,
+        "evicted key must pass again — state may not grow unboundedly")
+      assert(spark.table("deduped").count() == 4L)
+    } finally q.stop()
+  }
+
   test("file readStream over the real events table matches the batch aggregation") {
     // readStream → transform → writeStream on the driver-provided parquet:
     // the streaming plan must produce exactly the batch q_events_window result.
@@ -49,7 +82,9 @@ class StreamingSpec extends SparkSpec {
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / lit(1000L)).cast("long")))
+      // integer div like Tables.load — `/` is double division and epoch
+      // nanos (~2^60) lose sub-256ns precision as doubles
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val q = EventStreams.hourlyAgg(stream, watermark = "10 years") // keep all windows for the compare
       .writeStream.format("memory").queryName("file_hourly").outputMode("complete").start()
     try {
