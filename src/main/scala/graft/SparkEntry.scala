@@ -632,6 +632,27 @@ object SparkEntry {
           round(col("r.dup_bigram_frac"), 4).as("dup_bigram_frac"),
           round(col("r.top_word_frac"), 4).as("top_word_frac"))
         .orderBy("doc_id")),
+    "q_quality_gate" -> ((s, dir) =>
+      // Per-language quality-percentile gate: keep the top half by score.
+      // Rank-based percent_rank → the kept SET is deterministic under ties.
+      operators.Curation.percentileGate(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("lang"),
+              functions.TextFunctions.qualityScore(col("text")).as("quality")),
+          score = col("quality"), cohort = Seq(col("lang")), minPercentile = 0.5)
+        .orderBy("doc_id")),
+    "q_token_budget" -> ((s, dir) =>
+      // Greedy token-budget fill per source (mixture curation): best quality
+      // first, running token total capped at 800 per source.
+      operators.Curation.tokenBudget(
+          Tables.load(s, dir, "documents")
+            .select(col("doc_id"), col("source"),
+              functions.TextFunctions.qualityScore(col("text")).as("quality"),
+              functions.TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          tokens = col("n_tokens"), priority = col("quality"),
+          tieBreak = col("doc_id"), cohort = Seq(col("source")), budget = 800L)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")),
     "q_pack_sequences" -> ((s, dir) =>
       // Sequence packing for training batches: shard-local prefix-sum bins
       // (capacity 512 tokens, 8 lanes) — ONE shard shuffle, (id, tokens)
@@ -778,6 +799,37 @@ object SparkEntry {
                       ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 4) AS dup_bigram_frac,
                 round(CAST(len(list_filter(w, x -> x = list_aggregate(w, 'mode'))) AS DOUBLE) / len(w), 4) AS top_word_frac
          FROM b ORDER BY doc_id""",
+    "q_quality_gate" ->
+      """WITH q AS (
+           SELECT doc_id, lang,
+                  round(LEAST(CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                                    x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                              / len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) * 5.0, 1.0) * 0.5
+                      + LEAST(CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
+                      4) AS quality
+           FROM documents),
+         r AS (
+           SELECT doc_id, lang, quality,
+                  percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr
+           FROM q)
+         SELECT doc_id, lang, quality FROM r WHERE pr >= 0.5 ORDER BY doc_id""",
+    "q_token_budget" ->
+      """WITH q AS (
+           SELECT doc_id, source,
+                  round(LEAST(CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                                    x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                              / len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) * 5.0, 1.0) * 0.5
+                      + LEAST(CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
+                      4) AS quality,
+                  len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS n_tokens
+           FROM documents),
+         c AS (
+           SELECT doc_id, source, n_tokens,
+                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           FROM q)
+         SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens
+         FROM c WHERE cum <= 800 ORDER BY doc_id""",
     "q_pack_sequences" ->
       """WITH t AS (
            SELECT doc_id,
