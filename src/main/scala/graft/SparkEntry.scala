@@ -587,6 +587,15 @@ object SparkEntry {
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // Daily-ingest shape: new batch (last 20% of ids) near-deduped against
+      // the existing corpus. xxhash64-based like the other minhash queries →
+      // rows-only check; pair semantics pinned in DedupSpec planted corpora.
+      val docs = Tables.load(s, dir, "documents")
+      operators.Dedup.minhashIncremental(
+          docs.filter(col("doc_id") % 5 === 4), docs.filter(col("doc_id") % 5 =!= 4))
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_minhash" -> ((s, dir) =>
       // Per-doc LSH band hashes exploded to scalar (doc_id, band, bhash) rows
       // — the registered shape must be scalar columns only. Pair generation is

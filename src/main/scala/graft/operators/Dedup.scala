@@ -105,6 +105,58 @@ object Dedup {
     docs.join(losers, docs(idCol) === col("__graft_drop"), "left_anti")
   }
 
+  /** Incremental near-dedup of a NEW batch against an EXISTING corpus — the
+    * production daily-ingest shape. A new doc is dropped iff it near-matches
+    * (Jaccard ≥ threshold) any corpus doc, or any lower-id doc within its own
+    * batch (the same greedy policy as [[minhashCorpus]]). Returns the
+    * surviving new docs.
+    *
+    * Cost shape: the corpus side is never self-joined — its bands are only
+    * PROBED by the new side's band hashes, so incremental work is
+    * O(|new| × collision rate), independent of corpus size beyond the band
+    * equi-join (which at 100 TB reads a pre-bucketed band index, not a fresh
+    * corpus scan: persist [[minhashed]]'s output partitioned by band hash and
+    * pass it as `corpusIndex`). Ids must be unique ACROSS both frames
+    * (monotone ingest ids give this for free).
+    */
+  def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         k: Int = 32, bands: Int = 8, shingleW: Int = 3,
+                         jaccardThreshold: Double = 0.7,
+                         corpusIndex: Option[DataFrame] = None): DataFrame = {
+    val mhNew = minhashed(newDocs, idCol, textCol, k, bands, shingleW)
+      .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mhCorp = corpusIndex.getOrElse(
+      minhashed(corpus, idCol, textCol, k, bands, shingleW)
+        .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes")))
+
+    val bNew = mhNew.select(col("id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+    val bCorp = mhCorp.select(col("id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+
+    // new × corpus candidates: only (id, band, bhash) widths shuffle
+    val vsCorpus = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(bCorp.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
+      .select("id_a", "id_b").distinct()
+    // within-batch candidates: greedy lower-id-wins like minhashCorpus
+    val withinNew = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(bNew.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("id_a"), col("id_a").as("id_b")) // dropped side is the HIGHER id
+      .distinct()
+
+    val shNew  = mhNew.select(col("id"), col("sh"))
+    val shCorp = mhCorp.select(col("id"), col("sh"))
+    def verify(pairs: DataFrame, shB: DataFrame): DataFrame = pairs
+      .join(shNew.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(shB.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .filter(jaccard(col("sh_a"), col("sh_b")) >= jaccardThreshold)
+      .select(col("id_a").as("__graft_drop"))
+
+    val drops = verify(vsCorpus, shCorp).unionByName(verify(withinNew, shNew)).distinct()
+    newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
+  }
+
   /** Per-document 64-bit SimHash (native expression; column-algebra twin in
     * HashFunctions.simhash). */
   def simhashed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -67,6 +67,29 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(1L, 4L, 5L)) // 2 and 3 near/exact match 1
   }
 
+  test("minhashIncremental drops new docs matching corpus or earlier new, keeps the rest") {
+    // corpus holds ids 1-5 (docs); the new batch: 10 near-dups corpus doc 1,
+    // 11 is unique, 12 near-dups 11 (within-batch, higher id loses), 13 unique
+    val newDocs = Seq(
+      (10L, base.replace("tonight", "today")),
+      (11L, "fresh unseen content describing glacier meltwater chemistry in alpine lakes region"),
+      (12L, "fresh unseen content describing glacier meltwater chemistry in alpine lakes valley"),
+      (13L, "entirely new record on bee navigation using polarized light patterns over meadows")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashIncremental(newDocs, docs, jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(11L, 13L), s"kept $kept")
+    // corpus is untouched input — survivors come only from the new batch
+    assert(!kept.exists(_ <= 5L))
+    // with a pre-built corpus index the result is identical
+    val idx = Dedup.minhashed(docs)
+      .select($"doc_id".as("id"), $"shingle_hashes".as("sh"), $"band_hashes")
+    val keptIdx = Dedup.minhashIncremental(newDocs, docs, jaccardThreshold = 0.5,
+        corpusIndex = Some(idx))
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptIdx == kept)
+  }
+
   test("no crossJoin in any dedup plan") {
     for (df <- Seq(Dedup.minhashLsh(docs), Dedup.simhashDupes(docs))) {
       val plan = df.queryExecution.optimizedPlan.toString
