@@ -588,9 +588,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_dedup_incremental" -> ((s, dir) => {
-      // Daily-ingest shape: new batch (last 20% of ids) near-deduped against
-      // the existing corpus. xxhash64-based like the other minhash queries →
-      // rows-only check; pair semantics pinned in DedupSpec planted corpora.
+      // Daily-ingest shape: a 20% batch (every fifth id — interleaved so the
+      // slice stays 20% at every SF) near-deduped against the other 80% as
+      // the existing corpus; the two sides partition the table, so ids are
+      // unique across frames as the operator requires. xxhash64-based like
+      // the other minhash queries → rows-only check; pair semantics pinned
+      // in DedupSpec planted corpora.
       val docs = Tables.load(s, dir, "documents")
       operators.Dedup.minhashIncremental(
           docs.filter(col("doc_id") % 5 === 4), docs.filter(col("doc_id") % 5 =!= 4))
@@ -819,7 +822,7 @@ object SparkEntry {
            FROM documents),
          r AS (
            SELECT doc_id, lang, quality,
-                  percent_rank() OVER (PARTITION BY lang ORDER BY quality) AS pr
+                  percent_rank() OVER (PARTITION BY lang ORDER BY quality NULLS FIRST) AS pr
            FROM q)
          SELECT doc_id, lang, quality FROM r WHERE pr >= 0.5 ORDER BY doc_id""",
     "q_token_budget" ->
@@ -834,7 +837,7 @@ object SparkEntry {
            FROM documents),
          c AS (
            SELECT doc_id, source, n_tokens,
-                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+                  SUM(n_tokens) OVER (PARTITION BY source ORDER BY quality DESC NULLS LAST, doc_id NULLS FIRST
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
            FROM q)
          SELECT doc_id, source, CAST(n_tokens AS INTEGER) AS n_tokens

@@ -23,12 +23,16 @@ object Curation {
     * "top half by quality per language". `percent_rank` is rank-based, so
     * ties share a rank and the kept SET is deterministic even when the
     * in-tie order is not.
+    *
+    * NULL scores are pinned FIRST (= worst, dropped by any gate > 0) —
+    * explicitly, because engines disagree on the default (Spark ASC is
+    * NULLS FIRST, DuckDB's is NULLS LAST); oracle SQL must say NULLS FIRST.
     */
   def percentileGate(df: DataFrame, score: Column, cohort: Seq[Column],
                      minPercentile: Double): DataFrame = {
     require(minPercentile >= 0.0 && minPercentile <= 1.0,
       s"percentileGate: minPercentile $minPercentile outside [0,1]")
-    val w = Window.partitionBy(cohort: _*).orderBy(score.asc)
+    val w = Window.partitionBy(cohort: _*).orderBy(score.asc_nulls_first)
     df.withColumn("__graft_pr", percent_rank().over(w))
       .filter(col("__graft_pr") >= minPercentile)
       .drop("__graft_pr")
@@ -39,12 +43,16 @@ object Curation {
     * token total stays within `budget`. The standard mixture-curation step —
     * "up to N tokens per source, best-quality first". A single row larger
     * than `budget` is never kept (its own running total already exceeds it).
+    *
+    * NULL priorities are pinned LAST (= worst) and NULL tie-breaks FIRST,
+    * explicitly — Spark's defaults, but DuckDB defaults to NULLS LAST on ASC
+    * too, so the oracle SQL must pin NULLS FIRST on the tie-break.
     */
   def tokenBudget(df: DataFrame, tokens: Column, priority: Column,
                   tieBreak: Column, cohort: Seq[Column], budget: Long): DataFrame = {
     require(budget > 0, s"tokenBudget: budget must be positive, got $budget")
     val w = Window.partitionBy(cohort: _*)
-      .orderBy(priority.desc, tieBreak.asc)
+      .orderBy(priority.desc_nulls_last, tieBreak.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("__graft_cum", sum(tokens).over(w))
       .filter(col("__graft_cum") <= budget)

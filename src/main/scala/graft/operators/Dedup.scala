@@ -44,6 +44,25 @@ object Dedup {
         col("mh.signature").as("signature"),
         col("mh.band_hashes").as("band_hashes"))
 
+  /** Slim `(id, band, bhash)` bucket relation from a slim minhash frame —
+    * the ONLY columns that shuffle through candidate-generation equi-joins.
+    * Shingle arrays would multiply shuffle volume by the band count.
+    */
+  private def bandBuckets(mh: DataFrame): DataFrame =
+    mh.select(col("id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+
+  /** Exact-Jaccard verification of `(id_a, id_b)` candidate pairs: join each
+    * side's shingle-hash set back in (frames with columns `(id, sh)`), score,
+    * keep pairs at or above `threshold`. Shared by the batch and incremental
+    * paths so their verify semantics cannot fork.
+    */
+  private def verifyPairs(pairs: DataFrame, shA: DataFrame, shB: DataFrame,
+                          threshold: Double): DataFrame = pairs
+    .join(shA.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+    .join(shB.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+    .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    .filter(col("jaccard") >= threshold)
+
   /** Near-duplicate candidate pairs via MinHash-LSH banding, verified with
     * exact Jaccard over shingle-hash sets.
     *
@@ -63,22 +82,15 @@ object Dedup {
     val mh = minhashed(docs, idCol, textCol, k, bands, shingleW)
       .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Slim bucket relation: ONLY (id, band, bhash) shuffles through the
-    // self-join — shingle arrays would multiply shuffle volume by the band
-    // count. Signatures re-join once per DISTINCT candidate pair afterwards.
-    val buckets = mh.select(col("id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+    val buckets = bandBuckets(mh)
     val a = buckets.select(col("band"), col("bhash"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("bhash"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bhash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val sh = mh.select(col("id"), col("sh"))
-    pairs
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= jaccardThreshold)
+    verifyPairs(pairs, mh.select(col("id"), col("sh")), mh.select(col("id"), col("sh")),
+        jaccardThreshold)
       .select("id_a", "id_b", "jaccard")
   }
 
@@ -115,9 +127,14 @@ object Dedup {
     * PROBED by the new side's band hashes, so incremental work is
     * O(|new| × collision rate), independent of corpus size beyond the band
     * equi-join (which at 100 TB reads a pre-bucketed band index, not a fresh
-    * corpus scan: persist [[minhashed]]'s output partitioned by band hash and
-    * pass it as `corpusIndex`). Ids must be unique ACROSS both frames
-    * (monotone ingest ids give this for free).
+    * corpus scan: persist [[minhashed]]'s output — `corpusIndex` takes that
+    * frame verbatim, same `idCol`). The index MUST be built with the same
+    * `k`/`bands`/`shingleW` as this call: `k` and `bands` are enforced at
+    * runtime from the stored `signature`/`band_hashes` lengths (`raise_error`
+    * inside the plan — no extra job); `shingleW` is not recoverable from the
+    * stored hashes and silently changes both sides' buckets, so it is on the
+    * caller. Ids must be unique ACROSS both frames (monotone ingest ids give
+    * this for free).
     */
   def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
@@ -127,12 +144,31 @@ object Dedup {
     val mhNew = minhashed(newDocs, idCol, textCol, k, bands, shingleW)
       .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mhCorp = corpusIndex.getOrElse(
-      minhashed(corpus, idCol, textCol, k, bands, shingleW)
-        .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes")))
+    val mhCorp = corpusIndex match {
+      case Some(idx) =>
+        // minhashed() output verbatim; k/bands mismatches fail fast per-row
+        // instead of silently missing near-dups under meaningless buckets.
+        idx.select(
+          col(idCol).as("id"),
+          when(size(col("signature")) === k, col("shingle_hashes"))
+            .otherwise(raise_error(format_string(
+              "graft.Dedup.minhashIncremental: corpusIndex built with k=%d but call uses k=%d — rebuild the index with matching parameters",
+              size(col("signature")), lit(k)))).as("sh"),
+          when(size(col("band_hashes")) === bands, col("band_hashes"))
+            .otherwise(raise_error(format_string(
+              "graft.Dedup.minhashIncremental: corpusIndex built with bands=%d but call uses bands=%d — rebuild the index with matching parameters",
+              size(col("band_hashes")), lit(bands)))).as("band_hashes"))
+      case None =>
+        // No pre-built index: the corpus-side minhash pipeline feeds BOTH the
+        // band probe and the Jaccard verify leg — persist so the (huge)
+        // corpus scan + signature computation runs once, as in minhashLsh.
+        minhashed(corpus, idCol, textCol, k, bands, shingleW)
+          .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
-    val bNew = mhNew.select(col("id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
-    val bCorp = mhCorp.select(col("id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+    val bNew = bandBuckets(mhNew)
+    val bCorp = bandBuckets(mhCorp)
 
     // new × corpus candidates: only (id, band, bhash) widths shuffle
     val vsCorpus = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
@@ -147,13 +183,11 @@ object Dedup {
 
     val shNew  = mhNew.select(col("id"), col("sh"))
     val shCorp = mhCorp.select(col("id"), col("sh"))
-    def verify(pairs: DataFrame, shB: DataFrame): DataFrame = pairs
-      .join(shNew.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(shB.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .filter(jaccard(col("sh_a"), col("sh_b")) >= jaccardThreshold)
+    val drops = verifyPairs(vsCorpus, shNew, shCorp, jaccardThreshold)
       .select(col("id_a").as("__graft_drop"))
-
-    val drops = verify(vsCorpus, shCorp).unionByName(verify(withinNew, shNew)).distinct()
+      .unionByName(verifyPairs(withinNew, shNew, shNew, jaccardThreshold)
+        .select(col("id_a").as("__graft_drop")))
+      .distinct()
     newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
   }
 

@@ -24,6 +24,17 @@ class CurationSpec extends SparkSpec {
     assert(Curation.percentileGate(df, col("score"), Seq(col("cohort")), 0.0).count() == 1)
   }
 
+  test("percentileGate pins NULL scores first: dropped by any gate > 0, ranks unshifted") {
+    val df = Seq(
+      ("a", 1L, Option(0.9)), ("a", 2L, Option(0.1)), ("a", 3L, Option.empty[Double])
+    ).toDF("cohort", "id", "score")
+    val kept = Curation.percentileGate(df, col("score"), Seq(col("cohort")), 0.5)
+      .select("id").as[Long].collect().toSet
+    // NULLS FIRST pinned: null pr 0 (dropped), 0.1 pr 0.5, 0.9 pr 1 → keep {1,2};
+    // under DuckDB's default NULLS LAST the null would have been KEPT at pr 1
+    assert(kept == Set(1L, 2L))
+  }
+
   test("tokenBudget fills best-first until the cap; oversize rows never fit") {
     val df = Seq(
       // (id, cohort, tokens, quality)

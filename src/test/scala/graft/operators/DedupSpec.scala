@@ -81,13 +81,22 @@ class DedupSpec extends SparkSpec {
     assert(kept == Set(11L, 13L), s"kept $kept")
     // corpus is untouched input — survivors come only from the new batch
     assert(!kept.exists(_ <= 5L))
-    // with a pre-built corpus index the result is identical
+    // with a pre-built corpus index — minhashed() output passed VERBATIM,
+    // per the documented contract — the result is identical
     val idx = Dedup.minhashed(docs)
-      .select($"doc_id".as("id"), $"shingle_hashes".as("sh"), $"band_hashes")
     val keptIdx = Dedup.minhashIncremental(newDocs, docs, jaccardThreshold = 0.5,
         corpusIndex = Some(idx))
       .select("doc_id").as[Long].collect().toSet
     assert(keptIdx == kept)
+    // an index built under different k/bands fails fast instead of silently
+    // probing meaningless buckets
+    val err = intercept[Throwable] {
+      Dedup.minhashIncremental(newDocs, docs, k = 16, bands = 4,
+        jaccardThreshold = 0.5, corpusIndex = Some(idx)).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(err).exists(_.contains("rebuild the index")), s"got: ${messages(err)}")
   }
 
   test("no crossJoin in any dedup plan") {
