@@ -32,6 +32,8 @@ object Curation {
                      minPercentile: Double): DataFrame = {
     require(minPercentile >= 0.0 && minPercentile <= 1.0,
       s"percentileGate: minPercentile $minPercentile outside [0,1]")
+    require(!df.columns.contains("__graft_pr"),
+      "percentileGate: input already has a '__graft_pr' column — rename it first")
     val w = Window.partitionBy(cohort: _*).orderBy(score.asc_nulls_first)
     df.withColumn("__graft_pr", percent_rank().over(w))
       .filter(col("__graft_pr") >= minPercentile)
@@ -51,6 +53,8 @@ object Curation {
   def tokenBudget(df: DataFrame, tokens: Column, priority: Column,
                   tieBreak: Column, cohort: Seq[Column], budget: Long): DataFrame = {
     require(budget > 0, s"tokenBudget: budget must be positive, got $budget")
+    require(!df.columns.contains("__graft_cum"),
+      "tokenBudget: input already has a '__graft_cum' column — rename it first")
     val w = Window.partitionBy(cohort: _*)
       .orderBy(priority.desc_nulls_last, tieBreak.asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

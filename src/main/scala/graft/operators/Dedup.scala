@@ -135,6 +135,15 @@ object Dedup {
     * stored hashes and silently changes both sides' buckets, so it is on the
     * caller. Ids must be unique ACROSS both frames (monotone ingest ids give
     * this for free).
+    *
+    * Cache lifecycle: unlike the lazily-returned [[minhashLsh]], this call is
+    * EAGER — the (tiny, id-width) drop set is materialized before returning
+    * so the big intermediates (new-batch minhash state, and the corpus-side
+    * state when no `corpusIndex` was given) can be unpersisted immediately
+    * instead of accumulating across daily-ingest calls in a long-lived
+    * session. Only the drop-id cache outlives the call (ContextCleaner
+    * reclaims it when the returned plan is GC'd). A caller-supplied
+    * `corpusIndex`'s own persistence is caller-managed, untouched here.
     */
   def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
@@ -188,6 +197,13 @@ object Dedup {
       .unionByName(verifyPairs(withinNew, shNew, shNew, jaccardThreshold)
         .select(col("id_a").as("__graft_drop")))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the id-width drop set NOW, then release the wide minhash
+    // caches — see the lifecycle note above. blocking=false: the release is
+    // fire-and-forget, not on the caller's latency path.
+    drops.count()
+    mhNew.unpersist(blocking = false)
+    if (corpusIndex.isEmpty) mhCorp.unpersist(blocking = false)
     newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
   }
 

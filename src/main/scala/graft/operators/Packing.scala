@@ -22,6 +22,14 @@ import org.apache.spark.sql.graftshim.ColumnShim
   * (subsequent packs shift past it); callers wanting hard rejection filter
   * on `tokenCol > capacity` first.
   *
+  * OVERFILL CONTRACT: a doc is assigned to the pack of its START offset, so
+  * a pack's token total can exceed `capacity` by up to the tail of its last
+  * doc (capacity 512, docs 300+300 → pack 0 holds 600). This is the bounded
+  * waste the scaladoc above prices in; packs are NOT hard-capped bins.
+  * Callers feeding fixed-length training batches own truncation/splitting of
+  * the boundary doc — [[packUtilization]] flags every such pack
+  * (`overfilled`, utilization > 1.0) so nothing is silent.
+  *
   * Scale shape: ONE hashpartitioning(shard) exchange feeding a running-sum
   * window; only (id, tokens) width shuffles. Skew-free by construction —
   * lanes are hash-uniform regardless of document-length distribution.
@@ -38,6 +46,8 @@ object Packing {
                      capacity: Long, shards: Int = 8): DataFrame = {
     require(capacity > 0, s"Packing: capacity must be positive, got $capacity")
     require(shards > 0, s"Packing: shards must be positive, got $shards")
+    Seq("shard", "pack_id").foreach(c => require(!df.columns.contains(c),
+      s"Packing: input already has a '$c' column — rename it before packing"))
     val shard = pmod(col(idCol), lit(shards.toLong)).cast("int")
     val w = Window.partitionBy("shard").orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -47,10 +57,14 @@ object Packing {
           sum(col(tokenCol)).over(w) - col(tokenCol), lit(capacity)))
   }
 
-  /** Per-pack fill report: docs, token total, utilization of `capacity`. */
+  /** Per-pack fill report: docs, token total, utilization of `capacity`, and
+    * an `overfilled` flag for packs whose boundary doc pushed them past
+    * `capacity` (utilization > 1.0 — see the overfill contract above).
+    */
   def packUtilization(packed: DataFrame, tokenCol: String, capacity: Long): DataFrame =
     packed.groupBy("shard", "pack_id")
       .agg(count(lit(1)).as("n_docs"),
            sum(col(tokenCol)).as("tokens"),
-           round(sum(col(tokenCol)).cast("double") / capacity, 4).as("utilization"))
+           round(sum(col(tokenCol)).cast("double") / capacity, 4).as("utilization"),
+           (sum(col(tokenCol)) > capacity).as("overfilled"))
 }

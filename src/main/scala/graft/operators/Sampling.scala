@@ -17,9 +17,15 @@ import org.apache.spark.sql.functions._
   * actual split, not a lookalike.
   *
   * Scale shape: per-row hash of an already-present key column inside the
-  * scan projection — no shuffle, no state, trivially codegen'd. A NULL key
-  * nulls the comparison and falls through to the default split (documented
-  * contract; same CASE semantics in SQL).
+  * scan projection — no shuffle, no state, trivially codegen'd.
+  *
+  * NULL-key contract (uniform across every fraction, including 1.0): a NULL
+  * key has no hash, cannot be deterministically assigned, and is therefore
+  * in NO sample — `inSample` is `false` for it at every fraction, so
+  * `deterministicSample(1.0)` IS the limit of `deterministicSample(f)`.
+  * `splitAssign` is the one place NULLs survive: its CASE cascade sends them
+  * to the default split (same CASE semantics in SQL), because split
+  * assignment must be exhaustive.
   */
 object Sampling {
 
@@ -35,15 +41,17 @@ object Sampling {
   }
 
   /** Deterministic membership flag for a `fraction` sample keyed on `key`.
-    * Monotone in `fraction`: sample(0.1) is a subset of sample(0.2).
-    * `fraction = 1.0` keeps EVERY row — the strict `<` against a clamped
-    * max threshold would silently drop keys whose hash prefix is exactly
-    * "ffffffff" (~1 in 2^32 — real keys at corpus scale).
+    * Monotone in `fraction`: sample(0.1) is a subset of sample(0.2). Always
+    * a non-NULL boolean; NULL keys are `false` at EVERY fraction (see the
+    * NULL-key contract above — no discontinuity at 1.0).
+    * `fraction = 1.0` keeps every non-NULL-keyed row — the strict `<`
+    * against a clamped max threshold would silently drop keys whose hash
+    * prefix is exactly "ffffffff" (~1 in 2^32 — real keys at corpus scale).
     */
   def inSample(key: Column, fraction: Double): Column = {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction outside [0,1]")
-    if (fraction == 1.0) lit(true)
-    else substring(keyHash(key), 1, 8) < lit(hexThreshold(fraction))
+    if (fraction == 1.0) key.isNotNull
+    else coalesce(substring(keyHash(key), 1, 8) < lit(hexThreshold(fraction)), lit(false))
   }
 
   /** Deterministic sample: keep `fraction` of rows keyed on `key`. */

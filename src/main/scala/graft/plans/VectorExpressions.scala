@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -82,8 +82,13 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** ImplicitCastInputTypes (not bare ExpectsInputTypes) so the SQL surface
+  * (`graft_cosine`) accepts array<float> — the repo's actual embeddings
+  * column type — by analyzer-inserted cast, matching the Scala API which
+  * casts explicitly.
+  */
 case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
 
   override def inputTypes = ColumnShim.doubleArrayInput2
   override def dataType: DataType = DoubleType

@@ -67,4 +67,16 @@ class CurationSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Curation.tokenBudget(df, col("tok"), col("q"), col("id"), Seq(col("cohort")), 0L))
   }
+
+  test("helper-column collisions rejected, not silently overwritten (ADVICE r6)") {
+    import spark.implicits._
+    val pr = Seq(("a", 1.0, "x")).toDF("id", "score", "cohort")
+      .withColumn("__graft_pr", lit(0.0))
+    intercept[IllegalArgumentException](
+      Curation.percentileGate(pr, col("score"), Seq(col("cohort")), 0.5))
+    val cum = Seq(("a", 1.0, 10L, "x")).toDF("id", "q", "tok", "cohort")
+      .withColumn("__graft_cum", lit(0L))
+    intercept[IllegalArgumentException](
+      Curation.tokenBudget(cum, col("tok"), col("q"), col("id"), Seq(col("cohort")), 100L))
+  }
 }

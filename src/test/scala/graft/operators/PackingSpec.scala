@@ -34,10 +34,11 @@ class PackingSpec extends SparkSpec {
     // every (shard,pack) except possibly each lane's LAST pack holds ≥ the
     // capacity minus one doc's tail (no pathological under-fill)
     val util = Packing.packUtilization(packed, "tok", 512L)
-    val full = util.as[(Int, Long, Long, Long, Double)].collect()
-    full.foreach { case (_, _, n, toks, u) =>
+    val full = util.as[(Int, Long, Long, Long, Double, Boolean)].collect()
+    full.foreach { case (_, _, n, toks, u, over) =>
       assert(n >= 1 && toks > 0 && u > 0.0)
       assert(toks <= 512L + 139L, s"pack overfilled beyond capacity + max single doc: $toks")
+      assert(over == (toks > 512L), "overfilled flag must mirror tokens > capacity")
     }
     // determinism: recomputing yields the identical assignment
     val again = Packing.packBySequence(df, "id", "tok", capacity = 512L, shards = 4)
@@ -47,5 +48,23 @@ class PackingSpec extends SparkSpec {
   test("invalid parameters rejected") {
     intercept[IllegalArgumentException](Packing.packBySequence(docs(Seq(1)), "id", "tok", 0L))
     intercept[IllegalArgumentException](Packing.packBySequence(docs(Seq(1)), "id", "tok", 512L, 0))
+  }
+
+  test("boundary-straddling pack is flagged overfilled (ADVICE r6: not silent)") {
+    // capacity 512, docs 300+300 → both land in pack 0 with 600 tokens
+    val packed = Packing.packBySequence(docs(Seq(300, 300)), "id", "tok",
+      capacity = 512L, shards = 1)
+    val util = Packing.packUtilization(packed, "tok", 512L)
+      .as[(Int, Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(util == Seq((0, 0L, 2L, 600L, 1.1719, true)))
+  }
+
+  test("input columns colliding with shard/pack_id are rejected, not overwritten") {
+    val withShard = docs(Seq(1, 2)).withColumn("shard", lit(9))
+    intercept[IllegalArgumentException](
+      Packing.packBySequence(withShard, "id", "tok", 512L))
+    val withPack = docs(Seq(1, 2)).withColumn("pack_id", lit(9L))
+    intercept[IllegalArgumentException](
+      Packing.packBySequence(withPack, "id", "tok", 512L))
   }
 }

@@ -56,6 +56,18 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.hexThreshold(1.5))
   }
 
+  test("NULL keys are in NO sample at any fraction — 1.0 is the limit of f<1 (ADVICE r6)") {
+    val df = spark.sql("SELECT cast(null as bigint) AS k UNION ALL SELECT 7")
+    assert(Sampling.deterministicSample(df, col("k"), 1.0).count() == 1L,
+      "fraction 1.0 must exclude NULL keys like every smaller fraction")
+    assert(Sampling.deterministicSample(df, col("k"), 0.9999).count() <= 1L)
+    // inSample is a total boolean: never NULL, even for NULL keys
+    (Seq(0.0, 0.5, 0.9999, 1.0)).foreach { f =>
+      assert(df.select(Sampling.inSample(col("k"), f).as("in"))
+        .filter(col("in").isNull).isEmpty, s"inSample($f) returned NULL")
+    }
+  }
+
   test("fraction edges: 0 keeps nothing, 1.0 keeps EVERY row (no ffffffff hole)") {
     assert(Sampling.hexThreshold(0.0) == "00000000")
     assert(Sampling.deterministicSample(keys, col("k"), 0.0).isEmpty)

@@ -88,4 +88,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .select(graft.functions.VectorFunctions.cosine($"a", $"b")).head()
     assert(cos.getDouble(0) == dslCos.getDouble(0))
   }
+
+  test("graft_cosine accepts array<float> from SQL (the embeddings column type)") {
+    import spark.implicits._
+    // ADVICE r6: ExpectsInputTypes without implicit casting made float arrays
+    // an analysis error from SQL while the Scala API cast explicitly.
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f))).toDF("a", "b")
+      .createOrReplaceTempView("fvecs")
+    val sqlCos = spark.sql("SELECT graft_cosine(a, b) AS c FROM fvecs").head().getDouble(0)
+    val dslCos = spark.table("fvecs")
+      .select(graft.functions.VectorFunctions.cosine($"a".cast("array<double>"),
+        $"b".cast("array<double>"))).head().getDouble(0)
+    assert(sqlCos == dslCos)
+  }
 }
