@@ -696,6 +696,78 @@ object SparkEntry {
         .select(col("doc_id"),
           functions.TextFunctions.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id").limit(200)),
+    "q_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: every 50th doc stands in for the eval
+      // set; the rest is the training corpus. 4-gram overlap (the width is
+      // data-dependent — this vocabulary needs 4; prose pipelines use 8–13).
+      // Bench grams broadcast; corpus grams probe map-side; bodies never
+      // shuffle (operators/Decontam.scala).
+      val docs = Tables.load(s, dir, "documents")
+      operators.Decontam.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0), docs.filter(col("doc_id") % 50 === 0), w = 4)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII detect + redact. The synthetic corpus carries no PII, so both
+      // sides append the SAME deterministic contact strings (email for every
+      // 3rd doc, IPv4 for every 5th, phone for every 7th) and then count and
+      // redact them — the regex work is real, the planted data just makes
+      // the counts non-zero.
+      val aug = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"), lit(".7")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"),
+          operators.Pii.emailCount(col("aug")).as("n_emails"),
+          operators.Pii.ipv4Count(col("aug")).as("n_ips"),
+          operators.Pii.phoneCount(col("aug")).as("n_phones"),
+          operators.Pii.redact(col("aug")).as("redacted"))
+        .orderBy("doc_id")
+    }),
+    "q_dedup_clusters" -> ((s, dir) => {
+      // Duplicate-cluster resolution: connected components over a similarity
+      // graph. Edges = banded candidate pairs (id within +3 — an equi-join
+      // on the replicated offset, NOT an inequality join) that share any
+      // 3-gram (rounded Jaccard >= 0.005). The size-6 component in this data
+      // is pure transitivity — its farthest members never paired directly.
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val sh = docs.select(col("doc_id"), plans.TextExpressions.shingleSet(col("text")).as("sh"))
+      val offsets = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .withColumn("__match_id", col("id_a") + col("k"))
+      val edges = offsets
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          col("id_b") === col("__match_id"))
+        .filter(operators.Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.005)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      operators.Clusters.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
+    "q_mix_sources" -> ((s, dir) =>
+      // Domain-mixing selection: per-source keep fractions (the shape
+      // temperatureFractions produces), every decision a pure md5 function
+      // of doc_id — the oracle recomputes the same CASE + hash comparison.
+      operators.Sampling.stratifiedSample(
+          Tables.load(s, dir, "documents").select("doc_id", "source"),
+          key = col("doc_id"), strata = col("source"),
+          fractions = Map("src1" -> 0.8, "src2" -> 0.5, "src3" -> 0.25),
+          defaultFraction = 0.1)
+        .orderBy("doc_id")),
+    "q_text_chunks" -> ((s, dir) =>
+      // Token-window chunking: 8-token windows, stride 4 (overlapping) —
+      // tokenize → sequence → posexplode → slice, all inside the scan
+      // projection, zero shuffle (operators/Chunking.scala).
+      operators.Chunking.tokenWindows(Tables.load(s, dir, "documents"),
+          idCol = "doc_id", textCol = "text", window = 8, stride = 4)
+        .orderBy("doc_id", "chunk_id")),
     "q_dedup_ngram" -> ((s, dir) => {
       // N-gram (3-word shingle) Jaccard between adjacent doc pairs — the
       // verify stage of near-dedup, demonstrated on a deterministic pair set.
@@ -781,6 +853,80 @@ object SparkEntry {
       """SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
          ORDER BY doc_id""",
+    "q_decontaminate" ->
+      """WITH sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) < 4 THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks) - 2),
+                                           i -> array_to_string(list_slice(toks, i, i + 3), ' '))
+                  END) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents)
+         ),
+         bench AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 50 = 0),
+         grams AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 50 <> 0),
+         bad AS (SELECT DISTINCT grams.doc_id FROM grams JOIN bench USING (g))
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id % 50 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
+    "q_pii_redact" ->
+      """WITH aug AS (
+           SELECT doc_id, text
+               || CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' from 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END AS aug
+           FROM documents)
+         SELECT doc_id,
+                CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+                CAST(len(regexp_extract_all(aug, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+                CAST(len(regexp_extract_all(aug, '\b\d{3}-\d{3,4}-\d{4}\b')) AS INTEGER) AS n_phones,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d{3}-\d{3,4}-\d{4}\b', '<PHONE>', 'g') AS redacted
+         FROM aug ORDER BY doc_id""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  END) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents)
+           WHERE doc_id < 100
+         ),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.005
+         ),
+         sym AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b, id_a FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM sh
+           UNION
+           SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+         )
+         SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id ORDER BY doc_id""",
+    "q_mix_sources" ->
+      """SELECT doc_id, source FROM documents
+         WHERE CASE WHEN source = 'src1' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc'
+                    WHEN source = 'src2' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
+                    WHEN source = 'src3' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+                    ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '19999999' END
+         ORDER BY doc_id""",
+    "q_text_chunks" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w,
+                  len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS n
+           FROM documents WHERE text IS NOT NULL),
+         s AS (SELECT doc_id, w, n, unnest(range(0, greatest(n, 1), 4)) AS start FROM t)
+         SELECT doc_id,
+                CAST(start // 4 AS INTEGER) AS chunk_id,
+                array_to_string(list_slice(w, start + 1, start + 8), ' ') AS chunk_text,
+                CAST(least(8, n - start) AS INTEGER) AS n_chunk_tokens
+         FROM s ORDER BY doc_id, chunk_id""",
     "q_dedup_ngram" ->
       """WITH sh AS (
            SELECT doc_id,

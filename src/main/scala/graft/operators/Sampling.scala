@@ -59,6 +59,49 @@ object Sampling {
                           fraction: Double): org.apache.spark.sql.DataFrame =
     df.filter(inSample(key, fraction))
 
+  /** Per-stratum deterministic sampling — the "domain mixing" selection: each
+    * stratum (source/domain/language) keeps its own fraction, every decision
+    * still a pure function of the record key (subset-stable, engine-portable,
+    * monotone per stratum like [[inSample]]). Strata not named in `fractions`
+    * — and NULL strata (every `===` comparison is null → the CASE falls
+    * through) — use `defaultFraction`.
+    */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, key: Column, strata: Column,
+                       fractions: Map[String, Double],
+                       defaultFraction: Double = 0.0): org.apache.spark.sql.DataFrame = {
+    require(fractions.nonEmpty, "stratifiedSample: need at least one stratum fraction")
+    val cond = fractions.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (name, f)) =>
+        val c = inSample(key, f)
+        Some(acc.fold(when(strata === name, c))(_.when(strata === name, c)))
+    }.get.otherwise(inSample(key, defaultFraction))
+    df.filter(cond)
+  }
+
+  /** Temperature-weighted mixture rates (pure driver-side arithmetic): given
+    * per-source row counts n_s, the target mixture share is p_s ∝ n_s^T —
+    * T = 1 is natural proportions, T → 0 equalizes sources, the usual
+    * multilingual/domain rebalancing knob. Returns each source's KEEP
+    * fraction r_s = min(1, targetTotal · p_s / n_s) for [[stratifiedSample]].
+    *
+    * One-shot: a source capped at 1.0 can't deliver its full share, so the
+    * realized total lands below `targetTotal` in that case — callers needing
+    * the exact total re-run with the shortfall redistributed (water-filling),
+    * which stays a driver-side loop over a dozen numbers.
+    */
+  def temperatureFractions(counts: Map[String, Long], temperature: Double,
+                           targetTotal: Long): Map[String, Double] = {
+    require(counts.nonEmpty, "temperatureFractions: need at least one source count")
+    require(counts.values.forall(_ > 0), "temperatureFractions: counts must be positive")
+    require(temperature > 0.0, s"temperatureFractions: temperature must be > 0, got $temperature")
+    require(targetTotal >= 0, s"temperatureFractions: targetTotal must be >= 0, got $targetTotal")
+    val weights = counts.map { case (s, n) => s -> math.pow(n.toDouble, temperature) }
+    val z = weights.values.sum
+    counts.map { case (s, n) =>
+      s -> math.min(1.0, targetTotal * (weights(s) / z) / n.toDouble)
+    }
+  }
+
   /** Split assignment as a CASE cascade over cumulative thresholds:
     * `splits = Seq("test" -> 0.1, "val" -> 0.1)` sends ~10% to "test",
     * the next ~10% to "val", everything else (and NULL keys) to `default`.

@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def nodes(ids: Long*) = ids.toDF("id")
+  private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
+
+  private def run(n: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame,
+                  maxIter: Int = 30): Map[Long, Long] =
+    Clusters.connectedComponents(n, e, maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("chain is transitively one component labeled by its minimum") {
+    val comp = run(nodes(1, 2, 3, 4, 9), edges(2L -> 1L, 2L -> 3L, 3L -> 4L))
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L))
+  }
+
+  test("disjoint components keep separate minima; isolated nodes are singletons") {
+    val comp = run(nodes(1, 2, 3, 10, 11, 20), edges(1L -> 2L, 2L -> 3L, 10L -> 11L))
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("edge orientation and duplicate edges are irrelevant") {
+    val comp = run(nodes(1, 2, 3), edges(3L -> 2L, 2L -> 3L, 2L -> 1L, 2L -> 1L))
+    assert(comp.values.toSet == Set(1L))
+  }
+
+  test("endpoints missing from the nodes frame are added automatically") {
+    val comp = run(nodes(5), edges(5L -> 7L, 7L -> 6L))
+    assert(comp == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("cycles converge (no infinite propagation)") {
+    val comp = run(nodes(1, 2, 3, 4), edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 1L))
+    assert(comp.values.toSet == Set(1L))
+  }
+
+  test("insufficient maxIter throws instead of returning a split clustering") {
+    // a 6-node chain rooted at the far end needs >1 round to pull the label across
+    val chain = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    intercept[IllegalStateException](run(nodes(1, 2, 3, 4, 5, 6), chain, maxIter = 1))
+    // and with enough rounds the same graph is one component
+    assert(run(nodes(1, 2, 3, 4, 5, 6), chain).values.toSet == Set(1L))
+  }
+
+  test("invalid maxIter rejected") {
+    intercept[IllegalArgumentException](run(nodes(1), edges(), maxIter = 0))
+  }
+}

@@ -75,4 +75,50 @@ class SamplingSpec extends SparkSpec {
     // threshold "ffffffff" would drop keys whose hash prefix is exactly that
     assert(Sampling.deterministicSample(keys, col("k"), 1.0).count() == 5000L)
   }
+
+  test("stratifiedSample keeps each stratum at its own fraction, deterministically") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(k => (k, s"src${k % 4}")).toDF("k", "src")
+    val kept = Sampling.stratifiedSample(df, col("k"), col("src"),
+      Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0), defaultFraction = 0.1)
+    val counts = kept.groupBy("src").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("src0") == 1000L)
+    assert(counts("src1") > 375 && counts("src1") < 625, s"src1 ${counts("src1")}")
+    assert(!counts.contains("src2"))
+    assert(counts("src3") > 50 && counts("src3") < 150, s"src3 ${counts("src3")}")
+    // per-stratum decisions reuse inSample: the kept set within a stratum is
+    // exactly the deterministic sample of that stratum at its fraction
+    val src1Direct = Sampling.deterministicSample(
+      df.filter(col("src") === "src1"), col("k"), 0.5)
+    val src1Strat = kept.filter(col("src") === "src1")
+    assert(src1Strat.except(src1Direct).isEmpty && src1Direct.except(src1Strat).isEmpty)
+  }
+
+  test("stratifiedSample: NULL stratum falls through to the default fraction") {
+    import spark.implicits._
+    val df = (0L until 1000L).map(k => (k, None: Option[String])).toDF("k", "src")
+    val kept0 = Sampling.stratifiedSample(df, col("k"), col("src"),
+      Map("src0" -> 1.0), defaultFraction = 0.0)
+    assert(kept0.isEmpty)
+    val kept1 = Sampling.stratifiedSample(df, col("k"), col("src"),
+      Map("src0" -> 0.0), defaultFraction = 1.0)
+    assert(kept1.count() == 1000L)
+  }
+
+  test("temperatureFractions: T=1 is proportional, T→0 equalizes, rates cap at 1") {
+    val counts = Map("big" -> 900L, "small" -> 100L)
+    val t1 = Sampling.temperatureFractions(counts, 1.0, targetTotal = 500L)
+    // T=1: every source keeps the same rate targetTotal/total
+    assert(math.abs(t1("big") - 0.5) < 1e-12 && math.abs(t1("small") - 0.5) < 1e-12)
+    val t0 = Sampling.temperatureFractions(counts, 0.001, targetTotal = 200L)
+    // T→0: equal SHARES (100 rows each) → small source rate ~1.0, big ~0.111
+    assert(t0("small") > 0.95 && t0("big") < 0.15)
+    // cap: a tiny source asked for more rows than it has clamps to 1.0
+    val capped = Sampling.temperatureFractions(Map("a" -> 10L, "b" -> 10L), 1.0, 1000L)
+    assert(capped("a") == 1.0 && capped("b") == 1.0)
+    intercept[IllegalArgumentException](Sampling.temperatureFractions(Map.empty, 1.0, 10L))
+    intercept[IllegalArgumentException](Sampling.temperatureFractions(Map("a" -> 0L), 1.0, 10L))
+    intercept[IllegalArgumentException](Sampling.temperatureFractions(Map("a" -> 1L), 0.0, 10L))
+  }
 }
