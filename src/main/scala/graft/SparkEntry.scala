@@ -767,6 +767,7 @@ object SparkEntry {
       // projection, zero shuffle (operators/Chunking.scala).
       operators.Chunking.tokenWindows(Tables.load(s, dir, "documents"),
           idCol = "doc_id", textCol = "text", window = 8, stride = 4)
+        .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
         .orderBy("doc_id", "chunk_id")),
     "q_dedup_ngram" -> ((s, dir) => {
       // N-gram (3-word shingle) Jaccard between adjacent doc pairs — the

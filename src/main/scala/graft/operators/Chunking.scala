@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object Chunking {
 
-  /** Adds one row per (document, window): `chunk_id` (0-based window
-    * ordinal), `chunk_text` (space-joined window tokens), `n_chunk_tokens`
+  /** Adds one row per (document, window), PRESERVING every input column
+    * (like the sibling Packing/Curation operators — metadata such as
+    * lang/source rides along), plus `chunk_id` (0-based window ordinal),
+    * `chunk_text` (space-joined window tokens), `n_chunk_tokens`
     * (= `window` except for the final partial window). NULL text produces
     * zero rows for that document (tokenize → NULL → explode drops it).
     *
@@ -35,21 +37,24 @@ object Chunking {
                    window: Int, stride: Int): DataFrame = {
     require(window > 0, s"Chunking: window must be positive, got $window")
     require(stride > 0, s"Chunking: stride must be positive, got $stride")
+    Seq(idCol, textCol).foreach(c => require(df.columns.contains(c),
+      s"Chunking: input has no '$c' column"))
     Seq("chunk_id", "chunk_text", "n_chunk_tokens").foreach(c =>
       require(!df.columns.contains(c),
         s"Chunking: input already has a '$c' column — rename it before chunking"))
-    df.select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__graft_toks"))
-      .select(col(idCol), col("__graft_toks"), size(col("__graft_toks")).as("__graft_n"))
-      .select(col(idCol), col("__graft_toks"), col("__graft_n"),
+    val inputCols = df.columns.toSeq.map(col)
+    df.withColumn("__graft_toks", graft.functions.TextFunctions.tokens(col(textCol)))
+      .withColumn("__graft_n", size(col("__graft_toks")))
+      .select(inputCols ++ Seq(col("__graft_toks"), col("__graft_n"),
         // The NULL guard is load-bearing: greatest() IGNORES nulls, so
         // without it a NULL text would produce greatest(NULL-1, 0) = 0 →
         // sequence [0] → one phantom all-NULL chunk row instead of zero rows.
         posexplode(when(col("__graft_n").isNotNull,
             sequence(lit(0), greatest(col("__graft_n") - 1, lit(0)), lit(stride))))
-          .as(Seq("chunk_id", "__graft_start")))
-      .select(col(idCol), col("chunk_id"),
+          .as(Seq("chunk_id", "__graft_start"))): _*)
+      .select(inputCols ++ Seq(col("chunk_id"),
         array_join(slice(col("__graft_toks"), col("__graft_start") + 1, lit(window)), " ")
           .as("chunk_text"),
-        least(lit(window), col("__graft_n") - col("__graft_start")).as("n_chunk_tokens"))
+        least(lit(window), col("__graft_n") - col("__graft_start")).as("n_chunk_tokens")): _*)
   }
 }

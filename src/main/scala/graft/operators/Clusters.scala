@@ -47,6 +47,11 @@ object Clusters {
 
   /** Connected components of the graph over `nodes` ∪ edge endpoints.
     *
+    * NULL ids are EXCLUDED from the graph up front (a NULL never joins
+    * through an edge anyway, and leaving it in would let the inner jump
+    * join drop it silently mid-loop). The output therefore contains one row
+    * per DISTINCT NON-NULL id.
+    *
     * @param nodes one-column frame of node ids (isolated nodes keep their
     *              own id as component; endpoints missing from `nodes` are
     *              added automatically)
@@ -69,6 +74,7 @@ object Clusters {
     var labels = nodes.select(col(idCol).as("id"))
       .unionByName(edges.select(col(srcCol).as("id")))
       .unionByName(edges.select(col(dstCol).as("id")))
+      .filter(col("id").isNotNull) // see the NULL-id contract above
       .distinct()
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint(true)

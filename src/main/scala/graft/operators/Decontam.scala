@@ -39,9 +39,20 @@ object Decontam {
       .select(idCol).distinct()
   }
 
-  /** `docs` minus every document contaminated against `bench`. */
+  /** `docs` minus every document contaminated against `bench`.
+    *
+    * The anti-join is NULL-SAFE (`<=>`): a contaminated doc with a NULL id
+    * must still be dropped — a plain `===` anti-join evaluates NULL = NULL
+    * to NULL and would silently keep a benchmark-leaking row. Note ids are
+    * the identity here, so all NULL-id docs share one identity: if ANY
+    * NULL-id doc is contaminated, ALL NULL-id docs drop. Give rows unique
+    * ids upstream if that conflation matters.
+    */
   def decontaminate(docs: DataFrame, bench: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    w: Int = 4): DataFrame =
-    docs.join(contaminatedIds(docs, bench, idCol, textCol, w), Seq(idCol), "left_anti")
+                    w: Int = 4): DataFrame = {
+    val bad = contaminatedIds(docs, bench, idCol, textCol, w)
+      .withColumnRenamed(idCol, "__graft_contaminated")
+    docs.join(bad, docs(idCol) <=> col("__graft_contaminated"), "left_anti")
+  }
 }

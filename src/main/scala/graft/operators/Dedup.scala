@@ -141,9 +141,13 @@ object Dedup {
     * so the big intermediates (new-batch minhash state, and the corpus-side
     * state when no `corpusIndex` was given) can be unpersisted immediately
     * instead of accumulating across daily-ingest calls in a long-lived
-    * session. Only the drop-id cache outlives the call (ContextCleaner
-    * reclaims it when the returned plan is GC'd). A caller-supplied
-    * `corpusIndex`'s own persistence is caller-managed, untouched here.
+    * session. The drop set materializes via `localCheckpoint`, NOT
+    * `persist`: a persisted Dataset is pinned by the session's CacheManager
+    * until explicit unpersist (ContextCleaner never touches it), which
+    * would leak one cached relation per daily batch; localCheckpoint blocks
+    * belong to a plain RDD that ContextCleaner DOES reclaim once the
+    * returned plan is unreachable. A caller-supplied `corpusIndex`'s own
+    * persistence is caller-managed, untouched here.
     */
   def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
@@ -197,11 +201,11 @@ object Dedup {
       .unionByName(verifyPairs(withinNew, shNew, shNew, jaccardThreshold)
         .select(col("id_a").as("__graft_drop")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Materialize the id-width drop set NOW, then release the wide minhash
-    // caches — see the lifecycle note above. blocking=false: the release is
-    // fire-and-forget, not on the caller's latency path.
-    drops.count()
+      // Materialize the id-width drop set NOW (eager localCheckpoint), then
+      // release the wide minhash caches — see the lifecycle note above.
+      // blocking=false: the release is fire-and-forget, not on the caller's
+      // latency path.
+      .localCheckpoint(true)
     mhNew.unpersist(blocking = false)
     if (corpusIndex.isEmpty) mhCorp.unpersist(blocking = false)
     newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")

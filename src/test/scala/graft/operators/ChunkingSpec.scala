@@ -35,6 +35,13 @@ class ChunkingSpec extends SparkSpec {
     assert(got == Seq((0, "a b", 2), (1, "f g", 2)))
   }
 
+  test("input columns pass through alongside the chunk columns") {
+    val out = Chunking.tokenWindows(
+      Seq((1L, "a b c d", "en")).toDF("id", "text", "lang"), "id", "text", 2, 2)
+    assert(out.columns.toSeq == Seq("id", "text", "lang", "chunk_id", "chunk_text", "n_chunk_tokens"))
+    assert(out.select("lang").distinct().as[String].collect().toSeq == Seq("en"))
+  }
+
   test("short doc yields one partial chunk; NULL text yields no rows") {
     assert(chunks("only two", window = 8, stride = 4) == Seq((0, "only two", 2)))
     val n = Chunking.tokenWindows(

@@ -51,4 +51,13 @@ class ClustersSpec extends SparkSpec {
   test("invalid maxIter rejected") {
     intercept[IllegalArgumentException](run(nodes(1), edges(), maxIter = 0))
   }
+
+  test("NULL node ids are excluded up front, not dropped mid-loop") {
+    // review regression: without the entry filter a NULL id survived into
+    // labels and the inner jump join silently dropped it in round 1
+    val n = Seq(Some(1L), None, Some(2L)).toDF("id")
+    val comp = Clusters.connectedComponents(n, edges(1L -> 2L))
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L))
+  }
 }

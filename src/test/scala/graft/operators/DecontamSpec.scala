@@ -54,4 +54,16 @@ class DecontamSpec extends SparkSpec {
   test("invalid width rejected") {
     intercept[IllegalArgumentException](Decontam.contaminatedIds(docs, bench, w = 0))
   }
+
+  test("a contaminated doc with a NULL id is still dropped (null-safe anti-join)") {
+    // review regression: a plain === anti-join evaluates NULL = NULL to NULL
+    // and would KEEP the benchmark-leaking row
+    val withNull = docs.unionByName(
+      Seq((Option.empty[Long], "the quick brown fox jumps here too"))
+        .toDF("doc_id", "text"))
+    val kept = Decontam.decontaminate(withNull, bench, w = 4)
+      .select("doc_id").collect()
+    assert(!kept.exists(_.isNullAt(0)), "NULL-id contaminated doc must not survive")
+    assert(kept.map(_.getLong(0)).toSet == Set(2L, 4L))
+  }
 }
