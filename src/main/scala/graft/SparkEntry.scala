@@ -722,13 +722,18 @@ object SparkEntry {
           concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"), lit(".7")))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
+      // Native fused PiiStats (one string conversion + six matchers per row,
+      // one node) — column-twin parity pinned in PiiParitySpec. Struct
+      // aliased in one select, fields extracted in a second, so the
+      // non-cheap expression is never inlined per consumer (the
+      // q_text_repetition pattern; plan pinned in PlanPropertiesSpec).
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), aug.as("aug"))
+        .select(col("doc_id"), plans.PiiExpressions.piiStats(aug).as("p"))
         .select(col("doc_id"),
-          operators.Pii.emailCount(col("aug")).as("n_emails"),
-          operators.Pii.ipv4Count(col("aug")).as("n_ips"),
-          operators.Pii.phoneCount(col("aug")).as("n_phones"),
-          operators.Pii.redact(col("aug")).as("redacted"))
+          col("p.n_emails").as("n_emails"),
+          col("p.n_ips").as("n_ips"),
+          col("p.n_phones").as("n_phones"),
+          col("p.redacted").as("redacted"))
         .orderBy("doc_id")
     }),
     "q_dedup_clusters" -> ((s, dir) => {

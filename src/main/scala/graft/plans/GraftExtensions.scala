@@ -25,6 +25,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_stopword_ratio(text)` → double (unrounded stopword density)
   *  - `graft_repetition(text)`    → struct<n_tokens, dup_word_frac, dup_bigram_frac, top_word_frac>
   *  - `graft_cosine(a, b)`        → double (fused one-pass cosine over array<double>)
+  *  - `graft_pii(text)`           → struct<n_emails, n_ips, n_phones, redacted>
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -90,6 +91,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 2, "graft_cosine(a, b) takes exactly 2 arguments")
         CosineSim(children.head, children(1))
+      }),
+    (
+      new FunctionIdentifier("graft_pii"),
+      new ExpressionInfo(classOf[PiiStats].getName, "graft_pii"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_pii(text) takes exactly 1 argument")
+        PiiStats(children.head)
       })
   )
 

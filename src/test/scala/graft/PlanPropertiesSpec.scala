@@ -83,4 +83,28 @@ class PlanPropertiesSpec extends SparkSpec {
     val exchanges = "Exchange [^\\n]*".r.findAllIn(p).mkString("\n")
     assert(!exchanges.contains("text#"), s"document bodies shuffle:\n$exchanges")
   }
+
+  test("decontaminate: bench grams + contaminated ids both broadcast; bodies never shuffle") {
+    val p = plan("q_decontaminate")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"),
+      s"expected semi (gram probe) + anti (drop) joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"decontaminate joins must broadcast, not sort-merge:\n$p")
+    val exchanges = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(!exchanges.contains("text#"), s"document bodies shuffle:\n$exchanges")
+  }
+
+  test("pure scan projections add no shuffle beyond the output sort") {
+    for (q <- Seq("q_pii_redact", "q_mix_sources", "q_text_chunks")) {
+      val p = plan(q)
+      assert("(?i)exchange".r.findAllIn(p).length == 1,
+        s"$q must be scan-projection-only plus the final orderBy exchange:\n$p")
+    }
+  }
+
+  test("q_pii_redact evaluates PiiStats once: a single node in the plan") {
+    val p = plan("q_pii_redact")
+    val count = "(?i)piistats".r.findAllIn(p).length
+    assert(count == 1, s"expected exactly 1 PiiStats (4-field extraction must not inline the expression per field), found $count:\n$p")
+  }
 }

@@ -89,6 +89,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(cos.getDouble(0) == dslCos.getDouble(0))
   }
 
+  test("graft_pii callable from SQL, matches the column twins") {
+    import spark.implicits._
+    val df = Seq((1L, "mail me a@b.org from 10.0.0.1")).toDF("id", "text")
+    df.createOrReplaceTempView("pdocs")
+    val row = spark.sql(
+      """SELECT graft_pii(text).n_emails AS e, graft_pii(text).n_ips AS i,
+               graft_pii(text).redacted AS r FROM pdocs""").head()
+    assert(row.getInt(0) == 1 && row.getInt(1) == 1)
+    assert(row.getString(2) == "mail me <EMAIL> from <IP>")
+  }
+
   test("graft_cosine accepts array<float> from SQL (the embeddings column type)") {
     import spark.implicits._
     // ADVICE r6: ExpectsInputTypes without implicit casting made float arrays
