@@ -722,8 +722,8 @@ object SparkEntry {
           concat(lit(" from 10.0."), (col("doc_id") % 250).cast("string"), lit(".7")))
           .otherwise(lit("")),
         when(col("doc_id") % 7 === 0, lit(" call 555-867-5309")).otherwise(lit("")))
-      // Native fused PiiStats (one string conversion + six matchers per row,
-      // one node) — column-twin parity pinned in PiiParitySpec. Struct
+      // Native fused PiiStats (one string conversion, ≤5 matcher walks per
+      // row, one node) — column-twin parity pinned in PiiParitySpec. Struct
       // aliased in one select, fields extracted in a second, so the
       // non-cheap expression is never inlined per consumer (the
       // q_text_repetition pattern; plan pinned in PlanPropertiesSpec).

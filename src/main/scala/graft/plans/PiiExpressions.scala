@@ -17,8 +17,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * expression trees: each converts the row's UTF8String to a java String
   * and runs its own matcher — six conversions and six scheduler-visible
   * expression evaluations per row in the q_pii_redact hot path. This
-  * expression converts ONCE and runs the same six compiled matchers over
-  * that one String, returning counts + redacted text as a single struct.
+  * expression converts ONCE and runs the same compiled patterns over that
+  * one String — at most five matcher walks, and in the common cases far
+  * fewer (clean text: zero; digits but nothing redacted: two fused
+  * count+replace walks) — returning counts + redacted text as one struct.
   *
   * Semantics are identical BY CONSTRUCTION, not by reimplementation: the
   * pattern strings are [[graft.operators.Pii.EmailRe]]/[[graft.operators.Pii.Ipv4Re]]/
@@ -89,13 +91,18 @@ case class PiiStats(child: Expression)
     var redacted = r1
     if (hasDigit) {
       // IP/phone COUNTS run on the original text (documented overlap
-      // semantics), their REPLACEMENTS on the email-redacted text; ni == 0
-      // does not imply no match in r1 (redaction can create a word boundary
-      // at a placeholder seam), so the r1 walk is unconditional here.
-      ni = count(ipv4, s)
-      val r2 = ipv4.matcher(r1).replaceAll("<IP>")
-      np = count(phone, s)
-      redacted = phone.matcher(r2).replaceAll("<PHONE>")
+      // semantics), their REPLACEMENTS on the email-redacted text. When the
+      // count domain and the replacement domain are the SAME string (no
+      // earlier stage replaced anything — the overwhelmingly common case),
+      // one fused walk does both; otherwise both walks are needed, and the
+      // redaction walk is unconditional even when the count is 0 (redaction
+      // can create a word boundary at a placeholder seam).
+      val r2 =
+        if (r1 eq s) { val (c, r) = countAndReplace(ipv4, s, "<IP>"); ni = c; r }
+        else { ni = count(ipv4, s); ipv4.matcher(r1).replaceAll("<IP>") }
+      redacted =
+        if (r2 eq s) { val (c, r) = countAndReplace(phone, s, "<PHONE>"); np = c; r }
+        else { np = count(phone, s); phone.matcher(r2).replaceAll("<PHONE>") }
     }
     InternalRow(ne, ni, np, UTF8String.fromString(redacted))
   }

@@ -90,8 +90,10 @@ class PlanPropertiesSpec extends SparkSpec {
       s"expected semi (gram probe) + anti (drop) joins:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"decontaminate joins must broadcast, not sort-merge:\n$p")
-    val exchanges = "Exchange hashpartitioning[^\\n]*".r.findAllIn(p).mkString("\n")
-    assert(!exchanges.contains("text#"), s"document bodies shuffle:\n$exchanges")
+    // ALL exchange kinds — a BroadcastExchange carrying text# would mean
+    // full bodies were collected to the driver and shipped to every executor
+    val exchanges = "(?i)[a-z]*Exchange [^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(!exchanges.contains("text#"), s"document bodies move in an exchange:\n$exchanges")
   }
 
   test("pure scan projections add no shuffle beyond the output sort") {
