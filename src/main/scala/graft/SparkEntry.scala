@@ -774,6 +774,31 @@ object SparkEntry {
           idCol = "doc_id", textCol = "text", window = 8, stride = 4)
         .select("doc_id", "chunk_id", "chunk_text", "n_chunk_tokens")
         .orderBy("doc_id", "chunk_id")),
+    "q_line_dedup" -> ((s, dir) => {
+      // Global exact line dedup (the C4-style boilerplate-removal step).
+      // The synthetic corpus has no newlines, so both sides break the text
+      // into 2-word lines first (tiny vocabulary → real cross-document line
+      // collisions); first occurrence by (doc_id, ordinal) wins, docs
+      // reassemble in order (operators/Lines.scala).
+      val aug = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", "$1\n").as("text"))
+      operators.Lines.dedupLines(aug)
+        .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+        .orderBy("doc_id")
+    }),
+    "q_line_filter" -> ((s, dir) => {
+      // Per-line boilerplate filter over the same planted 2-word lines:
+      // drop every line containing the stopword "the" (the C4 rule shape —
+      // predicate per line, reassemble survivors in order). Zero shuffle
+      // beyond reassembly (operators/Lines.scala).
+      val aug = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", "$1\n").as("text"))
+      operators.Lines.filterLines(aug, l => !l.rlike("\\bthe\\b"))
+        .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+        .orderBy("doc_id")
+    }),
     "q_dedup_ngram" -> ((s, dir) => {
       // N-gram (3-word shingle) Jaccard between adjacent doc pairs — the
       // verify stage of near-dedup, demonstrated on a deterministic pair set.
@@ -933,6 +958,39 @@ object SparkEntry {
                 array_to_string(list_slice(w, start + 1, start + 8), ' ') AS chunk_text,
                 CAST(least(8, n - start) AS INTEGER) AS n_chunk_tokens
          FROM s ORDER BY doc_id, chunk_id""",
+    "q_line_dedup" ->
+      """WITH aug AS (
+           SELECT doc_id, regexp_replace(text, '(\S+\s+\S+)\s+', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  unnest(string_split(t, chr(10))) AS line,
+                  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+           FROM aug),
+         w AS (
+           SELECT doc_id, ord, line,
+                  row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+           FROM l)
+         SELECT doc_id,
+                coalesce(string_agg(line, chr(10) ORDER BY ord) FILTER (WHERE rn = 1), '') AS text,
+                count(*) FILTER (WHERE rn = 1) AS n_lines_kept,
+                count(*) FILTER (WHERE rn > 1) AS n_lines_dropped
+         FROM w GROUP BY doc_id ORDER BY doc_id""",
+    "q_line_filter" ->
+      """WITH aug AS (
+           SELECT doc_id, regexp_replace(text, '(\S+\s+\S+)\s+', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  unnest(string_split(t, chr(10))) AS line,
+                  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+           FROM aug)
+         SELECT doc_id,
+                coalesce(string_agg(line, chr(10) ORDER BY ord)
+                  FILTER (WHERE NOT regexp_matches(line, '\bthe\b')), '') AS text,
+                count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
+                count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
+         FROM l GROUP BY doc_id ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH sh AS (
            SELECT doc_id,

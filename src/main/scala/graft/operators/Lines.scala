@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Line-level corpus operations: global exact line deduplication and
+  * per-line boilerplate filtering, with in-order document reassembly — the
+  * C4/RefinedWeb-style cleaning step between raw ingest and document-level
+  * dedup (navigation menus, cookie banners and licence footers repeat across
+  * millions of pages and survive document-level dedup because the documents
+  * AROUND them differ).
+  *
+  * Both operators share one shape: explode text into `(doc, ordinal, line)`
+  * rows, decide per line, then reassemble each document's surviving lines in
+  * their original order. Reassembly is ONE `groupBy(id)` shuffle;
+  * [[dedupLines]] adds one more shuffle partitioned by the line string for
+  * the global first-occurrence window. Both shuffles are linear in corpus
+  * size — there is no pairwise comparison anywhere. The dedup partitions by
+  * the EXACT line string, not a 64-bit hash, so there is no silent-collision
+  * class at any corpus size (the same policy as Indexing.extractDiff).
+  *
+  * All non-text input columns ride along unchanged (the Chunking/Packing
+  * contract).
+  */
+object Lines {
+
+  private val OrdCol  = "__graft_ord"
+  private val LineCol = "__graft_line"
+  private val KeepCol = "__graft_keep"
+
+  private def checkCols(df: DataFrame, idCol: String, textCol: String): Unit = {
+    Seq(idCol, textCol).foreach(c => require(df.columns.contains(c),
+      s"Lines: input has no '$c' column"))
+    Seq("n_lines_kept", "n_lines_dropped", OrdCol, LineCol, KeepCol).foreach(c =>
+      require(!df.columns.contains(c),
+        s"Lines: input already has a '$c' column — rename it first"))
+  }
+
+  /** `(input columns…, __graft_ord, __graft_line)` — one row per line.
+    * `posexplode_outer` keeps NULL-text documents as a single NULL-line row
+    * so they survive to reassembly (with NULL output text) instead of
+    * vanishing.
+    */
+  private def explodeLines(df: DataFrame, textCol: String, sep: String): DataFrame =
+    df.select(df.columns.map(col).toSeq :+
+      posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq(OrdCol, LineCol)): _*)
+
+  /** Reassemble per-document text from marked line rows: keep lines where
+    * `__graft_keep`, join them back in ordinal order, count kept/dropped.
+    * A document whose every line was dropped comes back with empty text
+    * (not NULL); a NULL-text document stays NULL.
+    */
+  private def reassemble(marked: DataFrame, df: DataFrame,
+                         idCol: String, textCol: String, sep: String): DataFrame = {
+    val keep = col(KeepCol) && col(LineCol).isNotNull
+    val carried = df.columns.toSeq.filter(_ != idCol).map(c =>
+      first(col(c)).as(c))
+    val aggs = carried ++ Seq(
+      // collect_list skips NULLs, so the when() keeps only surviving lines;
+      // array_sort on (ord, line) structs restores original order (ord is
+      // unique per document, so the sort is total and deterministic).
+      array_sort(collect_list(when(keep,
+        struct(col(OrdCol).as("o"), col(LineCol).as("l"))))).as("__graft_kept"),
+      count(when(keep, lit(1))).as("n_lines_kept"),
+      count(when(!col(KeepCol) && col(LineCol).isNotNull, lit(1))).as("n_lines_dropped"))
+    val out = marked.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+      .withColumn(textCol,
+        when(col(textCol).isNotNull,
+          array_join(transform(col("__graft_kept"), x => x("l")), sep)))
+    out.select(df.columns.map(col).toSeq ++
+      Seq(col("n_lines_kept"), col("n_lines_dropped")): _*)
+  }
+
+  /** Global exact line deduplication with first-occurrence-wins policy: a
+    * line survives iff no identical line exists in any document with a
+    * smaller `(idCol, ordinal)` position. Returns the input frame with
+    * `textCol` replaced by the deduplicated text plus
+    * `n_lines_kept`/`n_lines_dropped` counts.
+    *
+    * Winner selection is a `row_number` window partitioned by the exact line
+    * string ordered by `(id, ordinal)` — one linear shuffle keyed by line
+    * content, deterministic at any parallelism, and collision-free (no
+    * hashing). Loser rows are NOT pruned at the window (the dropped-count
+    * needs them), but `row_number` is a running frame: WindowExec streams
+    * each partition with constant state, so the corpus's most-repeated
+    * boilerplate line costs a sort, never a buffer.
+    */
+  def dedupLines(df: DataFrame, idCol: String = "doc_id", textCol: String = "text",
+                 sep: String = "\n"): DataFrame = {
+    checkCols(df, idCol, textCol)
+    val lines = explodeLines(df, textCol, sep)
+    val w = Window.partitionBy(col(LineCol)).orderBy(col(idCol), col(OrdCol))
+    val marked = lines.withColumn(KeepCol, row_number().over(w) === 1)
+    reassemble(marked, df, idCol, textCol, sep)
+  }
+
+  /** Per-line predicate filter ("drop boilerplate lines"): keep each line
+    * iff `keep(line)` is true (NULL predicate results drop the line —
+    * filters are strict, as everywhere else in this API). Zero shuffles
+    * beyond the reassembly `groupBy` — the predicate evaluates inside the
+    * scan projection.
+    */
+  def filterLines(df: DataFrame, keep: Column => Column,
+                  idCol: String = "doc_id", textCol: String = "text",
+                  sep: String = "\n"): DataFrame = {
+    checkCols(df, idCol, textCol)
+    val lines = explodeLines(df, textCol, sep)
+    val marked = lines.withColumn(KeepCol, coalesce(keep(col(LineCol)), lit(false)))
+    reassemble(marked, df, idCol, textCol, sep)
+  }
+}
