@@ -799,6 +799,22 @@ object SparkEntry {
         .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
         .orderBy("doc_id")
     }),
+    "q_text_normalize" -> ((s, dir) => {
+      // Canonical normalization before any hash-based operator: NFC
+      // (native UnicodeNormalize — JDK and DuckDB both implement UAX#15)
+      // → lower → collapse whitespace → trim. The corpus is clean ASCII, so
+      // both sides plant the mess: upper-case every 3rd doc and append a
+      // DECOMPOSED e+combining-acute plus tab/space noise; normalization
+      // must compose it to U+00E9 and collapse the rest identically.
+      val planted = concat(
+        when(col("doc_id") % 3 === 0, upper(col("text"))).otherwise(col("text")),
+        lit("  caf"), lit("e\u0301"), lit("\t x "))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextFunctions.normalizeText(planted).as("norm"))
+        .withColumn("n_norm_chars", length(col("norm")))
+        .orderBy("doc_id")
+    }),
     "q_dedup_ngram" -> ((s, dir) => {
       // N-gram (3-word shingle) Jaccard between adjacent doc pairs — the
       // verify stage of near-dedup, demonstrated on a deterministic pair set.
@@ -991,6 +1007,16 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_normalize" ->
+      """WITH planted AS (
+           SELECT doc_id,
+                  (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+                    || '  caf' || chr(101) || chr(769) || chr(9) || ' x ' AS t
+           FROM documents)
+         SELECT doc_id,
+                trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g')) AS norm,
+                CAST(length(trim(regexp_replace(lower(nfc_normalize(t)), '\s+', ' ', 'g'))) AS INTEGER) AS n_norm_chars
+         FROM planted ORDER BY doc_id""",
     "q_dedup_ngram" ->
       """WITH sh AS (
            SELECT doc_id,

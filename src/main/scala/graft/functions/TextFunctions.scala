@@ -88,6 +88,18 @@ object TextFunctions {
     round(least(stopR * 5.0, lit(1.0)) * 0.5 + least(nTok / 100.0, lit(1.0)) * 0.5, 4)
   }
 
+  /** Canonical text normalization for pipeline ingest: Unicode NFC (native
+    * expression — Spark has no built-in; the JDK and DuckDB's
+    * `nfc_normalize` both implement UAX#15, so oracles can recompute it) →
+    * lowercase → collapse `\s+` runs to single spaces → trim edges. Pure
+    * per-row projection, no shuffle; run it BEFORE hashing/shingling so
+    * visually-identical strings (composed vs decomposed accents, case,
+    * whitespace style) dedup together instead of slipping past every
+    * hash-based operator.
+    */
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    trim(regexp_replace(lower(graft.plans.TextExpressions.unicodeNormalize(text, form)), "\\s+", " "))
+
   /** N-gram-profile language ID heuristic: scores each candidate language by
     * marker-token hits and returns the argmax (ties → first in list). Marker
     * lists are deliberately tiny — this is the shape of a fasttext-style LID

@@ -93,6 +93,13 @@ object GraftExtensions {
         CosineSim(children.head, children(1))
       }),
     (
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName, "graft_nfc"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_nfc(text) takes exactly 1 argument")
+        UnicodeNormalize(children.head, "NFC")
+      }),
+    (
       new FunctionIdentifier("graft_pii"),
       new ExpressionInfo(classOf[PiiStats].getName, "graft_pii"),
       (children: Seq[Expression]) => {

@@ -76,6 +76,12 @@ object TextExpressions {
   def repetitionStats(text: Column): Column =
     ColumnShim.column(RepetitionStats(ColumnShim.expression(text)))
 
+  /** Unicode normalization (UAX#15) — Spark ships no built-in for it, and a
+    * UDF would box every row. `form` ∈ NFC | NFD | NFKC | NFKD.
+    */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    ColumnShim.column(UnicodeNormalize(ColumnShim.expression(text), form))
+
   /** Shared tokenizer for every native text expression: edge-strip by the
     * SAME `\s` class the column twins use (`regexp_replace(text,
     * "^\\s+|\\s+$", "")` + `split("\\s+")`) — Java `String.trim` strips all
@@ -447,5 +453,33 @@ case class SimHash64(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+/** Unicode normalization via `java.text.Normalizer` (the JDK's UAX#15
+  * implementation — the same algorithm DuckDB's `nfc_normalize` and ICU
+  * implement, so oracle SQL can recompute NFC output). Already-normalized
+  * strings (the overwhelming majority of real corpus text) take a
+  * check-only fast path with no reallocation.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(Seq("NFC", "NFD", "NFKC", "NFKD").contains(form),
+    s"UnicodeNormalize: form must be NFC|NFD|NFKC|NFKD, got '$form'")
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = StringType
+
+  @transient private lazy val f = java.text.Normalizer.Form.valueOf(form)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, f)) input
+    else UTF8String.fromString(java.text.Normalizer.normalize(s, f))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
     copy(child = newChild)
 }

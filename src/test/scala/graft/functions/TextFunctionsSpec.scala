@@ -121,4 +121,43 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy(lit(1)).collect()
     assert(out.exists(r => r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2)))
   }
+
+  test("unicodeNormalize: NFC composes, NFKC folds compatibility forms, idempotent, null-safe") {
+    import graft.plans.TextExpressions
+    val rows = Seq(
+      (1L, Some("cafe\u0301")),          // decomposed e + combining acute
+      (2L, Some("caf\u00e9")),           // already composed — fast path
+      (3L, Some("\ufb01le")),            // NFKC: fi-ligature folds to "fi"; NFC keeps it
+      (4L, None: Option[String])
+    ).toDF("doc_id", "text")
+    val out = rows.select(
+        TextExpressions.unicodeNormalize($"text").as("nfc"),
+        TextExpressions.unicodeNormalize($"text", "NFKC").as("nfkc"))
+      .orderBy(rows("doc_id")).collect()
+    assert(out(0).getString(0) == "caf\u00e9" && out(0).getString(1) == "caf\u00e9")
+    assert(out(1).getString(0) == "caf\u00e9")
+    assert(out(2).getString(0) == "\ufb01le" && out(2).getString(1) == "file")
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1))
+    // idempotent: normalizing the normalized output changes nothing
+    val twice = rows.filter($"text".isNotNull).select(
+      (TextExpressions.unicodeNormalize(TextExpressions.unicodeNormalize($"text"))
+        === TextExpressions.unicodeNormalize($"text")).as("eq")).collect()
+    assert(twice.forall(_.getBoolean(0)))
+    intercept[IllegalArgumentException] {
+      TextExpressions.unicodeNormalize(lit("x"), "NFX")
+    }
+  }
+
+  test("normalizeText: NFC + lowercase + whitespace collapse + trim, so variants hash identically") {
+    val rows = Seq(
+      (1L, "  The   QUICK\tFox "),
+      (2L, "the quick fox"),
+      (3L, "Cafe\u0301  MENU"),
+      (4L, "caf\u00e9 menu")
+    ).toDF("doc_id", "text")
+    val out = rows.select(TextFunctions.normalizeText($"text").as("n"))
+      .orderBy(rows("doc_id")).collect().map(_.getString(0)).toSeq
+    assert(out(0) == "the quick fox" && out(0) == out(1))
+    assert(out(2) == "caf\u00e9 menu" && out(2) == out(3))
+  }
 }

@@ -112,4 +112,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
         $"b".cast("array<double>"))).head().getDouble(0)
     assert(sqlCos == dslCos)
   }
+
+  test("graft_nfc from SQL matches the DSL expression and composes decomposed accents") {
+    import spark.implicits._
+    Seq((1L, "cafe\u0301"), (2L, "plain ascii")).toDF("id", "t")
+      .createOrReplaceTempView("nfc_docs")
+    val out = spark.sql("SELECT id, graft_nfc(t) AS n FROM nfc_docs ORDER BY id").collect()
+    assert(out(0).getString(1) == "caf\u00e9")
+    assert(out(1).getString(1) == "plain ascii")
+    val dsl = spark.table("nfc_docs")
+      .select(TextExpressions.unicodeNormalize($"t").as("n"))
+      .orderBy($"id").collect()
+    assert(out.map(_.getString(1)).toSeq == dsl.map(_.getString(0)).toSeq)
+  }
 }
