@@ -799,6 +799,27 @@ object SparkEntry {
         .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
         .orderBy("doc_id")
     }),
+    "q_dedup_exact_inc" -> ((s, dir) => {
+      // Bloom-prefiltered exact incremental dedup (daily-ingest shape): the
+      // corpus folds into a bloom sketch shipped by scalar subquery — it
+      // never shuffles; only bloom-positive hashes broadcast back for the
+      // exactness check. The synthetic corpus has no exact dups, so both
+      // sides plant them: every id%7==0 doc becomes one of two constant
+      // texts (cross-corpus dups), and batch ids with id%11==3 become one
+      // of three constants (within-batch dup groups, min id wins).
+      val docs = Tables.load(s, dir, "documents")
+      val aug = docs.withColumn("text",
+        when(col("doc_id") % 7 === 0,
+            concat(lit("planted dup "), (col("doc_id") % 2).cast("string")))
+          .when(col("doc_id") >= 300 && col("doc_id") % 11 === 3,
+            concat(lit("batch dup "), (col("doc_id") % 3).cast("string")))
+          .otherwise(col("text")))
+      operators.Dedup.exactIncremental(
+          aug.filter(col("doc_id") >= 300), aug.filter(col("doc_id") < 300),
+          expectedCorpusItems = 10000L)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
     "q_text_normalize" -> ((s, dir) => {
       // Canonical normalization before any hash-based operator: NFC
       // (native UnicodeNormalize — JDK and DuckDB both implement UAX#15)
@@ -1007,6 +1028,23 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_dedup_exact_inc" ->
+      """WITH aug AS (
+           SELECT doc_id, lang, n_chars,
+                  CASE WHEN doc_id % 7 = 0 THEN 'planted dup ' || CAST(doc_id % 2 AS VARCHAR)
+                       WHEN doc_id >= 300 AND doc_id % 11 = 3 THEN 'batch dup ' || CAST(doc_id % 3 AS VARCHAR)
+                       ELSE text END AS t
+           FROM documents),
+         batch AS (SELECT * FROM aug WHERE doc_id >= 300),
+         corpus AS (SELECT * FROM aug WHERE doc_id < 300),
+         nodup AS (
+           SELECT b.* FROM batch b
+           WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = b.t)),
+         win AS (
+           SELECT doc_id, lang, n_chars,
+                  row_number() OVER (PARTITION BY t ORDER BY doc_id) AS rn
+           FROM nodup)
+         SELECT doc_id, lang, n_chars FROM win WHERE rn = 1 ORDER BY doc_id""",
     "q_text_normalize" ->
       """WITH planted AS (
            SELECT doc_id,

@@ -211,6 +211,71 @@ object Dedup {
     newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
   }
 
+  /** Exact incremental dedup of a NEW batch against an EXISTING corpus with
+    * a Bloom prefilter — the daily-ingest twin of [[exact]]. A new doc
+    * survives iff its content hash matches no corpus doc AND no lower-id doc
+    * within its own batch (the [[exact]] min-id policy; NULL texts group
+    * together within the batch exactly as [[exact]]'s hash group-by does,
+    * while the cross-corpus comparison is null-strict like any join).
+    *
+    * The 100 TB shape — the corpus NEVER shuffles:
+    *  1. One map-side corpus pass folds `xxhash64(sha2(text))` into a Bloom
+    *     sketch (`bloom_filter_agg`, ~`bloomBitsPerItem` bits/doc), shipped
+    *     to the new batch as a scalar subquery — the same mechanism Spark's
+    *     own runtime bloom joins use, a few MB broadcast once.
+    *  2. `might_contain` splits the new batch map-side: definite-new docs
+    *     (bloom negative — the overwhelming majority of a healthy ingest)
+    *     skip the corpus entirely.
+    *  3. Only bloom-POSITIVE hashes (true dups + ~3% false positives at the
+    *     default sizing) are broadcast back against a second map-side corpus
+    *     pass (`left_semi`) and exactness-checked with an anti-join, so
+    *     Bloom false positives never reach the output: the result is exact.
+    * The only full shuffle anywhere is the new batch's within-batch window —
+    * the small side by construction.
+    *
+    * `expectedCorpusItems` sizes the sketch (overestimating wastes
+    * `bits/8` bytes per phantom doc; underestimating only raises the FP
+    * rate, never breaks correctness — the anti-join stays exact).
+    */
+  def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       expectedCorpusItems: Long = 1L << 20,
+                       bloomBitsPerItem: Int = 8): DataFrame = {
+    require(expectedCorpusItems > 0, "exactIncremental: expectedCorpusItems must be positive")
+    require(bloomBitsPerItem > 0, "exactIncremental: bloomBitsPerItem must be positive")
+    Seq(idCol, textCol).foreach(c => require(newDocs.columns.contains(c) && corpus.columns.contains(c),
+      s"exactIncremental: both frames need a '$c' column"))
+    Seq("__graft_h", "__graft_maybe", "__graft_rn").foreach(c =>
+      require(!newDocs.columns.contains(c),
+        s"exactIncremental: input already has a '$c' column — rename it first"))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val h = sha2(col(textCol), 256)
+
+    val bloomDf = corpus.select(
+      ColumnShim.bloomFilterAgg(xxhash64(h), expectedCorpusItems,
+        math.max(64L, expectedCorpusItems * bloomBitsPerItem)).as("bf"))
+    val flagged = newDocs
+      .withColumn("__graft_h", h)
+      .withColumn("__graft_maybe",
+        ColumnShim.mightContain(ColumnShim.scalarSubquery(bloomDf),
+          xxhash64(col("__graft_h"))))
+
+    val posHashes = flagged.filter(col("__graft_maybe"))
+      .select(col("__graft_h")).distinct()
+    val corpusMatches = corpus.select(h.as("__graft_h"))
+      .join(broadcast(posHashes), Seq("__graft_h"), "left_semi")
+      .distinct()
+    val vsCorpus = flagged.filter(!col("__graft_maybe"))
+      .unionByName(flagged.filter(col("__graft_maybe"))
+        .join(broadcast(corpusMatches), Seq("__graft_h"), "left_anti"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__graft_h")).orderBy(col(idCol))
+    vsCorpus.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_h", "__graft_maybe", "__graft_rn")
+  }
+
   /** Per-document 64-bit SimHash (native expression; column-algebra twin in
     * HashFunctions.simhash). */
   def simhashed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -33,6 +33,31 @@ object ColumnShim {
     column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       expression(a), expression(b)))
 
+  /** Wrap a one-row/one-column DataFrame as a scalar-subquery expression —
+    * the plan-shape Spark's own runtime row-group filtering uses to ship a
+    * Bloom sketch to the probe side without a join: the subquery executes
+    * once and its result is broadcast as a literal into every task.
+    */
+  def scalarSubquery(df: org.apache.spark.sql.DataFrame): Column =
+    column(org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed))
+
+  /** `bloom_filter_agg` over a LONG column (the engine-internal aggregate
+    * behind runtime bloom joins — not SQL-registered, hence the shim).
+    */
+  def bloomFilterAgg(c: Column, estimatedItems: Long, numBits: Long): Column =
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+      expression(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(estimatedItems),
+      org.apache.spark.sql.catalyst.expressions.Literal(numBits)).toAggregateExpression())
+
+  /** `might_contain(bloom, xxhash64-long)` — pairs with [[bloomFilterAgg]];
+    * `bloom` must be foldable or a scalar subquery ([[scalarSubquery]]).
+    */
+  def mightContain(bloom: Column, value: Column): Column =
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      expression(bloom), expression(value)))
+
   /** Register a function into an ALREADY-RUNNING session's registry (the
     * `withExtensions` path only applies to sessions built after the fact).
     */

@@ -105,4 +105,60 @@ class DedupSpec extends SparkSpec {
       assert(!plan.toLowerCase.contains("cartesian"), s"cartesian product in:\n$plan")
     }
   }
+
+  test("exactIncremental: corpus matches dropped, within-batch min-id kept, rest survive") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "alpha text"), (2L, "beta text"), (3L, "gamma text")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha text"),   // exact corpus dup -> dropped
+      (11L, "fresh one"),    // new -> kept
+      (12L, "fresh two"),    // within-batch dup group, min id -> kept
+      (13L, "fresh two"),    // -> dropped
+      (14L, "beta text"),    // corpus dup -> dropped
+      (15L, "fresh three")   // new -> kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(11L, 12L, 15L))
+  }
+
+  test("exactIncremental stays exact under a deliberately tiny Bloom (high FP rate)") {
+    import spark.implicits._
+    // 64-bit sketch over 200 corpus docs: most probes are false positives,
+    // so nearly every batch doc takes the verify path — the result must not
+    // change (Bloom is a prefilter, never a decision).
+    val corpus = (0L until 200L).map(i => (i, s"corpus doc $i")).toDF("doc_id", "text")
+    val batch = (0L until 50L).map(i =>
+      (1000L + i, if (i % 5 == 0) s"corpus doc $i" else s"batch doc $i")).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, corpus,
+        expectedCorpusItems = 1L, bloomBitsPerItem = 1)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val expected = (0L until 50L).filter(_ % 5 != 0).map(1000L + _).toSeq
+    assert(out == expected)
+  }
+
+  test("exactIncremental: NULL texts group within the batch (exact() policy), never match corpus") {
+    import spark.implicits._
+    val corpus = Seq((1L, Option.empty[String]), (2L, Some("real"))).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, Option.empty[String]), (11L, Option.empty[String]), (12L, Some("other"))
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // NULL-text batch docs dedup to min id 10 (like exact()'s hash group-by);
+    // the corpus NULL doesn't match them (null-strict comparison).
+    assert(out == Seq(10L, 12L))
+  }
+
+  test("exactIncremental plan: corpus side never exchanges; candidate joins broadcast") {
+    import spark.implicits._
+    val corpus = (0L until 100L).map(i => (i, s"c $i")).toDF("doc_id", "text")
+    val batch = (0L until 10L).map(i => (500L + i, s"b $i")).toDF("doc_id", "text")
+    val plan = Dedup.exactIncremental(batch, corpus).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast joins in:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
 }
