@@ -43,7 +43,11 @@ object Plans {
       "q_decontaminate"    -> "benchmark gram set BROADCAST (BroadcastHashJoin left_semi on the gram stream) — corpus grams probe map-side, never shuffle; final anti-join right side is the small contaminated-id set",
       "q_pii_redact"       -> "pure scan projection: ONE PiiStats node (counts + redaction fused; field extraction must not inline it per column), zero shuffles beyond the output sort",
       "q_mix_sources"      -> "pure scan projection — per-source md5 CASE inside the scan, zero shuffles beyond the output sort",
-      "q_text_chunks"      -> "tokenize → sequence → posexplode(Generate) → slice, all inside the scan stage; NO exchange anywhere before the output sort"
+      "q_text_chunks"      -> "tokenize → sequence → posexplode(Generate) → slice, all inside the scan stage; NO exchange anywhere before the output sort",
+      "q_line_dedup"       -> "TWO linear exchanges only: hashpartitioning(line) for the first-occurrence window, then hashpartitioning(doc_id) for reassembly — no join operator anywhere",
+      "q_line_filter"      -> "ONE exchange (reassembly groupBy doc_id); the line predicate evaluates inside the Generate/scan stage — no window, no join",
+      "q_text_normalize"   -> "pure scan projection: UnicodeNormalize + lower + regexp inside the scan, zero shuffles beyond the output sort",
+      "q_dedup_exact_inc"  -> "corpus side map-side only (bloom agg subquery + broadcast semi-join probe); BroadcastHashJoins for the candidate check; the ONLY full exchange is the new batch's window on its content hash"
     )
 
     val sb = new StringBuilder

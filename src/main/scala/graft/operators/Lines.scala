@@ -32,20 +32,30 @@ object Lines {
   private def checkCols(df: DataFrame, idCol: String, textCol: String): Unit = {
     Seq(idCol, textCol).foreach(c => require(df.columns.contains(c),
       s"Lines: input has no '$c' column"))
-    Seq("n_lines_kept", "n_lines_dropped", OrdCol, LineCol, KeepCol).foreach(c =>
+    Seq("n_lines_kept", "n_lines_dropped", OrdCol, LineCol, KeepCol, "__graft_hadtext",
+        "__graft_kept").foreach(c =>
       require(!df.columns.contains(c),
         s"Lines: input already has a '$c' column — rename it first"))
   }
 
-  /** `(input columns…, __graft_ord, __graft_line)` — one row per line.
+  private val HadTextCol = "__graft_hadtext"
+
+  /** `(non-text input columns…, __graft_hadtext, __graft_ord, __graft_line)`
+    * — one row per line. The original text column is DROPPED here, replaced
+    * by a null-marker boolean: carrying the whole document body on every
+    * exploded line row would multiply the line-partition shuffle volume by
+    * the document length (lines × body width). Narrow metadata columns ride
+    * along instead of paying a reassembly join; a caller with genuinely wide
+    * metadata should pass `df.select(id, text)` and join the rest back.
     * `posexplode_outer` keeps NULL-text documents as a single NULL-line row
     * so they survive to reassembly (with NULL output text) instead of
     * vanishing.
     */
   private def explodeLines(df: DataFrame, textCol: String, sep: String): DataFrame =
-    df.select(df.columns.map(col).toSeq :+
+    df.select(df.columns.filter(_ != textCol).map(col).toSeq ++ Seq(
+      col(textCol).isNotNull.as(HadTextCol),
       posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(sep)))
-        .as(Seq(OrdCol, LineCol)): _*)
+        .as(Seq(OrdCol, LineCol))): _*)
 
   /** Reassemble per-document text from marked line rows: keep lines where
     * `__graft_keep`, join them back in ordinal order, count kept/dropped.
@@ -55,9 +65,10 @@ object Lines {
   private def reassemble(marked: DataFrame, df: DataFrame,
                          idCol: String, textCol: String, sep: String): DataFrame = {
     val keep = col(KeepCol) && col(LineCol).isNotNull
-    val carried = df.columns.toSeq.filter(_ != idCol).map(c =>
+    val carried = df.columns.toSeq.filter(c => c != idCol && c != textCol).map(c =>
       first(col(c)).as(c))
     val aggs = carried ++ Seq(
+      first(col(HadTextCol)).as(HadTextCol),
       // collect_list skips NULLs, so the when() keeps only surviving lines;
       // array_sort on (ord, line) structs restores original order (ord is
       // unique per document, so the sort is total and deterministic).
@@ -67,7 +78,7 @@ object Lines {
       count(when(!col(KeepCol) && col(LineCol).isNotNull, lit(1))).as("n_lines_dropped"))
     val out = marked.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .withColumn(textCol,
-        when(col(textCol).isNotNull,
+        when(col(HadTextCol),
           array_join(transform(col("__graft_kept"), x => x("l")), sep)))
     out.select(df.columns.map(col).toSeq ++
       Seq(col("n_lines_kept"), col("n_lines_dropped")): _*)
