@@ -39,7 +39,8 @@ object Chunking {
     require(stride > 0, s"Chunking: stride must be positive, got $stride")
     Seq(idCol, textCol).foreach(c => require(df.columns.contains(c),
       s"Chunking: input has no '$c' column"))
-    Seq("chunk_id", "chunk_text", "n_chunk_tokens").foreach(c =>
+    Seq("chunk_id", "chunk_text", "n_chunk_tokens",
+        "__graft_toks", "__graft_n", "__graft_start").foreach(c =>
       require(!df.columns.contains(c),
         s"Chunking: input already has a '$c' column — rename it before chunking"))
     val inputCols = df.columns.toSeq.map(col)

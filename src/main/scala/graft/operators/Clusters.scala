@@ -66,6 +66,11 @@ object Clusters {
     require(maxIter > 0, s"Clusters: maxIter must be positive, got $maxIter")
     val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .unionByName(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
+      // A NULL endpoint is "no neighbor", not a node: without this filter an
+      // edge like (1, NULL) survives the label join on its non-NULL side and
+      // re-injects a phantom NULL-id row into the output, violating the
+      // non-NULL-id contract the initial-label filter establishes.
+      .filter(col("s").isNotNull && col("d").isNotNull)
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -51,6 +51,8 @@ object Decontam {
   def decontaminate(docs: DataFrame, bench: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
                     w: Int = 4): DataFrame = {
+    require(!docs.columns.contains("__graft_contaminated"),
+      "Decontam: input already has a '__graft_contaminated' column — rename it first")
     val bad = contaminatedIds(docs, bench, idCol, textCol, w)
       .withColumnRenamed(idCol, "__graft_contaminated")
     docs.join(bad, docs(idCol) <=> col("__graft_contaminated"), "left_anti")

@@ -233,9 +233,13 @@ object Dedup {
     * The only full shuffle anywhere is the new batch's within-batch window —
     * the small side by construction.
     *
-    * `expectedCorpusItems` sizes the sketch (overestimating wastes
-    * `bits/8` bytes per phantom doc; underestimating only raises the FP
-    * rate, never breaks correctness — the anti-join stays exact).
+    * `expectedCorpusItems` sizes the sketch: overestimating wastes `bits/8`
+    * bytes per phantom doc; underestimating raises the FP rate (more
+    * verify-path traffic) but never breaks correctness — the anti-join
+    * stays exact. Sizings that would exceed Spark's
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` are rejected up
+    * front (Spark would otherwise clamp the sketch silently). An empty
+    * corpus is handled: every batch doc is definite-new.
     */
   def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
                        idCol: String = "doc_id", textCol: String = "text",
@@ -251,14 +255,33 @@ object Dedup {
     import org.apache.spark.sql.graftshim.ColumnShim
     val h = sha2(col(textCol), 256)
 
+    // Spark CLAMPS the sketch to spark.sql.optimizer.runtime.bloomFilter
+    // .maxNumBits (BloomFilterAggregate takes the min — silently). Past the
+    // clamp the FP rate collapses toward 1 and the broadcast legs below ship
+    // ~the whole batch, so a sizing that would clamp is a hard error here,
+    // not a silent degradation.
+    require(expectedCorpusItems <= Long.MaxValue / bloomBitsPerItem,
+      "exactIncremental: expectedCorpusItems × bloomBitsPerItem overflows")
+    val bits = math.max(64L, expectedCorpusItems * bloomBitsPerItem)
+    val maxBits = newDocs.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+    require(bits <= maxBits,
+      s"exactIncremental: requested $bits bloom bits (expectedCorpusItems=$expectedCorpusItems" +
+        s" × bloomBitsPerItem=$bloomBitsPerItem) exceeds spark.sql.optimizer.runtime" +
+        s".bloomFilter.maxNumBits=$maxBits and Spark would silently clamp the sketch" +
+        " (FP rate → 1). Raise the conf or lower the sizing.")
+
     val bloomDf = corpus.select(
-      ColumnShim.bloomFilterAgg(xxhash64(h), expectedCorpusItems,
-        math.max(64L, expectedCorpusItems * bloomBitsPerItem)).as("bf"))
+      ColumnShim.bloomFilterAgg(xxhash64(h), expectedCorpusItems, bits).as("bf"))
     val flagged = newDocs
       .withColumn("__graft_h", h)
+      // coalesce is load-bearing: over an EMPTY corpus bloom_filter_agg
+      // evaluates to NULL and might_contain(NULL, …) is NULL, which both
+      // filter legs below would drop — silently losing the whole first-ever
+      // ingest. NULL sketch ⇒ nothing can match ⇒ definite-new.
       .withColumn("__graft_maybe",
-        ColumnShim.mightContain(ColumnShim.scalarSubquery(bloomDf),
-          xxhash64(col("__graft_h"))))
+        coalesce(ColumnShim.mightContain(ColumnShim.scalarSubquery(bloomDf),
+          xxhash64(col("__graft_h"))), lit(false)))
 
     val posHashes = flagged.filter(col("__graft_maybe"))
       .select(col("__graft_h")).distinct()

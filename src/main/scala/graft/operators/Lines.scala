@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *
   * All non-text input columns ride along unchanged (the Chunking/Packing
   * contract).
+  *
+  * `idCol` is the document identity and must be UNIQUE and NON-NULL: the
+  * reassembly `groupBy(id)` would silently merge id-sharing rows into one
+  * interleaved document (and all NULL-id rows into another) — same caller
+  * contract as [[Dedup.minhashIncremental]]'s unique-id requirement.
   */
 object Lines {
 

@@ -26,6 +26,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_repetition(text)`    → struct<n_tokens, dup_word_frac, dup_bigram_frac, top_word_frac>
   *  - `graft_cosine(a, b)`        → double (fused one-pass cosine over array<double>)
   *  - `graft_pii(text)`           → struct<n_emails, n_ips, n_phones, redacted>
+  *  - `graft_nfc(text)`           → string (Unicode NFC normalization, UAX#15)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 

@@ -56,4 +56,13 @@ class ChunkingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Chunking.tokenWindows(doc("a"), "id", "text", 0, 4))
     intercept[IllegalArgumentException](Chunking.tokenWindows(doc("a"), "id", "text", 8, 0))
   }
+
+  test("helper-column collisions rejected with a clear message") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Chunking.tokenWindows(df.withColumn("__graft_toks", lit(1)),
+        idCol = "doc_id", textCol = "text", window = 2, stride = 2)
+    }
+  }
 }

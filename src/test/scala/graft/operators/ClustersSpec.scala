@@ -60,4 +60,16 @@ class ClustersSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(comp == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("NULL edge endpoints are ignored, never re-injected as phantom nodes") {
+    import spark.implicits._
+    // Review regression: an edge like (1, NULL) used to survive the label
+    // join on its non-NULL side and emit a phantom (NULL, component) row.
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    val edges = Seq((Some(1L), Some(2L)), (Some(1L), None), (None, Some(3L)))
+      .toDF("src", "dst")
+    val out = Clusters.connectedComponents(nodes, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+  }
 }

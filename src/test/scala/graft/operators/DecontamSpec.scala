@@ -66,4 +66,12 @@ class DecontamSpec extends SparkSpec {
     assert(!kept.exists(_.isNullAt(0)), "NULL-id contaminated doc must not survive")
     assert(kept.map(_.getLong(0)).toSet == Set(2L, 4L))
   }
+
+  test("__graft_contaminated collision rejected") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      Decontam.decontaminate(df.withColumn("__graft_contaminated", lit(true)), df)
+    }
+  }
 }

@@ -161,4 +161,25 @@ class DedupSpec extends SparkSpec {
       s"expected broadcast joins in:\n$plan")
     assert(!plan.toLowerCase.contains("cartesian"))
   }
+
+  test("exactIncremental: EMPTY corpus keeps the whole batch (within-batch-deduped), not zero rows") {
+    import spark.implicits._
+    // Review regression: bloom_filter_agg over zero rows is NULL and
+    // might_contain(NULL, _) is NULL — without the coalesce both filter legs
+    // dropped every row and the first-ever ingest vanished.
+    val corpus = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, corpus)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L))
+  }
+
+  test("exactIncremental rejects sizings Spark would silently clamp (maxNumBits)") {
+    import spark.implicits._
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactIncremental(df, df, expectedCorpusItems = 100000000L, bloomBitsPerItem = 8)
+    }
+    assert(e.getMessage.contains("maxNumBits"))
+  }
 }
