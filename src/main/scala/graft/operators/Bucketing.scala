@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bucketed-table materialization: the storage-level half of the co-located
+  * join story (SURVEY §5). A table written with `bucketBy(n, keys)` is
+  * pre-shuffled ON DISK — every subsequent equi-join or aggregation on the
+  * bucket keys skips its exchange entirely, which is the difference between
+  * re-shuffling 100 TB per run and shuffling it once at write time:
+  *
+  *  - bucketed ⋈ bucketed (same keys, same bucket count): NO exchange on
+  *    either side;
+  *  - bucketed ⋈ unbucketed (the daily-ingest shape — e.g. a MinHash band
+  *    index probed by a new batch): only the SMALL side shuffles, to the
+  *    table's bucket count, regardless of how large the indexed corpus is;
+  *  - `sortBy` additionally pre-sorts within buckets, letting sort-merge
+  *    joins skip their per-run sort.
+  *
+  * Both plan shapes are pinned in BucketingSpec. Bucket count is a
+  * read-parallelism floor AND join-task ceiling: pick ≈ corpus size /
+  * target partition size (128–512 MB) at write time; it cannot change
+  * without a rewrite.
+  */
+object Bucketing {
+
+  /** Write `df` as a bucketed (optionally bucket-sorted) parquet table in
+    * the session catalog. Overwrites any existing table of that name.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+                    keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"Bucketing: bucket count must be positive, got $buckets")
+    require(keys.nonEmpty, "Bucketing: at least one bucket key required")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"Bucketing: input has no '$k' column"))
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** The bucketed relation, with Spark's bucketing-aware scan (reading via
+    * `spark.table` is what carries the bucket metadata into planning —
+    * re-reading the parquet files by path would discard it).
+    */
+  def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Materialize a MinHash band index ([[Dedup.minhashed]] output, verbatim)
+    * bucketed by `(band, bhash)` — the probe keys of
+    * [[Dedup.minhashIncremental]]'s candidate join. Band hashes are exploded
+    * at WRITE time so daily probes join the stored layout directly: the
+    * corpus side of every subsequent incremental dedup does zero shuffle
+    * work, only the new batch redistributes (to `buckets` partitions).
+    * Stores `(id, band, bhash, sh)` — the shingle-hash set rides along so
+    * the Jaccard verify leg also reads co-located.
+    */
+  def writeBandIndex(minhashed: DataFrame, table: String, buckets: Int): Unit = {
+    import org.apache.spark.sql.functions._
+    val exploded = minhashed.select(
+      col("doc_id").as("id"),
+      col("shingle_hashes").as("sh"),
+      posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+    writeBucketed(exploded, table, buckets, Seq("band", "bhash"))
+  }
+}

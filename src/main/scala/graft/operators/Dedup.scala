@@ -128,7 +128,10 @@ object Dedup {
     * O(|new| × collision rate), independent of corpus size beyond the band
     * equi-join (which at 100 TB reads a pre-bucketed band index, not a fresh
     * corpus scan: persist [[minhashed]]'s output — `corpusIndex` takes that
-    * frame verbatim, same `idCol`). The index MUST be built with the same
+    * frame verbatim, same `idCol` — or materialize it once with
+    * [[Bucketing.writeBandIndex]], whose `(band, bhash)` bucket layout makes
+    * the corpus side of the candidate join shuffle-free on every subsequent
+    * ingest, plan pinned in BucketingSpec). The index MUST be built with the same
     * `k`/`bands`/`shingleW` as this call: `k` and `bands` are enforced at
     * runtime from the stored `signature`/`band_hashes` lengths (`raise_error`
     * inside the plan — no extra job); `shingleW` is not recoverable from the

@@ -1,0 +1,74 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+
+class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
+  import spark.implicits._
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    // Materialize so AQE finalizes the plan, then count real shuffle nodes.
+    df.collect()
+    val executed = df.queryExecution.executedPlan
+    collectWithSubqueries(executed) { case s: ShuffleExchangeLike => s }.size
+  }
+
+  private def dropTables(names: String*): Unit =
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+
+  test("bucketed x bucketed equi-join runs with ZERO shuffles") {
+    val a = (0L until 200L).map(i => (i, s"left $i")).toDF("k", "va")
+    val b = (0L until 200L).map(i => (i, s"right $i")).toDF("k", "vb")
+    dropTables("bk_a", "bk_b")
+    Bucketing.writeBucketed(a, "bk_a", 4, Seq("k"), Seq("k"))
+    Bucketing.writeBucketed(b, "bk_b", 4, Seq("k"), Seq("k"))
+    val joined = Bucketing.table(spark, "bk_a")
+      .join(Bucketing.table(spark, "bk_b"), "k")
+      // keep it out of broadcast range so the exchange question is real
+      .hint("merge")
+    assert(joined.count() == 200)
+    assert(shuffles(joined) == 0, joined.queryExecution.executedPlan.toString)
+    dropTables("bk_a", "bk_b")
+  }
+
+  test("bucketed group-by on the bucket key skips its exchange") {
+    val a = (0L until 200L).map(i => (i % 10, i)).toDF("k", "v")
+    dropTables("bk_g")
+    Bucketing.writeBucketed(a, "bk_g", 4, Seq("k"))
+    val agg = Bucketing.table(spark, "bk_g").groupBy("k").agg(sum("v").as("s"))
+    assert(agg.count() == 10)
+    assert(shuffles(agg) == 0, agg.queryExecution.executedPlan.toString)
+    dropTables("bk_g")
+  }
+
+  test("band index probe: corpus side reads co-located, only the new batch shuffles") {
+    val corpus = (0L until 100L).map(i => (i, s"corpus doc $i word soup ${i % 7}"))
+      .toDF("doc_id", "text")
+    dropTables("bk_bands")
+    Bucketing.writeBandIndex(Dedup.minhashed(corpus), "bk_bands", 4)
+
+    val batch = (1000L until 1020L).map(i =>
+      (i, s"corpus doc ${i - 1000} word soup ${(i - 1000) % 7}")).toDF("doc_id", "text")
+    val probe = Dedup.minhashed(batch)
+      .select(col("doc_id").as("new_id"), posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+    val candidates = Bucketing.table(spark, "bk_bands")
+      .join(probe.hint("merge"), Seq("band", "bhash"))
+      .select("new_id", "id").distinct()
+    assert(candidates.count() >= 20) // every planted exact dup collides in all bands
+    // ONE shuffle for the probe side (+ one for distinct); the stored corpus
+    // bands contribute none.
+    val n = shuffles(candidates)
+    assert(n <= 2, s"expected <=2 shuffles (probe + distinct), got $n:\n" +
+      candidates.queryExecution.executedPlan.toString)
+    dropTables("bk_bands")
+  }
+
+  test("guards: missing key and bad bucket count") {
+    val df = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] { Bucketing.writeBucketed(df, "t", 0, Seq("k")) }
+    intercept[IllegalArgumentException] { Bucketing.writeBucketed(df, "t", 4, Seq("nope")) }
+  }
+}
