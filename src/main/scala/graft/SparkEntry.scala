@@ -892,6 +892,22 @@ object SparkEntry {
       operators.Similarity.topKForId(Tables.load(s, dir, "embeddings"), 0L, 10)
         .withColumn("rank", row_number().over(w))
         .select("rank", "vec_id")
+    }),
+    "q_ann_batch" -> ((s, dir) => {
+      // Batch exact retrieval: every 100th vector queries the corpus for its
+      // top-5 in ONE plan — queries broadcast, corpus scanned once, one
+      // window shuffle on query_id. Output is rank-only (like
+      // q_ann_bruteforce): ranks compare across engines, raw cosine floats
+      // don't.
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      operators.Similarity.bruteForceTopK(emb, queries, k = 5, excludeSelf = true)
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
     })
   )
 
@@ -1193,6 +1209,14 @@ object SparkEntry {
                FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
                WHERE e.vec_id <> 0)
          ORDER BY rank LIMIT 10""",
+    "q_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS s
+               FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id,
+                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rank
+               FROM s)
+         SELECT query_id, rank, vec_id FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_embed_centroid" ->
       // identical per-row arithmetic (sequential double sum over the list,
       // /len, sqrt) then DECIMAL cross-row totals — see the Spark twin's

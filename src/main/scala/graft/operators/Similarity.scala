@@ -86,6 +86,47 @@ object Similarity {
       .limit(k)
   }
 
+  /** Batch ANN: top-k for a WHOLE query frame in one plan — the production
+    * retrieval shape (N queries against the corpus per run, not one). Same
+    * bucket-and-probe structure as [[lshTopK]], but the query side is a
+    * frame: every query's probe buckets broadcast together, the corpus is
+    * scanned ONCE for all queries, and candidates rank per query in one
+    * window shuffle on `queryIdCol`. Cost ∝ corpus × (probed fraction) +
+    * candidates — independent of query count until the broadcast (queries ×
+    * (nbits+1) probe rows) stops fitting, at which point shard the query
+    * frame and union.
+    *
+    * `excludeSelf` drops corpus rows whose id equals the query id (same
+    * caveat as [[bruteForceTopK]]: only meaningful for queries drawn from
+    * the corpus).
+    */
+  def lshTopKBatch(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                   nbits: Int = 8, seed: Long = 7L,
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   queryIdCol: String = "query_id",
+                   excludeSelf: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val idx = bucketed(corpus, dim, nbits, seed, vecCol)
+    val q = broadcast(
+      bucketed(queries.select(col(queryIdCol), col(vecCol).as("__qvec")),
+          dim, nbits, seed, "__qvec")
+        .select(col(queryIdCol), col("__qvec"),
+          explode(V.probeBuckets(col("bucket"), nbits)).as("bucket")))
+    val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
+    idx
+      .join(q, Seq("bucket"))
+      .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+      // dedupe candidates BEFORE scoring (see lshTopK: a row sharing several
+      // probe buckets would pay the dim-length cosine per shared bucket).
+      .select(col(queryIdCol), col(idCol), col(vecCol), col("__qvec"))
+      .dropDuplicates(queryIdCol, idCol)
+      .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
+      .select(col(queryIdCol), col(idCol), col("score"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
   /** IVF (inverted-file) ANN — the k-means scale path: a coarse quantizer
     * (MLlib KMeans on a sample) partitions the corpus into `nlist` cells; a
     * query scores only the `nprobe` nearest cells (~nprobe/nlist of the data).

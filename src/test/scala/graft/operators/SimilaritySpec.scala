@@ -52,4 +52,29 @@ class SimilaritySpec extends SparkSpec {
       assert(!plan.toLowerCase.contains("cartesian"), s"cartesian product in:\n$plan")
     }
   }
+
+  test("batch LSH with nbits=1 (all candidates probed) equals batch brute force exactly") {
+    import org.apache.spark.sql.functions._
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5, excludeSelf = true)
+    val lsh = Similarity.lshTopKBatch(emb, queries, k = 5, dim = dim,
+      nbits = 1, excludeSelf = true)
+    assert(key(lsh.collect()) == key(bf.collect()))
+  }
+
+  test("batch LSH at nbits=4 recalls most batch brute-force neighbors per query") {
+    import org.apache.spark.sql.functions._
+    val queries = emb.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopKBatch(emb, queries, k = 5, dim = dim,
+      nbits = 4, excludeSelf = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (bf & lsh).size.toDouble / bf.size
+    assert(recall >= 0.6, s"batch LSH recall $recall below 0.6")
+  }
 }
