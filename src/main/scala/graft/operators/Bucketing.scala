@@ -44,6 +44,27 @@ object Bucketing {
     */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Append the day's surviving batch to an existing band index (same
+    * exploded `(id, sh, band, bhash)` shape as [[writeBandIndex]]) — the
+    * write half of the daily-ingest loop: probe → [[Dedup.minhashIncremental]]
+    * → append survivors → tomorrow probes yesterday's docs too. `buckets`
+    * must match the existing table's spec: Spark validates bucketing
+    * compatibility on append, so a drifted layout fails loudly instead of
+    * silently mis-bucketing rows.
+    */
+  def appendBandIndex(minhashed: DataFrame, table: String, buckets: Int): Unit =
+    explodeBands(minhashed).write.format("parquet")
+      .bucketBy(buckets, "band", "bhash")
+      .mode(SaveMode.Append).saveAsTable(table)
+
+  private def explodeBands(minhashed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    minhashed.select(
+      col("doc_id").as("id"),
+      col("shingle_hashes").as("sh"),
+      posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+  }
+
   /** Materialize a MinHash band index ([[Dedup.minhashed]] output, verbatim)
     * bucketed by `(band, bhash)` — the probe keys of
     * [[Dedup.minhashIncremental]]'s candidate join. Band hashes are exploded
@@ -53,12 +74,6 @@ object Bucketing {
     * Stores `(id, band, bhash, sh)` — the shingle-hash set rides along so
     * the Jaccard verify leg also reads co-located.
     */
-  def writeBandIndex(minhashed: DataFrame, table: String, buckets: Int): Unit = {
-    import org.apache.spark.sql.functions._
-    val exploded = minhashed.select(
-      col("doc_id").as("id"),
-      col("shingle_hashes").as("sh"),
-      posexplode(col("band_hashes")).as(Seq("band", "bhash")))
-    writeBucketed(exploded, table, buckets, Seq("band", "bhash"))
-  }
+  def writeBandIndex(minhashed: DataFrame, table: String, buckets: Int): Unit =
+    writeBucketed(explodeBands(minhashed), table, buckets, Seq("band", "bhash"))
 }

@@ -302,6 +302,66 @@ object Dedup {
       .drop("__graft_h", "__graft_maybe", "__graft_rn")
   }
 
+  /** [[minhashIncremental]] against a pre-EXPLODED band index — the
+    * `(id, sh, band, bhash)` relation [[Bucketing.writeBandIndex]] stores,
+    * one row per (doc, band). With the index bucketed by `(band, bhash)` the
+    * corpus side of the candidate join reads CO-LOCATED and never shuffles
+    * (plan pinned in BucketingSpec); the verify leg restricts the index to
+    * candidate ids via a broadcast semi-join before touching the (wide)
+    * shingle sets, so only matched documents' sets move. Same dedup policy
+    * as [[minhashIncremental]]: drop a new doc iff it near-matches the
+    * corpus or a lower-id batch sibling.
+    *
+    * Parameter discipline: `bands` is validated per-row against the stored
+    * band ordinals (a row with `band >= bands` raises — catches an index
+    * built with MORE bands); an index built with FEWER bands or a different
+    * `shingleW`/`k` silently changes buckets, which is on the caller, as
+    * with [[minhashIncremental]]'s `shingleW`.
+    */
+  def minhashIncrementalIndexed(newDocs: DataFrame, bandIndex: DataFrame,
+                                idCol: String = "doc_id", textCol: String = "text",
+                                k: Int = 32, bands: Int = 8, shingleW: Int = 3,
+                                jaccardThreshold: Double = 0.7): DataFrame = {
+    Seq("id", "sh", "band", "bhash").foreach(c => require(bandIndex.columns.contains(c),
+      s"minhashIncrementalIndexed: band index has no '$c' column (expect Bucketing.writeBandIndex layout)"))
+    val mhNew = minhashed(newDocs, idCol, textCol, k, bands, shingleW)
+      .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bNew = bandBuckets(mhNew)
+
+    val idxBuckets = bandIndex.select(
+      when(col("band") < bands, col("band"))
+        .otherwise(raise_error(format_string(
+          "graft.Dedup.minhashIncrementalIndexed: index row has band=%d but call uses bands=%d — rebuild the index with matching parameters",
+          col("band"), lit(bands)))).as("band"),
+      col("bhash"), col("id").as("id_b"))
+    val vsCorpus = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(idxBuckets, Seq("band", "bhash"))
+      .select("id_a", "id_b").distinct()
+    val withinNew = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(bNew.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("id_a"), col("id_a").as("id_b")) // dropped side is the HIGHER id
+      .distinct()
+
+    // Candidate ids are few; restrict the index to them BEFORE deduplicating
+    // per-id shingle sets — a global dropDuplicates("id") over the index
+    // would shuffle every document's set just to verify a handful.
+    val shCorp = bandIndex
+      .join(broadcast(vsCorpus.select(col("id_b").as("id")).distinct()), Seq("id"), "left_semi")
+      .select(col("id"), col("sh")).dropDuplicates("id")
+    val shNew = mhNew.select(col("id"), col("sh"))
+    val drops = verifyPairs(vsCorpus, shNew, shCorp, jaccardThreshold)
+      .select(col("id_a").as("__graft_drop"))
+      .unionByName(verifyPairs(withinNew, shNew, shNew, jaccardThreshold)
+        .select(col("id_a").as("__graft_drop")))
+      .distinct()
+      // Same eager-materialize + release lifecycle as minhashIncremental.
+      .localCheckpoint(true)
+    mhNew.unpersist(blocking = false)
+    newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
+  }
+
   /** Per-document 64-bit SimHash (native expression; column-algebra twin in
     * HashFunctions.simhash). */
   def simhashed(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =

@@ -17,7 +17,19 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
   }
 
   private def dropTables(names: String*): Unit =
-    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    names.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      // A test failure between create and drop leaves the managed location
+      // behind while the in-memory catalog forgets it — clean both.
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
 
   test("bucketed x bucketed equi-join runs with ZERO shuffles") {
     val a = (0L until 200L).map(i => (i, s"left $i")).toDF("k", "va")
@@ -70,5 +82,33 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val df = Seq((1L, "x")).toDF("k", "v")
     intercept[IllegalArgumentException] { Bucketing.writeBucketed(df, "t", 0, Seq("k")) }
     intercept[IllegalArgumentException] { Bucketing.writeBucketed(df, "t", 4, Seq("nope")) }
+  }
+
+  test("daily-ingest loop: probe, dedup, append survivors; next day's probe sees them") {
+    val day0 = (0L until 60L).map(i => (i, s"seed doc $i totally unique words ${i * 31}"))
+      .toDF("doc_id", "text")
+    dropTables("bk_loop")
+    Bucketing.writeBandIndex(Dedup.minhashed(day0), "bk_loop", 4)
+
+    // Day 1: one dup of the seed corpus, one fresh doc.
+    val day1 = Seq(
+      (100L, "seed doc 7 totally unique words " + (7 * 31)),
+      (101L, "completely new material today")).toDF("doc_id", "text")
+    val kept1 = Dedup.minhashIncrementalIndexed(day1, Bucketing.table(spark, "bk_loop"))
+    assert(kept1.select("doc_id").as[Long].collect().toSet == Set(101L))
+    Bucketing.appendBandIndex(Dedup.minhashed(kept1), "bk_loop", 4)
+
+    // Day 2: a dup of DAY 1's survivor must now be caught via the index.
+    val day2 = Seq(
+      (200L, "completely new material today"),
+      (201L, "another brand new document")).toDF("doc_id", "text")
+    val kept2 = Dedup.minhashIncrementalIndexed(day2, Bucketing.table(spark, "bk_loop"))
+    assert(kept2.select("doc_id").as[Long].collect().toSet == Set(201L))
+
+    // Mismatched bucket count on append fails loudly, never mis-buckets.
+    intercept[Exception] {
+      Bucketing.appendBandIndex(Dedup.minhashed(kept2), "bk_loop", 8)
+    }
+    dropTables("bk_loop")
   }
 }

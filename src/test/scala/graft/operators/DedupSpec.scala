@@ -182,4 +182,27 @@ class DedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxNumBits"))
   }
+
+  test("minhashIncrementalIndexed matches minhashIncremental on the same corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = (0L until 40L).map(i => (i, s"corpus doc $i some shared words ${i % 5}"))
+      .toDF("doc_id", "text")
+    val batch = (100L until 120L).map(i =>
+      (i, if (i % 4 == 0) s"corpus doc ${i - 100} some shared words ${(i - 100) % 5}"
+          else s"novel batch doc $i unlike anything")).toDF("doc_id", "text")
+    val direct = Dedup.minhashIncremental(batch, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    val idx = Dedup.minhashed(corpus).select(
+      col("doc_id").as("id"), col("shingle_hashes").as("sh"),
+      posexplode(col("band_hashes")).as(Seq("band", "bhash")))
+    val viaIndex = Dedup.minhashIncrementalIndexed(batch, idx)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaIndex == direct)
+    // An index built with more bands than the call expects raises per-row.
+    val bad = idx.withColumn("band", col("band") + 100)
+    intercept[Exception] {
+      Dedup.minhashIncrementalIndexed(batch, bad).collect()
+    }
+  }
 }
