@@ -71,8 +71,9 @@ object Bucketing {
     * at WRITE time so daily probes join the stored layout directly: the
     * corpus side of every subsequent incremental dedup does zero shuffle
     * work, only the new batch redistributes (to `buckets` partitions).
-    * Stores `(id, band, bhash, sh)` — the shingle-hash set rides along so
-    * the Jaccard verify leg also reads co-located.
+    * Stores `(id, sh, band, bhash)` — the shingle-hash set rides along so
+    * the Jaccard verify leg also reads from the same table (column-pruned
+    * to `(id, sh)`, id-restricted to candidates).
     */
   def writeBandIndex(minhashed: DataFrame, table: String, buckets: Int): Unit =
     writeBucketed(explodeBands(minhashed), table, buckets, Seq("band", "bhash"))

@@ -63,6 +63,35 @@ object Dedup {
     .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
     .filter(col("jaccard") >= threshold)
 
+  /** Within-batch candidate pairs under the greedy lower-id-wins policy
+    * (shared by BOTH incremental paths so the policy cannot fork): the
+    * DROPPED side is the higher id, emitted as `id_a` to match the
+    * cross-corpus pairs' drop convention.
+    */
+  private def withinBatchPairs(bNew: DataFrame): DataFrame =
+    bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
+      .join(bNew.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b").as("id_a"), col("id_a").as("id_b")) // dropped side is the HIGHER id
+      .distinct()
+
+  /** Verified drop-id set for an incremental call, EAGERLY materialized:
+    * localCheckpoint (not persist — ContextCleaner reclaims plain RDD blocks
+    * once the returned plan is unreachable, while CacheManager pins
+    * persisted Datasets until explicit unpersist) so callers can release
+    * their wide minhash caches immediately after. Shared by both incremental
+    * paths so the verify/materialize lifecycle cannot fork either.
+    */
+  private def dropSet(vsCorpus: DataFrame, withinNew: DataFrame,
+                      shNew: DataFrame, shCorp: DataFrame,
+                      threshold: Double): DataFrame =
+    verifyPairs(vsCorpus, shNew, shCorp, threshold)
+      .select(col("id_a").as("__graft_drop"))
+      .unionByName(verifyPairs(withinNew, shNew, shNew, threshold)
+        .select(col("id_a").as("__graft_drop")))
+      .distinct()
+      .localCheckpoint(true)
+
   /** Near-duplicate candidate pairs via MinHash-LSH banding, verified with
     * exact Jaccard over shingle-hash sets.
     *
@@ -190,25 +219,14 @@ object Dedup {
     val vsCorpus = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
       .join(bCorp.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
       .select("id_a", "id_b").distinct()
-    // within-batch candidates: greedy lower-id-wins like minhashCorpus
-    val withinNew = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
-      .join(bNew.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_b").as("id_a"), col("id_a").as("id_b")) // dropped side is the HIGHER id
-      .distinct()
 
-    val shNew  = mhNew.select(col("id"), col("sh"))
-    val shCorp = mhCorp.select(col("id"), col("sh"))
-    val drops = verifyPairs(vsCorpus, shNew, shCorp, jaccardThreshold)
-      .select(col("id_a").as("__graft_drop"))
-      .unionByName(verifyPairs(withinNew, shNew, shNew, jaccardThreshold)
-        .select(col("id_a").as("__graft_drop")))
-      .distinct()
-      // Materialize the id-width drop set NOW (eager localCheckpoint), then
-      // release the wide minhash caches — see the lifecycle note above.
-      // blocking=false: the release is fire-and-forget, not on the caller's
-      // latency path.
-      .localCheckpoint(true)
+    // dropSet materializes the id-width drop set eagerly (localCheckpoint),
+    // so the wide minhash caches release right after — see the lifecycle
+    // note above. blocking=false: the release is fire-and-forget, not on
+    // the caller's latency path.
+    val drops = dropSet(vsCorpus, withinBatchPairs(bNew),
+      mhNew.select(col("id"), col("sh")), mhCorp.select(col("id"), col("sh")),
+      jaccardThreshold)
     mhNew.unpersist(blocking = false)
     if (corpusIndex.isEmpty) mhCorp.unpersist(blocking = false)
     newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
@@ -306,9 +324,12 @@ object Dedup {
     * `(id, sh, band, bhash)` relation [[Bucketing.writeBandIndex]] stores,
     * one row per (doc, band). With the index bucketed by `(band, bhash)` the
     * corpus side of the candidate join reads CO-LOCATED and never shuffles
-    * (plan pinned in BucketingSpec); the verify leg restricts the index to
+    * (the validation filter preserves the bucketed partitioning — plan
+    * pinned in BucketingSpec); the verify leg restricts the index to
     * candidate ids via a broadcast semi-join before touching the (wide)
-    * shingle sets, so only matched documents' sets move. Same dedup policy
+    * shingle sets, so only matched documents' sets move. The index is read
+    * twice — a narrow `(id, band, bhash)` probe scan and the id-restricted
+    * `(id, sh)` verify scan — never a wide full scan. Same dedup policy
     * as [[minhashIncremental]]: drop a new doc iff it near-matches the
     * corpus or a lower-id batch sibling.
     *
@@ -329,38 +350,49 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bNew = bandBuckets(mhNew)
 
-    val idxBuckets = bandIndex.select(
-      when(col("band") < bands, col("band"))
-        .otherwise(raise_error(format_string(
-          "graft.Dedup.minhashIncrementalIndexed: index row has band=%d but call uses bands=%d — rebuild the index with matching parameters",
-          col("band"), lit(bands)))).as("band"),
-      col("bhash"), col("id").as("id_b"))
+    // Candidate generation, eagerly materialized: the pair set feeds BOTH
+    // the verify leg and the index-restriction semi-join below — without
+    // the localCheckpoint the (expensive) index probe join would evaluate
+    // once per consumer.
     val vsCorpus = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
-      .join(idxBuckets, Seq("band", "bhash"))
+      .join(validatedBandIndex(bandIndex, bands)
+        .select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
       .select("id_a", "id_b").distinct()
-    val withinNew = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
-      .join(bNew.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_b").as("id_a"), col("id_a").as("id_b")) // dropped side is the HIGHER id
-      .distinct()
+      .localCheckpoint(true)
 
-    // Candidate ids are few; restrict the index to them BEFORE deduplicating
+    // Candidate ids are few in the regime this path targets (true near-dups
+    // + band collisions); restrict the index to them BEFORE deduplicating
     // per-id shingle sets — a global dropDuplicates("id") over the index
-    // would shuffle every document's set just to verify a handful.
+    // would shuffle every document's set just to verify a handful. The
+    // broadcast is bounded by that candidate count: a pathological batch
+    // (one boilerplate doc band-colliding with millions of corpus docs)
+    // should pre-dedup within itself or take [[minhashIncremental]]'s
+    // shuffle-join path instead.
     val shCorp = bandIndex
       .join(broadcast(vsCorpus.select(col("id_b").as("id")).distinct()), Seq("id"), "left_semi")
       .select(col("id"), col("sh")).dropDuplicates("id")
-    val shNew = mhNew.select(col("id"), col("sh"))
-    val drops = verifyPairs(vsCorpus, shNew, shCorp, jaccardThreshold)
-      .select(col("id_a").as("__graft_drop"))
-      .unionByName(verifyPairs(withinNew, shNew, shNew, jaccardThreshold)
-        .select(col("id_a").as("__graft_drop")))
-      .distinct()
-      // Same eager-materialize + release lifecycle as minhashIncremental.
-      .localCheckpoint(true)
+
+    // Same eager-materialize + release lifecycle as minhashIncremental.
+    val drops = dropSet(vsCorpus, withinBatchPairs(bNew),
+      mhNew.select(col("id"), col("sh")), shCorp, jaccardThreshold)
     mhNew.unpersist(blocking = false)
     newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
   }
+
+  /** Per-row `bands` validation as a FILTER, not a projection: a projection
+    * that aliases a derived expression as `band` REPLACES the attribute, so
+    * the bucketed scan's `HashPartitioning(band, bhash)` no longer
+    * propagates and EnsureRequirements re-shuffles the index side of the
+    * candidate join — silently defeating the co-location the bucketed
+    * layout exists for. A Filter preserves its child's output partitioning
+    * (pinned in BucketingSpec alongside the raw-join shape).
+    */
+  private[operators] def validatedBandIndex(bandIndex: DataFrame, bands: Int): DataFrame =
+    bandIndex.filter(
+      when(col("band") < bands, lit(true))
+        .otherwise(raise_error(format_string(
+          "graft.Dedup.minhashIncrementalIndexed: index row has band=%d but call uses bands=%d — rebuild the index with matching parameters",
+          col("band"), lit(bands)))))
 
   /** Per-document 64-bit SimHash (native expression; column-algebra twin in
     * HashFunctions.simhash). */

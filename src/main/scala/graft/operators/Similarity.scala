@@ -106,6 +106,9 @@ object Similarity {
                    queryIdCol: String = "query_id",
                    excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    Seq(queryIdCol, "__qvec", "bucket", "score", "__rank").foreach(c =>
+      require(!corpus.columns.contains(c),
+        s"lshTopKBatch: corpus already has a '$c' column — rename it first"))
     val idx = bucketed(corpus, dim, nbits, seed, vecCol)
     val q = broadcast(
       bucketed(queries.select(col(queryIdCol), col(vecCol).as("__qvec")),

@@ -75,6 +75,18 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     val n = shuffles(candidates)
     assert(n <= 2, s"expected <=2 shuffles (probe + distinct), got $n:\n" +
       candidates.queryExecution.executedPlan.toString)
+
+    // The PRODUCTION path's per-row bands validation must not cost the
+    // co-location: as a projection aliasing a derived 'band' it would drop
+    // the scan's HashPartitioning and re-shuffle the index side (verified
+    // regression); as a filter it preserves partitioning — same shuffle
+    // count as the raw join above.
+    val validated = Dedup.validatedBandIndex(Bucketing.table(spark, "bk_bands"), 8)
+      .join(probe.hint("merge"), Seq("band", "bhash"))
+      .select("new_id", "id").distinct()
+    assert(shuffles(validated) == n,
+      s"bands validation changed the shuffle count:\n" +
+        validated.queryExecution.executedPlan.toString)
     dropTables("bk_bands")
   }
 
