@@ -799,6 +799,26 @@ object SparkEntry {
         .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
         .orderBy("doc_id")
     }),
+    "q_pipeline_ingest" -> ((s, dir) => {
+      // The round-7 ingest-cleaning layer composed in ONE declarative plan:
+      // canonical normalization (every 3rd doc upper-cased + noise — the
+      // case/whitespace variants MUST collapse before hashing) → planted
+      // 2-word lines → global line dedup → exact dedup of the cleaned
+      // remnants (post-cleaning many docs collapse to identical or empty
+      // texts; one survivor each). Output: surviving docs + their cleaning
+      // stats.
+      val planted = concat(
+        when(col("doc_id") % 3 === 0, upper(col("text"))).otherwise(col("text")),
+        lit("\t tail marker "))
+      val aug = Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_replace(functions.TextFunctions.normalizeText(planted),
+            "(\\S+\\s+\\S+)\\s+", "$1\n").as("text"))
+      val cleaned = operators.Lines.dedupLines(aug)
+      operators.Dedup.exactCorpus(cleaned)
+        .select(col("doc_id"), col("n_lines_kept"), col("n_lines_dropped"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_exact_inc" -> ((s, dir) => {
       // Bloom-prefiltered exact incremental dedup (daily-ingest shape): the
       // corpus folds into a bloom sketch shipped by scalar subquery — it
@@ -1044,6 +1064,33 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_pipeline_ingest" ->
+      """WITH norm AS (
+           SELECT doc_id,
+                  regexp_replace(
+                    trim(regexp_replace(lower(nfc_normalize(
+                      (CASE WHEN doc_id % 3 = 0 THEN upper(text) ELSE text END)
+                        || chr(9) || ' tail marker ')), '\s+', ' ', 'g')),
+                    '(\S+\s+\S+)\s+', '\1' || chr(10), 'g') AS t
+           FROM documents),
+         l AS (
+           SELECT doc_id,
+                  unnest(string_split(t, chr(10))) AS line,
+                  unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+           FROM norm),
+         w AS (
+           SELECT doc_id, ord, line,
+                  row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+           FROM l),
+         cleaned AS (
+           SELECT doc_id,
+                  coalesce(string_agg(line, chr(10) ORDER BY ord) FILTER (WHERE rn = 1), '') AS t,
+                  count(*) FILTER (WHERE rn = 1) AS n_lines_kept,
+                  count(*) FILTER (WHERE rn > 1) AS n_lines_dropped
+           FROM w GROUP BY doc_id)
+         SELECT doc_id, n_lines_kept, n_lines_dropped FROM cleaned
+         WHERE doc_id IN (SELECT min(doc_id) FROM cleaned GROUP BY t)
+         ORDER BY doc_id""",
     "q_dedup_exact_inc" ->
       """WITH aug AS (
            SELECT doc_id, lang, n_chars,

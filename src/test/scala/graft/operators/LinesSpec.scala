@@ -94,4 +94,45 @@ class LinesSpec extends SparkSpec {
       Lines.filterLines(df, _ => lit(true), textCol = "nope")
     }
   }
+
+  test("randomized parity with a sequential reference model (global first-occurrence policy)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff")
+    val docs: Seq[(Long, String)] = (0L until 120L).map { i =>
+      val nLines = 1 + rnd.nextInt(6)
+      (i, Seq.fill(nLines)(vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+    }
+    // Reference: iterate docs by id, lines by ordinal; a line survives iff
+    // never encountered before (the earlier occurrence is the winner).
+    val seen = scala.collection.mutable.Set[String]()
+    val expected = docs.map { case (id, text) =>
+      val lines = text.split("\n", -1).toSeq
+      val kept = lines.filter(l => seen.add(l))
+      (id, kept.mkString("\n"), kept.size.toLong, (lines.size - kept.size).toLong)
+    }
+    val out = Lines.dedupLines(docs.toDF("doc_id", "text").repartition(13))
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == expected)
+  }
+
+  test("randomized filterLines parity with a sequential reference model") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("keep one", "drop two", "keep three", "drop four")
+    val docs: Seq[(Long, String)] = (0L until 80L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(5))(vocab(rnd.nextInt(vocab.size))).mkString("\n"))
+    }
+    val expected = docs.map { case (id, text) =>
+      val lines = text.split("\n", -1).toSeq
+      val kept = lines.filter(_.startsWith("keep"))
+      (id, kept.mkString("\n"), kept.size.toLong, (lines.size - kept.size).toLong)
+    }
+    val out = Lines.filterLines(docs.toDF("doc_id", "text").repartition(9),
+        l => l.startsWith("keep"))
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == expected)
+  }
 }
