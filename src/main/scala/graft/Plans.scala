@@ -47,7 +47,9 @@ object Plans {
       "q_line_dedup"       -> "TWO linear exchanges only: hashpartitioning(line) for the first-occurrence window, then hashpartitioning(doc_id) for reassembly — no join operator anywhere",
       "q_line_filter"      -> "ONE exchange (reassembly groupBy doc_id); the line predicate evaluates inside the Generate/scan stage — no window, no join",
       "q_text_normalize"   -> "pure scan projection: UnicodeNormalize + lower + regexp inside the scan, zero shuffles beyond the output sort",
-      "q_dedup_exact_inc"  -> "corpus side map-side only (bloom agg subquery + broadcast semi-join probe); BroadcastHashJoins for the candidate check; the ONLY full exchange is the new batch's window on its content hash"
+      "q_dedup_exact_inc"  -> "corpus side map-side only (bloom agg subquery + broadcast semi-join probe); BroadcastHashJoins for the candidate check; the ONLY full exchange is the new batch's window on its content hash",
+      "q_ann_batch"        -> "queries BROADCAST once, corpus scanned ONCE for all queries, ONE window exchange on query_id — cost independent of query count",
+      "q_pipeline_ingest"  -> "normalize fuses into the scan; the whole normalize→line-dedup→exact-dedup chain is ONE plan: line window exchange, reassembly exchange, then only (hash, min id) aggregates shuffle for the dedup — cleaned bodies never move again"
     )
 
     val sb = new StringBuilder
