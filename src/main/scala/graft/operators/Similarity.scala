@@ -198,6 +198,49 @@ object Similarity {
         .orderBy(desc("score"), col(idCol))
         .limit(k)
     }
+
+    /** Batch top-k: a WHOLE query frame probes the index in ONE plan with no
+      * driver-side per-query work (unlike [[topKForId]]'s point-lookup
+      * collect). Each query's `nprobe` nearest cells are chosen INSIDE the
+      * plan — centroids ship as a literal (nlist × dim doubles, small by
+      * construction), each query scores them and keeps the best `nprobe` —
+      * then `(query, cell)` probe rows broadcast against the assigned
+      * corpus; only cells some query probes are scored. One window shuffle
+      * on `queryIdCol` ranks candidates. A corpus row lives in exactly one
+      * cell, so (query, doc) pairs are unique — no dedup stage needed.
+      *
+      * The per-query centroid scoring uses interpreted HOF lambdas — fine
+      * HERE because it runs once per query row (the small side), never per
+      * corpus row; corpus-side scoring stays on the native fused cosine.
+      */
+    def topKBatch(queries: DataFrame, k: Int, nprobe: Int = 4,
+                  queryIdCol: String = "query_id",
+                  excludeSelf: Boolean = false): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      require(nprobe > 0 && k > 0, s"IvfIndex.topKBatch: k=$k nprobe=$nprobe must be positive")
+      Seq(queryIdCol, "__qvec", "__rank", "score").foreach(c =>
+        require(!assigned.columns.contains(c),
+          s"IvfIndex.topKBatch: corpus already has a '$c' column — rename it first"))
+      val centersLit = typedLit(centers.map(_.toSeq).toSeq)
+      val qv = col(vecCol).cast("array<double>")
+      // struct(-cosine, cell): array_sort's ascending struct order makes the
+      // slice the nprobe BEST cells; ties break toward the lower cell id.
+      val scoredCells = transform(centersLit,
+        (c, i) => struct((-V.cosine(qv, c)).as("neg"), i.as("cell")))
+      val probes = queries.select(
+          col(queryIdCol), qv.as("__qvec"),
+          explode(transform(slice(array_sort(scoredCells), 1, nprobe), s => s("cell")))
+            .as("cell"))
+      val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
+      assigned
+        .join(broadcast(probes), Seq("cell"))
+        .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+        .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
+        .select(col(queryIdCol), col(idCol), col("score"))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= k)
+        .drop("__rank")
+    }
   }
 
   /** All-pairs embedding near-duplicates above a cosine threshold, candidates

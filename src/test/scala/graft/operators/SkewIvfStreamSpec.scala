@@ -87,4 +87,28 @@ class SkewIvfStreamSpec extends SparkSpec {
       assert(all.contains((1L, 1L)) && all.contains((2L, 1L)))
     } finally q.stop()
   }
+
+  test("IVF batch top-k: all cells probed equals batch brute force; default probe recalls well") {
+    import org.apache.spark.sql.functions._
+    val dim = 16
+    val rnd = new scala.util.Random(321)
+    val centers = Array.fill(4, dim)(rnd.nextGaussian())
+    val vecs = (0L until 200L).map { i =>
+      val c = centers((i % 4).toInt)
+      (i, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val queries = emb.filter($"vec_id" % 40 === 0)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val idx = Similarity.ivfIndex(emb, nlist = 8)
+    def pairs(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(Similarity.bruteForceTopK(emb, queries, k = 5, excludeSelf = true).collect())
+    // nprobe = nlist probes every cell -> identical to brute force
+    val all = pairs(idx.topKBatch(queries, k = 5, nprobe = 8, excludeSelf = true).collect())
+    assert(all == bf)
+    val approx = pairs(idx.topKBatch(queries, k = 5, nprobe = 2, excludeSelf = true).collect())
+    val recall = (bf & approx).size.toDouble / bf.size
+    assert(recall >= 0.6, s"IVF batch recall $recall")
+  }
 }
