@@ -14,6 +14,26 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
+  /** The shared per-query rank tail: score desc, id tie-break, keep top k —
+    * one window shuffle on the query id. Shared by every batch path so
+    * ranking semantics (incl. NULL-score placement) cannot fork.
+    */
+  private def rankPerQuery(scored: DataFrame, k: Int,
+                           queryIdCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
+    scored
+      .select(col(queryIdCol), col(idCol), col("score"))
+      .withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .drop("__rank")
+  }
+
+  /** Reserved-column guard shared by the batch paths. */
+  private def requireNoReservedCols(df: DataFrame, reserved: Seq[String], who: String): Unit =
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"$who: corpus already has a '$c' column — rename it first"))
+
   /** Exact top-k cosine neighbors of each query row. `queries` is expected to
     * be small (it is broadcast); the corpus is scanned once, scored per row
     * inside codegen, then rank-filtered per query (one shuffle on query_id).
@@ -25,16 +45,12 @@ object Similarity {
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id",
                      excludeSelf: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
-    val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
-    corpus
-      .join(q, if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
-      .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
-      .select(col(queryIdCol), col(idCol), col("score"))
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
+    rankPerQuery(
+      corpus
+        .join(q, if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+        .withColumn("score", V.cosine(col(vecCol), col("__qvec"))),
+      k, queryIdCol, idCol)
   }
 
   /** Top-k for a single query vector id taken from the corpus itself —
@@ -105,29 +121,25 @@ object Similarity {
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    queryIdCol: String = "query_id",
                    excludeSelf: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Seq(queryIdCol, "__qvec", "bucket", "score", "__rank").foreach(c =>
-      require(!corpus.columns.contains(c),
-        s"lshTopKBatch: corpus already has a '$c' column — rename it first"))
+    requireNoReservedCols(corpus, Seq(queryIdCol, "__qvec", "bucket", "score", "__rank"),
+      "lshTopKBatch")
     val idx = bucketed(corpus, dim, nbits, seed, vecCol)
     val q = broadcast(
       bucketed(queries.select(col(queryIdCol), col(vecCol).as("__qvec")),
           dim, nbits, seed, "__qvec")
         .select(col(queryIdCol), col("__qvec"),
           explode(V.probeBuckets(col("bucket"), nbits)).as("bucket")))
-    val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
-    idx
-      .join(q, Seq("bucket"))
-      .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
-      // dedupe candidates BEFORE scoring (see lshTopK: a row sharing several
-      // probe buckets would pay the dim-length cosine per shared bucket).
-      .select(col(queryIdCol), col(idCol), col(vecCol), col("__qvec"))
-      .dropDuplicates(queryIdCol, idCol)
-      .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
-      .select(col(queryIdCol), col(idCol), col("score"))
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
+    rankPerQuery(
+      idx
+        .join(q, Seq("bucket"))
+        .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+        // dedupe candidates BEFORE scoring (see lshTopK: a row sharing
+        // several probe buckets would pay the dim-length cosine per shared
+        // bucket).
+        .select(col(queryIdCol), col(idCol), col(vecCol), col("__qvec"))
+        .dropDuplicates(queryIdCol, idCol)
+        .withColumn("score", V.cosine(col(vecCol), col("__qvec"))),
+      k, queryIdCol, idCol)
   }
 
   /** IVF (inverted-file) ANN — the k-means scale path: a coarse quantizer
@@ -204,42 +216,53 @@ object Similarity {
       * collect). Each query's `nprobe` nearest cells are chosen INSIDE the
       * plan — centroids ship as a literal (nlist × dim doubles, small by
       * construction), each query scores them and keeps the best `nprobe` —
-      * then `(query, cell)` probe rows broadcast against the assigned
-      * corpus; only cells some query probes are scored. One window shuffle
-      * on `queryIdCol` ranks candidates. A corpus row lives in exactly one
+      * then two broadcasts reach the corpus: narrow `(query, cell)` probe
+      * pairs for the candidate equi-join, and each query VECTOR exactly
+      * once (not once per probe cell) for scoring. One window shuffle on
+      * `queryIdCol` ranks candidates. A corpus row lives in exactly one
       * cell, so (query, doc) pairs are unique — no dedup stage needed.
+      * When the query frame itself outgrows broadcast range, shard it and
+      * union the results (the lshTopKBatch guidance).
       *
       * The per-query centroid scoring uses interpreted HOF lambdas — fine
       * HERE because it runs once per query row (the small side), never per
       * corpus row; corpus-side scoring stays on the native fused cosine.
+      *
+      * A query vector whose length differs from the index dimension raises
+      * per-row (same policy as hyperplaneBucket): CosineSim yields NULL on
+      * mismatch, and a NULL-score query would otherwise probe arbitrary
+      * cells and return k null-scored "neighbors".
       */
     def topKBatch(queries: DataFrame, k: Int, nprobe: Int = 4,
                   queryIdCol: String = "query_id",
                   excludeSelf: Boolean = false): DataFrame = {
-      import org.apache.spark.sql.expressions.Window
       require(nprobe > 0 && k > 0, s"IvfIndex.topKBatch: k=$k nprobe=$nprobe must be positive")
-      Seq(queryIdCol, "__qvec", "__rank", "score").foreach(c =>
-        require(!assigned.columns.contains(c),
-          s"IvfIndex.topKBatch: corpus already has a '$c' column — rename it first"))
+      requireNoReservedCols(assigned, Seq(queryIdCol, "__qvec", "__rank", "score"),
+        "IvfIndex.topKBatch")
+      val dim = centers.head.length
+      val qv = {
+        val raw = col(vecCol).cast("array<double>")
+        when(size(raw) === dim, raw).otherwise(raise_error(format_string(
+          s"IvfIndex.topKBatch: query vector has %d dims but the index was built with $dim",
+          size(raw))))
+      }
       val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-      val qv = col(vecCol).cast("array<double>")
       // struct(-cosine, cell): array_sort's ascending struct order makes the
       // slice the nprobe BEST cells; ties break toward the lower cell id.
       val scoredCells = transform(centersLit,
         (c, i) => struct((-V.cosine(qv, c)).as("neg"), i.as("cell")))
-      val probes = queries.select(
-          col(queryIdCol), qv.as("__qvec"),
-          explode(transform(slice(array_sort(scoredCells), 1, nprobe), s => s("cell")))
-            .as("cell"))
-      val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
-      assigned
-        .join(broadcast(probes), Seq("cell"))
-        .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
-        .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
-        .select(col(queryIdCol), col(idCol), col("score"))
-        .withColumn("__rank", row_number().over(w))
-        .filter(col("__rank") <= k)
-        .drop("__rank")
+      val withCells = queries.select(
+        col(queryIdCol), qv.as("__qvec"),
+        transform(slice(array_sort(scoredCells), 1, nprobe), s => s("cell")).as("__cells"))
+      val probePairs = withCells.select(col(queryIdCol), explode(col("__cells")).as("cell"))
+      val qVecs = withCells.select(col(queryIdCol), col("__qvec"))
+      rankPerQuery(
+        assigned
+          .join(broadcast(probePairs), Seq("cell"))
+          .join(broadcast(qVecs), Seq(queryIdCol))
+          .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+          .withColumn("score", V.cosine(col(vecCol), col("__qvec"))),
+        k, queryIdCol, idCol)
     }
   }
 

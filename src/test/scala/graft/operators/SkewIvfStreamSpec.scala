@@ -110,5 +110,10 @@ class SkewIvfStreamSpec extends SparkSpec {
     val approx = pairs(idx.topKBatch(queries, k = 5, nprobe = 2, excludeSelf = true).collect())
     val recall = (bf & approx).size.toDouble / bf.size
     assert(recall >= 0.6, s"IVF batch recall $recall")
+    // A query with the wrong dimensionality raises per-row instead of
+    // silently returning k null-scored "neighbors" from arbitrary cells.
+    val badQ = Seq((9000L, Seq(1.0f, 2.0f))).toDF("query_id", "embedding")
+    val e = intercept[Exception] { idx.topKBatch(badQ, k = 3).collect() }
+    assert(e.getMessage.contains("dims"), e.getMessage)
   }
 }
