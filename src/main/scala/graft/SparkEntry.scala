@@ -686,6 +686,14 @@ object SparkEntry {
           operators.Sampling.splitAssign(col("doc_id"),
             Seq("test" -> 0.1, "val" -> 0.1)).as("split"))
         .orderBy("doc_id")),
+    "q_sample_fixed" -> ((s, dir) =>
+      // Fixed-size deterministic sample: exactly 5 docs per language, the
+      // 5 lowest md5(doc_id) hashes each — repartition/engine-stable, the
+      // oracle recomputes the very same selection (operators/Sampling.scala).
+      operators.Sampling.fixedSizeSample(
+          Tables.load(s, dir, "documents").select("doc_id", "lang"),
+          key = col("doc_id"), strata = col("lang"), n = 5)
+        .orderBy("doc_id")),
     "q_text_langid" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -1064,6 +1072,13 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_sample_fixed" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), CAST(doc_id AS VARCHAR)) AS rn
+           FROM documents WHERE doc_id IS NOT NULL)
+         WHERE rn <= 5 ORDER BY doc_id""",
     "q_pipeline_ingest" ->
       """WITH norm AS (
            SELECT doc_id,

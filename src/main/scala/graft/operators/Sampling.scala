@@ -78,6 +78,36 @@ object Sampling {
     df.filter(cond)
   }
 
+  /** Fixed-SIZE deterministic sample per stratum — the eval-set-construction
+    * shape ("exactly 1000 held-out docs per language"), where a fraction
+    * can't promise a count. Keeps the `n` rows with the LOWEST key hashes in
+    * each stratum: still a pure function of the keys present, so the kept
+    * set is stable under repartitioning and engine-portable (the DuckDB
+    * oracle recomputes it), and growing the corpus only swaps members whose
+    * hashes displace the old order — it never reshuffles arbitrarily the
+    * way seed-based `sampleBy` does. Ties on the full 32-hex hash are broken
+    * by the hash again lexicographically, then by the key's string form, so
+    * the selection is total. NULL keys follow the uniform contract above:
+    * never sampled.
+    *
+    * ONE shuffle on the stratum (the [[graft.operators.Curation]] window
+    * shape); only (key-hash, stratum) widths matter to the sort. A
+    * stratum's row count bounds its window partition — stratify by
+    * language/source, not by something unbounded.
+    */
+  def fixedSizeSample(df: org.apache.spark.sql.DataFrame, key: Column, strata: Column,
+                      n: Int): org.apache.spark.sql.DataFrame = {
+    require(n > 0, s"fixedSizeSample: n must be positive, got $n")
+    require(!df.columns.contains("__graft_fsrank"),
+      "fixedSizeSample: input already has a '__graft_fsrank' column — rename it first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata).orderBy(keyHash(key), key.cast("string"))
+    df.filter(key.isNotNull)
+      .withColumn("__graft_fsrank", row_number().over(w))
+      .filter(col("__graft_fsrank") <= n)
+      .drop("__graft_fsrank")
+  }
+
   /** Temperature-weighted mixture rates (pure driver-side arithmetic): given
     * per-source row counts n_s, the target mixture share is p_s ∝ n_s^T —
     * T = 1 is natural proportions, T → 0 equalizes sources, the usual

@@ -121,4 +121,25 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](Sampling.temperatureFractions(Map("a" -> 0L), 1.0, 10L))
     intercept[IllegalArgumentException](Sampling.temperatureFractions(Map("a" -> 1L), 0.0, 10L))
   }
+
+  test("fixedSizeSample: exact n per stratum, repartition-stable, subset-monotone, NULLs excluded") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = ((0L until 100L).map(i => (Some(i), if (i % 3 == 0) "a" else "b"))
+      :+ (Option.empty[Long], "a")).toDF("k", "s")
+    val out = Sampling.fixedSizeSample(df, col("k"), col("s"), 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "a") == 7 && out.count(_._2 == "b") == 7)
+    // deterministic under repartitioning
+    val out2 = Sampling.fixedSizeSample(df.repartition(11), col("k"), col("s"), 7)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSet == out2.toSet)
+    // growing n only ADDS members (hash order is a total ranking)
+    val out10 = Sampling.fixedSizeSample(df, col("k"), col("s"), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out.toSet.subsetOf(out10))
+    // a stratum smaller than n yields all its rows, no padding
+    val tiny = Seq((1L, "x"), (2L, "x")).toDF("k", "s")
+    assert(Sampling.fixedSizeSample(tiny, col("k"), col("s"), 5).count() == 2)
+  }
 }
