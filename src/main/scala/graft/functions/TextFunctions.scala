@@ -98,6 +98,14 @@ object TextFunctions {
     * hash-based operator.
     */
   def normalizeText(text: Column, form: String = "NFC"): Column =
+    if (form == "NFC") graft.plans.TextExpressions.normalizeText(text)
+    else normalizeTextColumns(text, form)
+
+  /** Column-algebra twin of [[normalizeText]] (parity testing / non-NFC
+    * forms); bit-identical for NFC — the native expression lowercases via
+    * the same `UTF8String.toLowerCase` that `lower` compiles to.
+    */
+  def normalizeTextColumns(text: Column, form: String = "NFC"): Column =
     trim(regexp_replace(lower(graft.plans.TextExpressions.unicodeNormalize(text, form)), "\\s+", " "))
 
   /** N-gram-profile language ID heuristic: scores each candidate language by

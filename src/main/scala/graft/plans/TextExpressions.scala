@@ -82,6 +82,13 @@ object TextExpressions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     ColumnShim.column(UnicodeNormalize(ColumnShim.expression(text), form))
 
+  /** Fused canonical normalization (NFC → lower → whitespace collapse →
+    * trim) in one pass — the native twin of the column chain in
+    * `TextFunctions.normalizeTextColumns`.
+    */
+  def normalizeText(text: Column): Column =
+    ColumnShim.column(NormalizeText(ColumnShim.expression(text)))
+
   /** Shared tokenizer for every native text expression: edge-strip by the
     * SAME `\s` class the column twins use (`regexp_replace(text,
     * "^\\s+|\\s+$", "")` + `split("\\s+")`) — Java `String.trim` strips all
@@ -481,5 +488,35 @@ case class UnicodeNormalize(child: Expression, form: String)
   }
 
   override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
+/** The full canonical-normalization chain fused into ONE pass: Unicode NFC →
+  * lowercase → collapse `\s+` runs to single spaces → trim edges.
+  * Bit-identical to the column chain
+  * `trim(regexp_replace(lower(UnicodeNormalize(text)), "\s+", " "))` by
+  * construction: lowercasing goes through the SAME `UTF8String.toLowerCase`
+  * Spark's `lower` uses (locale-independent, unlike `String.toLowerCase`),
+  * and the whitespace class is the shared precompiled `\s` regex
+  * ([[TextExpressions.Tok]]'s discipline). Saves two regexp passes and two
+  * intermediate strings per row on the ingest scan path.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].toString
+    val nfc =
+      if (java.text.Normalizer.isNormalized(raw, java.text.Normalizer.Form.NFC)) raw
+      else java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
+    val lower = UTF8String.fromString(nfc).toLowerCase.toString
+    UTF8String.fromString(TextExpressions.Tok.tokens(lower).mkString(" "))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
     copy(child = newChild)
 }

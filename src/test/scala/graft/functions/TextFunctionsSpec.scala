@@ -160,4 +160,26 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0) == "the quick fox" && out(0) == out(1))
     assert(out(2) == "caf\u00e9 menu" && out(2) == out(3))
   }
+
+  test("native NormalizeText matches the column chain bit-for-bit on edge inputs") {
+    val edge = Seq(
+      Some("  The   QUICK\tFox "),
+      Some("Cafe\u0301  MENU"),        // decomposed accent + case
+      Some("caf\u00e9 menu"),
+      Some(""),
+      Some("   \t\n  "),              // all whitespace
+      Some("a\u0000b  C"),             // NUL is NOT \s — stays inside a token
+      Some("STRA\u00dfE"),             // sharp s lowercase mapping
+      Some("\u0130stanbul"),           // dotted capital I (locale trap)
+      None
+    ).toDF("text")
+    val rows = edge.select(
+        TextFunctions.normalizeText($"text").as("native"),
+        TextFunctions.normalizeTextColumns($"text").as("cols"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.isNullAt(0) == r.isNullAt(1))
+      if (!r.isNullAt(0)) assert(r.getString(0) == r.getString(1), s"diverged: $r")
+    }
+  }
 }
