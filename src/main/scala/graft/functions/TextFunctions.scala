@@ -98,12 +98,12 @@ object TextFunctions {
     * hash-based operator.
     */
   def normalizeText(text: Column, form: String = "NFC"): Column =
-    if (form == "NFC") graft.plans.TextExpressions.normalizeText(text)
-    else normalizeTextColumns(text, form)
+    graft.plans.TextExpressions.normalizeText(text, form)
 
-  /** Column-algebra twin of [[normalizeText]] (parity testing / non-NFC
-    * forms); bit-identical for NFC — the native expression lowercases via
-    * the same `UTF8String.toLowerCase` that `lower` compiles to.
+  /** Column-algebra twin of [[normalizeText]] (parity testing / fallback);
+    * bit-identical: BOTH paths share Spark's own `lower` (ICU-aware on
+    * Spark 4) between NFC and the whitespace step, so only the
+    * regexp-vs-one-pass collapse differs.
     */
   def normalizeTextColumns(text: Column, form: String = "NFC"): Column =
     trim(regexp_replace(lower(graft.plans.TextExpressions.unicodeNormalize(text, form)), "\\s+", " "))

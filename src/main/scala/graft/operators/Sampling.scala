@@ -94,6 +94,12 @@ object Sampling {
     * shape); only (key-hash, stratum) widths matter to the sort. A
     * stratum's row count bounds its window partition — stratify by
     * language/source, not by something unbounded.
+    *
+    * Keys should be UNIQUE within a stratum: duplicate key VALUES tie on
+    * the full hash-and-key order, so the kept KEY multiset is still
+    * deterministic but WHICH physical row carries the non-key columns past
+    * the cutoff is partition-arrival order — the same caller contract as
+    * [[graft.operators.Lines]]' id uniqueness.
     */
   def fixedSizeSample(df: org.apache.spark.sql.DataFrame, key: Column, strata: Column,
                       n: Int): org.apache.spark.sql.DataFrame = {

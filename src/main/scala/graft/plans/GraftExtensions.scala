@@ -27,6 +27,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_cosine(a, b)`        → double (fused one-pass cosine over array<double>)
   *  - `graft_pii(text)`           → struct<n_emails, n_ips, n_phones, redacted>
   *  - `graft_nfc(text)`           → string (Unicode NFC normalization, UAX#15)
+  *  - `graft_normalize(text)`     → string (NFC → lower → whitespace collapse + trim)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -99,6 +100,16 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_nfc(text) takes exactly 1 argument")
         UnicodeNormalize(children.head, "NFC")
+      }),
+    (
+      new FunctionIdentifier("graft_normalize"),
+      new ExpressionInfo(classOf[CollapseWhitespace].getName, "graft_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_normalize(text) takes exactly 1 argument")
+        // Same composition as TextFunctions.normalizeText: NFC → Spark's
+        // own Lower (ICU-aware) → one-pass whitespace collapse.
+        CollapseWhitespace(org.apache.spark.sql.catalyst.expressions.Lower(
+          UnicodeNormalize(children.head, "NFC")))
       }),
     (
       new FunctionIdentifier("graft_pii"),

@@ -82,12 +82,14 @@ object TextExpressions {
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     ColumnShim.column(UnicodeNormalize(ColumnShim.expression(text), form))
 
-  /** Fused canonical normalization (NFC → lower → whitespace collapse →
-    * trim) in one pass — the native twin of the column chain in
-    * `TextFunctions.normalizeTextColumns`.
+  /** Canonical normalization: NFC (native) → Spark's own `lower` (ICU-aware
+    * — see [[CollapseWhitespace]]'s note) → one-pass whitespace collapse +
+    * trim (native). Replaces the twin's two regexp passes; case mapping is
+    * the identical operator on both paths.
     */
-  def normalizeText(text: Column): Column =
-    ColumnShim.column(NormalizeText(ColumnShim.expression(text)))
+  def normalizeText(text: Column, form: String = "NFC"): Column =
+    ColumnShim.column(CollapseWhitespace(ColumnShim.expression(
+      org.apache.spark.sql.functions.lower(unicodeNormalize(text, form)))))
 
   /** Shared tokenizer for every native text expression: edge-strip by the
     * SAME `\s` class the column twins use (`regexp_replace(text,
@@ -491,17 +493,20 @@ case class UnicodeNormalize(child: Expression, form: String)
     copy(child = newChild)
 }
 
-/** The full canonical-normalization chain fused into ONE pass: Unicode NFC →
-  * lowercase → collapse `\s+` runs to single spaces → trim edges.
-  * Bit-identical to the column chain
-  * `trim(regexp_replace(lower(UnicodeNormalize(text)), "\s+", " "))` by
-  * construction: lowercasing goes through the SAME `UTF8String.toLowerCase`
-  * Spark's `lower` uses (locale-independent, unlike `String.toLowerCase`),
-  * and the whitespace class is the shared precompiled `\s` regex
-  * ([[TextExpressions.Tok]]'s discipline). Saves two regexp passes and two
-  * intermediate strings per row on the ingest scan path.
+/** Whitespace canonicalization in one pass: collapse `\s+` runs to single
+  * spaces and strip the edges — the native twin of
+  * `trim(regexp_replace(text, "\s+", " "))`, via the shared precompiled
+  * `\s` tokenizer ([[TextExpressions.Tok]]'s discipline).
+  *
+  * Deliberately does NOT fold lowercasing in: Spark 4's `lower` routes
+  * through ICU case mapping when `spark.sql.icu.caseMappings.enabled` is on
+  * (the default), while any JVM-side `toLowerCase` here would use the JDK's
+  * tables (and `String.toLowerCase` the default LOCALE — the Turkish-I
+  * trap). The normalization chain therefore keeps Spark's own `Lower`
+  * between NFC and this collapse, so case semantics are bit-identical to
+  * the column twin BY SHARING THE OPERATOR, not by reimplementing it.
   */
-case class NormalizeText(child: Expression)
+case class CollapseWhitespace(child: Expression)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   override def inputTypes = ColumnShim.stringInput
@@ -510,13 +515,9 @@ case class NormalizeText(child: Expression)
 
   override def nullSafeEval(input: Any): Any = {
     val raw = input.asInstanceOf[UTF8String].toString
-    val nfc =
-      if (java.text.Normalizer.isNormalized(raw, java.text.Normalizer.Form.NFC)) raw
-      else java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC)
-    val lower = UTF8String.fromString(nfc).toLowerCase.toString
-    UTF8String.fromString(TextExpressions.Tok.tokens(lower).mkString(" "))
+    UTF8String.fromString(TextExpressions.Tok.tokens(raw).mkString(" "))
   }
 
-  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+  override protected def withNewChildInternal(newChild: Expression): CollapseWhitespace =
     copy(child = newChild)
 }

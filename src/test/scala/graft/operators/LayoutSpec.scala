@@ -25,14 +25,16 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // key range, so nothing can min/max-skip
     val data = rnd.shuffle((0L until n).toVector).toDF("k")
       .withColumn("payload", concat(lit("row "), col("k")))
-    val base = "/tmp/graft_layout_spec"
+    val base = java.nio.file.Files.createTempDirectory("graft_layout_spec").toString
     data.write.mode("overwrite").option("parquet.block.size", "65536").parquet(s"$base/naive")
     Layout.writeSorted(data, s"$base/sorted", Seq("k"), rowGroupBytes = Some(65536L))
 
+    // one execution per layout: scanOutputRows collects, so row count and
+    // scan metric come from the same run
     def readCount(path: String): (Long, Long) = {
       val q = spark.read.parquet(path).filter(col("k") >= 1000 && col("k") < 2000)
-      val rows = q.count()
-      (rows, scanOutputRows(spark.read.parquet(path).filter(col("k") >= 1000 && col("k") < 2000)))
+      val scanned = scanOutputRows(q)
+      (q.count(), scanned)
     }
     val (naiveRows, naiveScanned) = readCount(s"$base/naive")
     val (sortedRows, sortedScanned) = readCount(s"$base/sorted")
@@ -46,11 +48,12 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
 
   test("guards: missing sort column") {
     val df = Seq((1L, "x")).toDF("k", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_layout_guard").toString
     intercept[IllegalArgumentException] {
-      Layout.writeSorted(df, "/tmp/graft_layout_guard", Seq("nope"))
+      Layout.writeSorted(df, s"$dir/a", Seq("nope"))
     }
     intercept[IllegalArgumentException] {
-      Layout.writeSorted(df, "/tmp/graft_layout_guard", Seq())
+      Layout.writeSorted(df, s"$dir/b", Seq())
     }
   }
 }

@@ -125,4 +125,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .orderBy($"id").collect()
     assert(out.map(_.getString(1)).toSeq == dsl.map(_.getString(0)).toSeq)
   }
+
+  test("graft_normalize from SQL matches the DSL normalizeText") {
+    import spark.implicits._
+    Seq((1L, "  Cafe\u0301   MENU\t"), (2L, "plain text here")).toDF("id", "t")
+      .createOrReplaceTempView("norm_docs")
+    val sqlOut = spark.sql("SELECT graft_normalize(t) AS n FROM norm_docs ORDER BY id")
+      .collect().map(_.getString(0)).toSeq
+    val dslOut = spark.table("norm_docs")
+      .select(graft.functions.TextFunctions.normalizeText($"t").as("n"))
+      .orderBy($"id").collect().map(_.getString(0)).toSeq
+    assert(sqlOut == dslOut)
+    assert(sqlOut.head == "caf\u00e9 menu")
+  }
 }
