@@ -694,6 +694,15 @@ object SparkEntry {
           Tables.load(s, dir, "documents").select("doc_id", "lang"),
           key = col("doc_id"), strata = col("lang"), n = 5)
         .orderBy("doc_id")),
+    "q_text_compress" -> ((s, dir) =>
+      // Compression-ratio quality signal (zlib): degenerate/templated text
+      // compresses far below prose. Rows-only — DuckDB exposes no deflate,
+      // so no SQL oracle can exist (SURVEY §6); the contract is pinned in
+      // TextFunctionsSpec (ordering, determinism, null/empty edges).
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          functions.TextFunctions.compressionRatio(col("text")).as("compress_ratio"))
+        .orderBy("doc_id")),
     "q_text_langid" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),

@@ -108,6 +108,16 @@ object TextFunctions {
   def normalizeTextColumns(text: Column, form: String = "NFC"): Column =
     trim(regexp_replace(lower(graft.plans.TextExpressions.unicodeNormalize(text, form)), "\\s+", " "))
 
+  /** Compression-ratio quality signal (zlib level 6, rounded 4dp):
+    * repetitive/templated text compresses far below natural prose — gate on
+    * a low ratio to drop degenerate documents (the Gopher-style check).
+    * Native one-pass expression; no SQL oracle exists (DuckDB has no
+    * deflate), so the contract — ordering, determinism, null propagation —
+    * is pinned in TextFunctionsSpec instead.
+    */
+  def compressionRatio(text: Column): Column =
+    round(graft.plans.TextExpressions.compressionRatio(text), 4)
+
   /** N-gram-profile language ID heuristic: scores each candidate language by
     * marker-token hits and returns the argmax (ties → first in list). Marker
     * lists are deliberately tiny — this is the shape of a fasttext-style LID

@@ -28,6 +28,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_pii(text)`           → struct<n_emails, n_ips, n_phones, redacted>
   *  - `graft_nfc(text)`           → string (Unicode NFC normalization, UAX#15)
   *  - `graft_normalize(text)`     → string (NFC → lower → whitespace collapse + trim)
+  *  - `graft_compress_ratio(text)` → double (zlib deflate ratio — degenerate-text signal)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -110,6 +111,13 @@ object GraftExtensions {
         // own Lower (ICU-aware) → one-pass whitespace collapse.
         CollapseWhitespace(org.apache.spark.sql.catalyst.expressions.Lower(
           UnicodeNormalize(children.head, "NFC")))
+      }),
+    (
+      new FunctionIdentifier("graft_compress_ratio"),
+      new ExpressionInfo(classOf[CompressionRatio].getName, "graft_compress_ratio"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_compress_ratio(text) takes exactly 1 argument")
+        CompressionRatio(children.head)
       }),
     (
       new FunctionIdentifier("graft_pii"),

@@ -182,4 +182,27 @@ class TextFunctionsSpec extends SparkSpec {
       if (!r.isNullAt(0)) assert(r.getString(0) == r.getString(1), s"diverged: $r")
     }
   }
+
+  test("compressionRatio: repetitive << prose << random; deterministic; null/empty edges") {
+    val rnd = new scala.util.Random(11)
+    val repetitive = ("spam " * 200).trim
+    val prose = "the quick brown fox jumps over the lazy dog and then wanders " * 12
+    val random = Seq.fill(1000)(('a' + rnd.nextInt(26)).toChar).mkString
+    val df = Seq(
+      (1L, Some(repetitive)), (2L, Some(prose)), (3L, Some(random)),
+      (4L, Some("")), (5L, None: Option[String])
+    ).toDF("id", "text")
+    val out = df.select($"id", TextFunctions.compressionRatio($"text").as("r"))
+      .orderBy("id").collect()
+    val rRep = out(0).getDouble(1); val rProse = out(1).getDouble(1); val rRand = out(2).getDouble(1)
+    assert(rRep < rProse && rProse < rRand, s"ordering violated: $rRep $rProse $rRand")
+    assert(rRep < 0.1 && rRand > 0.5)
+    assert(out(3).getDouble(1) == 1.0) // empty text: nothing saved
+    assert(out(4).isNullAt(1))
+    // deterministic under repartitioning (thread-local deflater state resets)
+    val again = df.repartition(5)
+      .select($"id", TextFunctions.compressionRatio($"text").as("r"))
+      .orderBy("id").collect().map(r => if (r.isNullAt(1)) -1.0 else r.getDouble(1)).toSeq
+    assert(again == out.map(r => if (r.isNullAt(1)) -1.0 else r.getDouble(1)).toSeq)
+  }
 }
