@@ -214,4 +214,30 @@ class StreamingSpec extends SparkSpec {
       .orderBy("user_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(out == Seq((1L, 2L), (2L, 1L)))
   }
+
+  test("the batch text-quality expressions run unchanged inside a streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    // The whole curation scoring layer is stateless scan projections, so the
+    // SAME native expressions gate a stream without modification — ingest
+    // filtering doesn't need a second implementation.
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val gated = docs
+      .withColumn("norm", graft.functions.TextFunctions.normalizeText(col("text")))
+      .withColumn("lang", graft.functions.TextFunctions.langId(col("norm")))
+      .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("norm")))
+      .filter(col("lang") === "en" && col("quality") > 0.2)
+    val q = gated.writeStream.format("memory").queryName("gated_docs")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "  The QUICK fox and the dog is to of it in   the yard  "),
+        (2L, "der hund und die katze und das haus nicht heute"),
+        (3L, "zz"))
+      q.processAllAvailable()
+      val out = spark.table("gated_docs").select("doc_id", "lang")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+      assert(out == Seq((1L, "en")))
+    } finally q.stop()
+  }
 }
