@@ -113,7 +113,10 @@ object TextFunctions {
     * a low ratio to drop degenerate documents (the Gopher-style check).
     * Native one-pass expression; no SQL oracle exists (DuckDB has no
     * deflate), so the contract — ordering, determinism, null propagation —
-    * is pinned in TextFunctionsSpec instead.
+    * is pinned in TextFunctionsSpec instead. Pair with a token-count floor:
+    * below ~100 bytes the zlib envelope dominates (tiny fragments score
+    * ABOVE 1.0, empty text exactly 1.0), so a low-ratio gate alone keeps
+    * the shortest degenerate rows.
     */
   def compressionRatio(text: Column): Column =
     round(graft.plans.TextExpressions.compressionRatio(text), 4)

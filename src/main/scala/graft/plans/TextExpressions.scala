@@ -535,6 +535,12 @@ case class CollapseWhitespace(child: Expression)
   * One streaming pass per row over a reused per-thread Deflater; empty text
   * → 1.0 (nothing to compress, nothing saved).
   *
+  * Only meaningful ABOVE a minimum length: the ~17-byte zlib envelope pushes
+  * tiny fragments over 1.0 and empty text scores the sentinel 1.0, so a
+  * low-ratio gate on its own KEEPS the shortest degenerate rows — always
+  * pair it with a token-count floor (the quality-gate composition in
+  * Curation does).
+  *
   * No SQL oracle exists (DuckDB exposes no deflate), so this is
   * ScalaTest-verified: the signal's CONTRACT is ordering (repetitive ≪
   * prose ≪ random), determinism, and null propagation — not a particular
@@ -558,6 +564,10 @@ case class CompressionRatio(child: Expression)
       var compressed = 0L
       val buf = CompressionRatio.buffer.get()
       while (!d.finished()) compressed += d.deflate(buf)
+      // release the input-array reference NOW — the thread-local Deflater
+      // outlives the stage, and without this it pins the last row's bytes
+      // per executor thread until some future row resets it
+      d.reset()
       compressed.toDouble / bytes.length
     }
   }

@@ -138,4 +138,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlOut == dslOut)
     assert(sqlOut.head == "caf\u00e9 menu")
   }
+
+  test("graft_compress_ratio from SQL matches the DSL expression") {
+    import spark.implicits._
+    Seq((1L, "spam spam spam spam spam spam spam spam"), (2L, "assorted words differ wildly here"))
+      .toDF("id", "t").createOrReplaceTempView("cr_docs")
+    val sqlOut = spark.sql("SELECT round(graft_compress_ratio(t), 4) AS r FROM cr_docs ORDER BY id")
+      .collect().map(_.getDouble(0)).toSeq
+    val dslOut = spark.table("cr_docs")
+      .select(graft.functions.TextFunctions.compressionRatio($"t").as("r"))
+      .orderBy($"id").collect().map(_.getDouble(0)).toSeq
+    assert(sqlOut == dslOut)
+    assert(sqlOut(0) < sqlOut(1)) // repetitive compresses further
+  }
 }
