@@ -694,6 +694,25 @@ object SparkEntry {
           Tables.load(s, dir, "documents").select("doc_id", "lang"),
           key = col("doc_id"), strata = col("lang"), n = 5)
         .orderBy("doc_id")),
+    "q_url_domains" -> ((s, dir) => {
+      // Per-domain corpus stats after a blocklist gate — the CommonCrawl
+      // curation step. URLs are planted (every 4th doc cites one of five
+      // synthetic domains); docs citing a blocked domain drop ENTIRELY
+      // (conservative policy), then surviving citations aggregate per
+      // domain. Pure regexp scan → one small aggregate.
+      val aug = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          concat(lit(" see https://site"), (col("doc_id") % 5).cast("string"),
+            lit(".example.com/page/"), col("doc_id").cast("string")))
+          .otherwise(lit("")))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), aug.as("t"))
+        .filter(functions.TextFunctions.domainGateCondition(col("t"),
+          Seq("site0.example.com")))
+        .select(explode(functions.TextFunctions.urlDomains(col("t"))).as("domain"))
+        .groupBy("domain").agg(count(lit(1)).as("n_citations"))
+        .orderBy("domain")
+    }),
     "q_text_compress" -> ((s, dir) =>
       // Compression-ratio quality signal (zlib): degenerate/templated text
       // compresses far below prose. Rows-only — DuckDB exposes no deflate,
@@ -1081,6 +1100,20 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_url_domains" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 4 = 0
+                               THEN ' see https://site' || CAST(doc_id % 5 AS VARCHAR)
+                                 || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+                               ELSE '' END AS t
+           FROM documents),
+         kept AS (
+           SELECT t FROM aug
+           WHERE len(list_intersect(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
+                                    ['site0.example.com'])) = 0),
+         d AS (SELECT unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM kept)
+         SELECT domain, count(*) AS n_citations FROM d GROUP BY domain ORDER BY domain""",
     "q_sample_fixed" ->
       """SELECT doc_id, lang FROM (
            SELECT doc_id, lang,

@@ -121,6 +121,34 @@ object TextFunctions {
   def compressionRatio(text: Column): Column =
     round(graft.plans.TextExpressions.compressionRatio(text), 4)
 
+  /** URL extraction (shared Java/RE2 regex subset so DuckDB oracles match
+    * exactly): all `http(s)://host[/path]` occurrences in a document. Pure
+    * codegen'd regexp — zero shuffle, the scan-projection shape every other
+    * text signal here has.
+    */
+  val urlPattern = "https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?"
+  private val urlDomainPattern = "https?://([A-Za-z0-9.-]+)"
+
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(urlPattern), lit(0))
+
+  /** The domain of each URL occurrence in the text (one entry per
+    * occurrence, order preserved — callers `array_distinct` for the per-doc
+    * domain set). The standard curation uses: per-domain corpus stats and
+    * blocklist gating.
+    */
+  def urlDomains(text: Column): Column =
+    regexp_extract_all(text, lit(urlDomainPattern), lit(1))
+
+  /** Keep only documents whose extracted domains are ALL outside
+    * `blockedDomains` — the blocklist gate (a doc citing one bad domain
+    * drops entirely, the conservative curation policy). Broadcast-free:
+    * the blocklist is a literal array (they're small); for million-entry
+    * blocklists use an anti-join on the exploded domains instead.
+    */
+  def domainGateCondition(text: Column, blockedDomains: Seq[String]): Column =
+    size(array_intersect(urlDomains(text), typedLit(blockedDomains))) === 0
+
   /** N-gram-profile language ID heuristic: scores each candidate language by
     * marker-token hits and returns the argmax (ties → first in list). Marker
     * lists are deliberately tiny — this is the shape of a fasttext-style LID

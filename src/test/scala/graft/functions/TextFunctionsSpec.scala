@@ -205,4 +205,27 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("id").collect().map(r => if (r.isNullAt(1)) -1.0 else r.getDouble(1)).toSeq
     assert(again == out.map(r => if (r.isNullAt(1)) -1.0 else r.getDouble(1)).toSeq)
   }
+
+  test("URL extraction, domains, and blocklist gate") {
+    val df = Seq(
+      (1L, Some("read https://good.example.com/a and http://bad.example.com/x?q=1 today")),
+      (2L, Some("no links here")),
+      (3L, Some("dup https://good.example.com/a https://good.example.com/b")),
+      (4L, None: Option[String])
+    ).toDF("id", "text")
+    val urls = df.select($"id", TextFunctions.extractUrls($"text").as("u"))
+      .orderBy("id").collect()
+    assert(urls(0).getSeq[String](1) ==
+      Seq("https://good.example.com/a", "http://bad.example.com/x?q=1"))
+    assert(urls(1).getSeq[String](1).isEmpty)
+    assert(urls(3).isNullAt(1))
+    val doms = df.select($"id", TextFunctions.urlDomains($"text").as("d"))
+      .orderBy("id").collect()
+    assert(doms(0).getSeq[String](1) == Seq("good.example.com", "bad.example.com"))
+    assert(doms(2).getSeq[String](1) == Seq("good.example.com", "good.example.com"))
+    val kept = df.filter(TextFunctions.domainGateCondition($"text", Seq("bad.example.com")))
+      .select("id").as[Long].collect().toSet
+    // doc 1 cites the blocked domain -> whole doc drops; NULL text never passes a filter
+    assert(kept == Set(2L, 3L))
+  }
 }
