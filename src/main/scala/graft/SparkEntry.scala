@@ -694,6 +694,20 @@ object SparkEntry {
           Tables.load(s, dir, "documents").select("doc_id", "lang"),
           key = col("doc_id"), strata = col("lang"), n = 5)
         .orderBy("doc_id")),
+    "q_join_salted" -> ((s, dir) => {
+      // Salted skew join (operators/Skew.scala): the large side gets a
+      // random salt, the small side replicates across salts — hot keys
+      // spread over `factor` reducers. Result is EXACTLY a plain join's, so
+      // the oracle is the plain SQL join + aggregate (salting is a physical
+      // rewrite, not a semantic one).
+      val orders = Tables.load(s, dir, "orders")
+      val customer = Tables.load(s, dir, "customer")
+      operators.Skew.saltedJoin(orders, customer, "o_custkey", "c_custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+        .orderBy("c_mktsegment")
+    }),
     "q_url_domains" -> ((s, dir) => {
       // Per-domain corpus stats after a blocklist gate — the CommonCrawl
       // curation step. URLs are planted (every 4th doc cites one of five
@@ -1100,6 +1114,11 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_join_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_url_domains" ->
       """WITH aug AS (
            SELECT doc_id,
