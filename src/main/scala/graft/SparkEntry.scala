@@ -719,11 +719,14 @@ object SparkEntry {
           concat(lit(" see https://site"), (col("doc_id") % 5).cast("string"),
             lit(".example.com/page/"), col("doc_id").cast("string")))
           .otherwise(lit("")))
+      // domains projected ONCE, gate + explode reuse the array (Filter and
+      // Project don't share subexpressions — recomputing the regexp in the
+      // gate would scan every text twice)
       Tables.load(s, dir, "documents")
-        .select(col("doc_id"), aug.as("t"))
-        .filter(functions.TextFunctions.domainGateCondition(col("t"),
+        .select(col("doc_id"), functions.TextFunctions.urlDomains(aug).as("doms"))
+        .filter(functions.TextFunctions.domainGateOnDomains(col("doms"),
           Seq("site0.example.com")))
-        .select(explode(functions.TextFunctions.urlDomains(col("t"))).as("domain"))
+        .select(explode(col("doms")).as("domain"))
         .groupBy("domain").agg(count(lit(1)).as("n_citations"))
         .orderBy("domain")
     }),
@@ -1127,11 +1130,16 @@ object SparkEntry {
                                  || '.example.com/page/' || CAST(doc_id AS VARCHAR)
                                ELSE '' END AS t
            FROM documents),
+         doms AS (
+           SELECT list_transform(
+                    regexp_extract_all(t, '(?i:https?)://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1),
+                    d -> lower(d)) AS ds
+           FROM aug),
          kept AS (
-           SELECT t FROM aug
-           WHERE len(list_intersect(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1),
-                                    ['site0.example.com'])) = 0),
-         d AS (SELECT unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS domain FROM kept)
+           SELECT ds FROM doms
+           WHERE len(list_filter(ds,
+                   d -> d = 'site0.example.com' OR d LIKE '%.site0.example.com')) = 0),
+         d AS (SELECT unnest(ds) AS domain FROM kept)
          SELECT domain, count(*) AS n_citations FROM d GROUP BY domain ORDER BY domain""",
     "q_sample_fixed" ->
       """SELECT doc_id, lang FROM (

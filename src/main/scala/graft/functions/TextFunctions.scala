@@ -124,30 +124,50 @@ object TextFunctions {
   /** URL extraction (shared Java/RE2 regex subset so DuckDB oracles match
     * exactly): all `http(s)://host[/path]` occurrences in a document. Pure
     * codegen'd regexp — zero shuffle, the scan-projection shape every other
-    * text signal here has.
+    * text signal here has. Scheme matching is case-insensitive (HTTPS://
+    * counts) via an inline (?i) group on the scheme only.
     */
-  val urlPattern = "https?://[A-Za-z0-9.-]+(?:/[^\\s]*)?"
-  private val urlDomainPattern = "https?://([A-Za-z0-9.-]+)"
+  val urlPattern = "(?i:https?)://[A-Za-z0-9.-]+(?:/[^\\s]*)?"
+  // host = dot-separated labels; the label structure (not a char class with
+  // '.') means a trailing dot is NEVER captured — 'example.com.' extracts
+  // 'example.com', so gates and per-domain stats can't be split or evaded
+  // by punctuation after the host
+  private val urlDomainPattern = "(?i:https?)://([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
 
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(urlPattern), lit(0))
 
-  /** The domain of each URL occurrence in the text (one entry per
-    * occurrence, order preserved — callers `array_distinct` for the per-doc
-    * domain set). The standard curation uses: per-domain corpus stats and
-    * blocklist gating.
+  /** The lowercased domain of each URL occurrence in the text (one entry
+    * per occurrence, order preserved — callers `array_distinct` for the
+    * per-doc domain set). Lowercased because DNS is case-insensitive:
+    * HTTPS://SITE.EXAMPLE.COM and https://site.example.com must hit the
+    * same stats bucket and the same blocklist entry.
     */
   def urlDomains(text: Column): Column =
-    regexp_extract_all(text, lit(urlDomainPattern), lit(1))
+    transform(regexp_extract_all(text, lit(urlDomainPattern), lit(1)), d => lower(d))
 
   /** Keep only documents whose extracted domains are ALL outside
     * `blockedDomains` — the blocklist gate (a doc citing one bad domain
-    * drops entirely, the conservative curation policy). Broadcast-free:
-    * the blocklist is a literal array (they're small); for million-entry
-    * blocklists use an anti-join on the exploded domains instead.
+    * drops entirely, the conservative curation policy). A blocked domain
+    * also blocks every SUBDOMAIN (evil.site.example.com falls to a
+    * site.example.com entry) — exact-match-only gates are trivially evaded.
+    * The exists() lambda is interpreted, but it runs over (domains ×
+    * blocklist) per row — both small; for million-entry blocklists use an
+    * anti-join on the exploded domains instead.
     */
   def domainGateCondition(text: Column, blockedDomains: Seq[String]): Column =
-    size(array_intersect(urlDomains(text), typedLit(blockedDomains))) === 0
+    domainGateOnDomains(urlDomains(text), blockedDomains)
+
+  /** The same gate over an ALREADY-extracted domain array — use this when a
+    * plan also needs the domains for stats, so the regexp scan runs once
+    * (Filter and Project are separate operators; Catalyst does not share
+    * subexpressions across them).
+    */
+  def domainGateOnDomains(domains: Column, blockedDomains: Seq[String]): Column = {
+    require(blockedDomains.nonEmpty, "domainGate: empty blocklist — nothing to gate")
+    val lowered = blockedDomains.map(_.toLowerCase)
+    !exists(domains, d => lowered.map(b => d === b || d.endsWith("." + b)).reduce(_ || _))
+  }
 
   /** N-gram-profile language ID heuristic: scores each candidate language by
     * marker-token hits and returns the argmax (ties → first in list). Marker

@@ -206,12 +206,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(again == out.map(r => if (r.isNullAt(1)) -1.0 else r.getDouble(1)).toSeq)
   }
 
-  test("URL extraction, domains, and blocklist gate") {
+  test("URL extraction, domains, and blocklist gate (incl. evasion edges)") {
     val df = Seq(
       (1L, Some("read https://good.example.com/a and http://bad.example.com/x?q=1 today")),
       (2L, Some("no links here")),
       (3L, Some("dup https://good.example.com/a https://good.example.com/b")),
-      (4L, None: Option[String])
+      (4L, None: Option[String]),
+      (5L, Some("sentence ends https://bad.example.com. next")),      // trailing dot
+      (6L, Some("sub https://evil.bad.example.com/x")),               // subdomain
+      (7L, Some("caps HTTPS://BAD.EXAMPLE.COM/z"))                    // case
     ).toDF("id", "text")
     val urls = df.select($"id", TextFunctions.extractUrls($"text").as("u"))
       .orderBy("id").collect()
@@ -223,9 +226,16 @@ class TextFunctionsSpec extends SparkSpec {
       .orderBy("id").collect()
     assert(doms(0).getSeq[String](1) == Seq("good.example.com", "bad.example.com"))
     assert(doms(2).getSeq[String](1) == Seq("good.example.com", "good.example.com"))
+    // trailing punctuation never joins the captured host; hosts lowercase
+    assert(doms(4).getSeq[String](1) == Seq("bad.example.com"))
+    assert(doms(6).getSeq[String](1) == Seq("bad.example.com"))
     val kept = df.filter(TextFunctions.domainGateCondition($"text", Seq("bad.example.com")))
       .select("id").as[Long].collect().toSet
-    // doc 1 cites the blocked domain -> whole doc drops; NULL text never passes a filter
+    // exact cite (1), trailing-dot (5), subdomain (6) and uppercase (7) all
+    // drop; NULL text never passes a filter
     assert(kept == Set(2L, 3L))
+    intercept[IllegalArgumentException] {
+      TextFunctions.domainGateCondition($"text", Seq())
+    }
   }
 }
