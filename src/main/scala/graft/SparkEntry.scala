@@ -694,6 +694,27 @@ object SparkEntry {
           Tables.load(s, dir, "documents").select("doc_id", "lang"),
           key = col("doc_id"), strata = col("lang"), n = 5)
         .orderBy("doc_id")),
+    "q_text_tfidf" -> ((s, dir) =>
+      // TF-IDF keyword extraction: top-3 terms per doc. Scored over the FULL
+      // corpus (df/N are corpus-level), output restricted afterwards. One
+      // plan: (doc,term) agg → term df agg → term join; N via scalar
+      // subquery. Ranking uses the ROUNDED tfidf + lexicographic term
+      // tie-break so the order is engine-portable (operators/Tfidf.scala).
+      operators.Tfidf.topTerms(Tables.load(s, dir, "documents"), k = 3)
+        .filter(col("doc_id") < 50)
+        .select("doc_id", "term", "n", "tf", "df", "tfidf", "rank")
+        .orderBy("doc_id", "rank")),
+    "q_hist_chars" -> ((s, dir) => {
+      // Histogram: doc-length distribution per language, 50-char buckets —
+      // the standard corpus-profiling aggregate (exact integer bucketing,
+      // so the oracle is bit-exact; one shuffle on (lang, bucket)).
+      import org.apache.spark.sql.graftshim.ColumnShim
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"),
+          (ColumnShim.intDiv(col("n_chars"), lit(50)) * 50).as("bucket_lo"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "bucket_lo")
+    }),
     "q_join_salted" -> ((s, dir) => {
       // Salted skew join (operators/Skew.scala): the large side gets a
       // random salt, the small side replicates across salts — hot keys
@@ -1117,6 +1138,31 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_tfidf" ->
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, len(w) AS ntok, unnest(w) AS term FROM toks),
+         tf AS (
+           SELECT doc_id, term, count(*) AS n, any_value(ntok) AS ntok
+           FROM terms WHERE term <> '' GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         nn AS (SELECT count(*) AS n_docs FROM documents WHERE text IS NOT NULL),
+         scored AS (
+           SELECT tf.doc_id, tf.term, tf.n,
+                  round(CAST(tf.n AS DOUBLE) / ntok, 4) AS tf_r,
+                  dfreq.df,
+                  round((CAST(tf.n AS DOUBLE) / ntok)
+                        * (ln((n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS tfidf
+           FROM tf JOIN dfreq USING (term) CROSS JOIN nn),
+         ranked AS (
+           SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INTEGER) AS rank
+           FROM scored)
+         SELECT doc_id, term, n, tf_r AS tf, df, tfidf, rank
+         FROM ranked WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
+    "q_hist_chars" ->
+      """SELECT lang, (n_chars // 50) * 50 AS bucket_lo, count(*) AS n_docs
+         FROM documents GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo""",
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TfidfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "apple banana apple"),
+    (2L, "banana cherry"),
+    (3L, "cherry cherry cherry durian")
+  ).toDF("doc_id", "text")
+
+  test("tf, df and tfidf match a hand computation") {
+    val out = Tfidf.tfidf(docs).orderBy("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    def idf(df: Long) = math.log((3 + 1.0) / (df + 1.0)) + 1.0
+    def w(tf: Double, df: Long) = math.rint(tf * idf(df) * 10000) / 10000
+    val expected = Seq(
+      (1L, "apple",  2L, 0.6667, 1L, w(2.0 / 3, 1)),
+      (1L, "banana", 1L, 0.3333, 2L, w(1.0 / 3, 2)),
+      (2L, "banana", 1L, 0.5,    2L, w(0.5, 2)),
+      (2L, "cherry", 1L, 0.5,    2L, w(0.5, 2)),
+      (3L, "cherry", 3L, 0.75,   2L, w(0.75, 2)),
+      (3L, "durian", 1L, 0.25,   1L, w(0.25, 1)))
+    assert(out.toSeq == expected)
+  }
+
+  test("topTerms ranks by tfidf desc with lexicographic tie-break") {
+    val top = Tfidf.topTerms(docs, k = 1).orderBy("doc_id")
+      .select("doc_id", "term", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    // doc 1: apple dominates; doc 2: banana/cherry tie exactly -> 'banana';
+    // doc 3: cherry (0.75 * idf(2)) beats durian (0.25 * idf(1))
+    assert(top.toSeq == Seq((1L, "apple", 1), (2L, "banana", 1), (3L, "cherry", 1)))
+  }
+
+  test("NULL and empty texts contribute no rows; guards fire") {
+    val df = Seq((1L, Some("a b")), (2L, None: Option[String]), (3L, Some(""))).toDF("doc_id", "text")
+    val ids = Tfidf.tfidf(df).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L))
+    intercept[IllegalArgumentException] { Tfidf.tfidf(df.withColumn("term", lit(1))) }
+    intercept[IllegalArgumentException] { Tfidf.topTerms(df, 0) }
+  }
+
+  test("N counts only non-null texts (the idf subquery matches df semantics)") {
+    // 2 real docs, 1 null: a term in both real docs must get df=2, N=2 ->
+    // idf = ln(3/3)+1 = 1.0 exactly
+    val df = Seq((1L, Some("x")), (2L, Some("x")), (3L, None: Option[String])).toDF("doc_id", "text")
+    val row = Tfidf.tfidf(df).filter($"term" === "x").select("tfidf").head()
+    assert(row.getDouble(0) == 1.0)
+  }
+}
