@@ -1002,6 +1002,41 @@ object SparkEntry {
         .withColumn("rank", row_number().over(w))
         .select("query_id", "rank", "vec_id")
         .orderBy("query_id", "rank")
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      // IVF batch retrieval oracle-checked at nprobe=nlist: probing EVERY
+      // cell makes IVF exactly brute force (independent of where k-means
+      // placed the centroids — the one setting where the approximate path
+      // has an exact DuckDB twin), so the q_ann_batch oracle applies
+      // verbatim. Recall at nprobe<nlist is covered in SkewIvfStreamSpec;
+      // this row pins the whole assign→probe→score→rank plan end-to-end.
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val nlist = 8
+      val index = operators.Similarity.ivfIndex(emb, nlist = nlist)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      index.topKBatch(queries, k = 5, nprobe = nlist, excludeSelf = true)
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+    }),
+    "q_dedup_semantic" -> ((s, dir) => {
+      // SemDedup (embedding-cluster semantic dedup): every 50th vector is
+      // planted again at id+10000; the operator must find exactly those
+      // pairs. Identical vectors always share k-means cell and LSH bucket,
+      // so the approximate path has total recall on the planted set and the
+      // exact all-pairs DuckDB twin is a fair oracle (nothing else in the
+      // synthetic table reaches cosine 0.999). Output is the id pair set —
+      // scores stay engine-internal like every embedding query here.
+      val emb = Tables.load(s, dir, "embeddings")
+      val aug = emb.unionByName(
+        emb.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 10000))
+      operators.Similarity.semDupes(aug, dim = 64, threshold = 0.999, nlist = 8)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1178,7 +1213,7 @@ object SparkEntry {
            FROM documents),
          doms AS (
            SELECT list_transform(
-                    regexp_extract_all(t, '(?i:https?)://([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1),
+                    regexp_extract_all(t, '(?i:https?)://(?:[^/@\s]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1),
                     d -> lower(d)) AS ds
            FROM aug),
          kept AS (
@@ -1394,6 +1429,28 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rank
                FROM s)
          SELECT query_id, rank, vec_id FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_ann_ivf" ->
+      // nprobe=nlist ⇒ IVF ≡ brute force, so the exact-retrieval twin holds
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS s
+               FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id,
+                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rank
+               FROM s)
+         SELECT query_id, rank, vec_id FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_dedup_semantic" ->
+      // exact all-pairs semantics of the planted-dup construction — the
+      // approximate cell+bucket path must recover it in full (see the Spark
+      // twin's recall note)
+      """WITH aug AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM aug a JOIN aug b
+           ON a.vec_id < b.vec_id
+          AND list_cosine_similarity(a.embedding, b.embedding) >= 0.999
+         ORDER BY id_a, id_b""",
     "q_embed_centroid" ->
       // identical per-row arithmetic (sequential double sum over the list,
       // /len, sqrt) then DECIMAL cross-row totals — see the Spark twin's

@@ -258,8 +258,10 @@ object Dedup {
     * bytes per phantom doc; underestimating raises the FP rate (more
     * verify-path traffic) but never breaks correctness — the anti-join
     * stays exact. Sizings that would exceed Spark's
-    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` are rejected up
-    * front (Spark would otherwise clamp the sketch silently). An empty
+    * `spark.sql.optimizer.runtime.bloomFilter.maxNumBits` or
+    * `...maxNumItems` are rejected up front (BloomFilterAggregate clamps
+    * BOTH silently — a clamped item estimate skews the hash-function count
+    * and raises the FP rate even when the bit budget fits). An empty
     * corpus is handled: every batch doc is definite-new.
     */
   def exactIncremental(newDocs: DataFrame, corpus: DataFrame,
@@ -291,6 +293,16 @@ object Dedup {
         s" × bloomBitsPerItem=$bloomBitsPerItem) exceeds spark.sql.optimizer.runtime" +
         s".bloomFilter.maxNumBits=$maxBits and Spark would silently clamp the sketch" +
         " (FP rate → 1). Raise the conf or lower the sizing.")
+    // the item ESTIMATE clamps independently of the bit budget — an
+    // estimate past maxNumItems skews the hash-function count (k is derived
+    // from items/bits), raising the FP rate even when `bits` fits
+    val maxItems = newDocs.sparkSession.conf
+      .get("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+    require(expectedCorpusItems <= maxItems,
+      s"exactIncremental: expectedCorpusItems=$expectedCorpusItems exceeds spark.sql" +
+        s".optimizer.runtime.bloomFilter.maxNumItems=$maxItems and Spark would silently" +
+        " clamp the estimate (hash-function count skews, FP rate rises)." +
+        " Raise the conf or lower the sizing.")
 
     val bloomDf = corpus.select(
       ColumnShim.bloomFilterAgg(xxhash64(h), expectedCorpusItems, bits).as("bf"))

@@ -10,13 +10,17 @@ import org.apache.spark.sql.types._
   *
   * IMAGES decode for real through the JDK's `javax.imageio` (PNG/JPEG/GIF/BMP
   * — no external libraries needed): [[decodeImage]] + [[imageGridFeatures]]
-  * produce true dimensions and a luminance-grid feature vector. AUDIO/VIDEO
-  * decode remains STUBBED deterministically ([[stubDecode]] — the JDK ships
-  * no audio/video codecs and this environment has no external media libs);
-  * everything around that stub is the real 100 TB plumbing: the schema
-  * contract, the batched `mapPartitions` shape (one codec init per partition,
-  * not per row — the Scala analogue of `mapInPandas`), and partition sizing
-  * by byte budget.
+  * produce true dimensions and a luminance-grid feature vector. AUDIO decodes
+  * for real through the JDK's `javax.sound.sampled` (WAV/AIFF/AU PCM — the
+  * JDK ships these container readers): [[decodeAudio]] + [[audioRmsFeatures]]
+  * produce true sample-rate/channels/duration and per-window RMS features.
+  * VIDEO is the one modality with genuinely no JDK codec: frame decode stays
+  * STUBBED deterministically ([[stubDecode]]), while [[probeMp4DurationMs]]
+  * parses real duration metadata from the ISO-BMFF container header (a
+  * header walk, not a codec). Everything around the stub is the real 100 TB
+  * plumbing: the schema contract, the batched `mapPartitions` shape (one
+  * codec init per partition, not per row — the Scala analogue of
+  * `mapInPandas`), and partition sizing by byte budget.
   */
 object Multimodal {
 
@@ -69,10 +73,149 @@ object Multimodal {
     out
   }
 
-  /** Deterministic decode stub for AUDIO/VIDEO payloads (images decode for
-    * real — [[decodeImage]]): a real implementation would call the codec here
-    * (JNI/FFI), one codec instance per partition. Returns a fixed-length
-    * feature vector derived from content bytes — stable across runs/executors.
+  /** Decoded PCM audio: true format metadata + mono-mixed samples in [-1,1]
+    * (multi-channel frames average across channels — the standard mixdown
+    * for feature extraction).
+    */
+  final case class DecodedAudio(sampleRate: Float, channels: Int, frames: Long,
+                                samples: Array[Float]) {
+    def durationMs: Long =
+      if (sampleRate <= 0f) 0L else math.round(frames * 1000.0 / sampleRate)
+  }
+
+  /** Real audio decode — the JDK's `javax.sound.sampled.AudioSystem`
+    * (WAV/AIFF/AU containers, PCM payloads; no external codec needed).
+    * Returns None for null, truncated, non-audio, or compressed payloads
+    * (MP3/OGG have no JDK codec) — same degrade-don't-fail contract as
+    * [[decodeImage]]. Handles signed/unsigned 8- and 16-bit PCM, either
+    * endianness, any channel count.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[DecodedAudio] = {
+    if (bytes == null) return None
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        if ((enc != PCM_SIGNED && enc != PCM_UNSIGNED) || (bits != 8 && bits != 16))
+          return None
+        val ch = fmt.getChannels
+        val frameSize = fmt.getFrameSize
+        val data = in.readAllBytes()
+        val nFrames = data.length / frameSize
+        val big = fmt.isBigEndian
+        val unsigned = enc == PCM_UNSIGNED
+        val samples = new Array[Float](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0f
+          var c = 0
+          while (c < ch) {
+            val off = f * frameSize + c * (bits / 8)
+            acc += (if (bits == 8) {
+              if (unsigned) ((data(off) & 0xff) - 128) / 128.0f
+              else data(off) / 128.0f
+            } else {
+              val raw =
+                if (big) ((data(off) & 0xff) << 8) | (data(off + 1) & 0xff)
+                else ((data(off + 1) & 0xff) << 8) | (data(off) & 0xff)
+              val v = if (unsigned) raw - 32768 else raw.toShort.toInt
+              v / 32768.0f
+            })
+            c += 1
+          }
+          samples(f) = acc / ch
+          f += 1
+        }
+        Some(DecodedAudio(fmt.getSampleRate, ch, nFrames.toLong, samples))
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixed-length features from decoded audio: the mono samples split into
+    * `dim` contiguous windows, each mapped to its RMS amplitude — the audio
+    * analogue of [[imageGridFeatures]]'s luminance grid (loudness envelope
+    * at `dim` resolution). Windows beyond the sample count (or with zero
+    * samples) read 0.
+    */
+  def audioRmsFeatures(audio: DecodedAudio, dim: Int): Array[Float] = {
+    if (dim <= 0) return Array.emptyFloatArray // degenerate-dims contract of imageGridFeatures
+    val n = audio.samples.length
+    val out = new Array[Float](dim)
+    var w = 0
+    while (w < dim) {
+      val lo = (w.toLong * n / dim).toInt
+      val hi = ((w + 1).toLong * n / dim).toInt
+      if (hi > lo) {
+        var sum = 0.0
+        var i = lo
+        while (i < hi) { val s = audio.samples(i); sum += s * s; i += 1 }
+        out(w) = math.sqrt(sum / (hi - lo)).toFloat
+      }
+      w += 1
+    }
+    out
+  }
+
+  /** Real video CONTAINER metadata without a codec: walks the ISO-BMFF (MP4)
+    * box tree to `moov/mvhd` and returns the presentation duration in ms
+    * (timescale-normalized, version 0 and 1 headers). This is the honest
+    * ceiling for video in a JDK-only environment — frame decode needs an
+    * external codec ([[stubDecode]] stands in), but duration/track metadata
+    * is a deterministic header parse. Returns None for anything malformed —
+    * a corrupt sample must never kill the scan.
+    */
+  def probeMp4DurationMs(bytes: Array[Byte]): Option[Long] = {
+    if (bytes == null) return None
+    def u32(off: Int): Long =
+      ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
+        ((bytes(off + 2) & 0xffL) << 8) | (bytes(off + 3) & 0xffL)
+    def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
+    def boxType(off: Int): String =
+      new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    try {
+      // top-level walk to moov
+      var off = 0
+      while (off + 8 <= bytes.length) {
+        val size = u32(off)
+        if (size < 8 || off + size > bytes.length) return None
+        if (boxType(off) == "moov") {
+          // child walk to mvhd
+          var c = off + 8
+          val end = off + size.toInt
+          while (c + 8 <= end) {
+            val csize = u32(c)
+            if (csize < 8 || c + csize > end) return None
+            if (boxType(c) == "mvhd") {
+              val body = c + 8
+              val version = bytes(body) & 0xff
+              // version 0: creation/modification u32 ×2, then timescale u32,
+              // duration u32; version 1: u64 ×2, timescale u32, duration u64
+              val (timescale, duration) =
+                if (version == 0) (u32(body + 12), u32(body + 16))
+                else if (version == 1) (u32(body + 20), u64(body + 24))
+                else return None
+              return if (timescale <= 0) None
+                     else Some(duration * 1000L / timescale)
+            }
+            c += csize.toInt
+          }
+          return None
+        }
+        off += size.toInt
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Deterministic decode stub for VIDEO frame payloads (images and audio
+    * decode for real — [[decodeImage]], [[decodeAudio]]): a real
+    * implementation would call the codec here (JNI/FFI), one codec instance
+    * per partition. Returns a fixed-length feature vector derived from
+    * content bytes — stable across runs/executors.
     */
   def stubDecode(bytes: Array[Byte], dim: Int): Array[Float] = {
     if (bytes == null) return Array.fill(dim)(0f)
@@ -91,35 +234,52 @@ object Multimodal {
 
   private case class Extracted(asset_id: Long, kind: String, n_bytes: Int,
                                decoded: Boolean, width: Option[Int], height: Option[Int],
-                               features: Array[Float])
+                               sample_rate: Option[Int], channels: Option[Int],
+                               duration_ms: Option[Long], features: Array[Float])
 
   /** Batch-shaped feature extraction: `mapPartitions` so decoder init happens
     * once per partition (the expensive part for real codecs), rows stream
     * through without per-row setup. Images decode for real (true
-    * width/height + luminance-grid features, `decoded=true`); corrupt images
-    * and audio/video fall back to the deterministic stub (`decoded=false`) —
-    * a bad sample degrades, it never fails the scan. Output keeps lineage
-    * columns + features.
+    * width/height + luminance-grid features, `decoded=true`), audio decodes
+    * for real (sample-rate/channels/duration + per-window RMS features);
+    * video probes real container duration ([[probeMp4DurationMs]]) but its
+    * frame features stay on the deterministic stub. Corrupt payloads fall
+    * back to the stub (`decoded=false`) — a bad sample degrades, it never
+    * fails the scan. Output keeps lineage columns + features.
     */
   def extractFeatures(assets: DataFrame, dim: Int = 16): DataFrame = {
     val enc = Encoders.product[Extracted]
     assets
       .select(col("asset_id"), col("kind"), col("bytes"))
       .mapPartitions { rows =>
-        // per-partition decoder state initializes here (ImageIO SPI warms on
-        // first decode; an audio/video codec handle would open here too)
+        // per-partition decoder state initializes here (ImageIO/AudioSystem
+        // SPI caches warm on first decode; a video codec handle would open
+        // here too)
         rows.map { r =>
           val bytes = r.getAs[Array[Byte]]("bytes")
           val id    = r.getAs[Long]("asset_id")
           val kind  = r.getAs[String]("kind")
           val n     = if (bytes == null) 0 else bytes.length
-          val img   = if (kind == "image") decodeImage(bytes) else None
-          img match {
-            case Some(i) =>
-              Extracted(id, kind, n, decoded = true,
-                Some(i.getWidth), Some(i.getHeight), imageGridFeatures(i, dim))
-            case None =>
-              Extracted(id, kind, n, decoded = false, None, None, stubDecode(bytes, dim))
+          def stub(durationMs: Option[Long]) =
+            Extracted(id, kind, n, decoded = false, None, None, None, None,
+              durationMs, stubDecode(bytes, dim))
+          kind match {
+            case "image" => decodeImage(bytes) match {
+              case Some(i) =>
+                Extracted(id, kind, n, decoded = true,
+                  Some(i.getWidth), Some(i.getHeight), None, None, None,
+                  imageGridFeatures(i, dim))
+              case None => stub(None)
+            }
+            case "audio" => decodeAudio(bytes) match {
+              case Some(a) =>
+                Extracted(id, kind, n, decoded = true, None, None,
+                  Some(a.sampleRate.toInt), Some(a.channels),
+                  Some(a.durationMs), audioRmsFeatures(a, dim))
+              case None => stub(None)
+            }
+            case "video" => stub(probeMp4DurationMs(bytes)) // header parse is real, frames are not
+            case _ => stub(None)
           }
         }
       }(enc)

@@ -279,10 +279,72 @@ object Similarity {
     val base = idx.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
     probed.join(base, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      // dedupe candidate pairs BEFORE scoring, keyed on the two scalar ids
+      // only (the lshTopK pattern): the vectors are functionally determined
+      // by the ids, and a distinct() over (ids, v_a, v_b) would hash two
+      // dim-length arrays per row in the exchange — at 1536-dim embeddings
+      // that multiplies the dedup shuffle's hashing work ~100×.
       .select("id_a", "id_b", "v_a", "v_b")
-      .distinct()
+      .dropDuplicates("id_a", "id_b")
       .withColumn("score", V.cosine(col("v_a"), col("v_b")))
       .filter(col("score") >= threshold)
       .select("id_a", "id_b", "score")
+  }
+
+  /** SemDedup-shape semantic near-duplicate pairs (Abbas et al. 2023,
+    * "SemDedup"): cluster the embedding space with the IVF coarse quantizer,
+    * then pair up near-duplicates WITHIN each cluster only — the published
+    * embedding-dedup recipe, and the semantic complement to lexical minhash.
+    * Candidates come from a `(cell, bucket)` equi-join (k-means cell ∧
+    * hyperplane-LSH bucket with 1-bit multiprobe), so the quadratic
+    * all-pairs-within-cluster step of the paper becomes an exchange-friendly
+    * equi-join that never materializes a cell cross-product; exact cosine
+    * then validates every candidate against `threshold`.
+    *
+    * Recall contract: identical vectors ALWAYS pair (same cell, same bucket);
+    * near-identical pairs can miss only if split by >1 hyperplane (the
+    * [[cosineDupes]] trade) or by a cluster boundary (the SemDedup trade —
+    * the paper accepts cross-cluster misses by design). Pass a pre-built
+    * [[IvfIndex]] to reuse a pipeline's existing cell assignment instead of
+    * re-fitting the quantizer.
+    */
+  def semDupes(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
+               nlist: Int = 16, nbits: Int = 8, seed: Long = 7L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semDupesOnIndex(ivfIndex(corpus, nlist, seed, idCol, vecCol), dim, threshold, nbits, seed)
+
+  /** [[semDupes]] over an existing IVF index — no quantizer re-fit. */
+  def semDupesOnIndex(index: IvfIndex, dim: Int, threshold: Double = 0.95,
+                      nbits: Int = 8, seed: Long = 7L): DataFrame = {
+    val idCol = index.idCol; val vecCol = index.vecCol
+    val idx = index.assigned
+      .withColumn("bucket", V.hyperplaneBucket(col(vecCol), dim, nbits, seed))
+    val probed = idx.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))
+    val base = idx.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      col("bucket"))
+    probed.join(base, Seq("cell", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      // scalar-id candidate dedup before scoring — see cosineDupes
+      .select("id_a", "id_b", "v_a", "v_b")
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("score", V.cosine(col("v_a"), col("v_b")))
+      .filter(col("score") >= threshold)
+      .select("id_a", "id_b", "score")
+  }
+
+  /** The corpus with semantic near-duplicates dropped: for every
+    * [[semDupes]] pair the higher id goes (greedy min-id-keeps — the same
+    * policy as the lexical dedup family; on a chain a~b~c this can drop `c`
+    * whose kept neighbor `b` was itself dropped, exactly the paper's
+    * ε-greedy over-drop). Pairs broadcast-anti-join the corpus as a slim id
+    * set — vectors never ride the anti-join exchange.
+    */
+  def semDedupe(corpus: DataFrame, dim: Int, threshold: Double = 0.95,
+                nlist: Int = 16, nbits: Int = 8, seed: Long = 7L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val drops = semDupes(corpus, dim, threshold, nlist, nbits, seed, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    corpus.join(broadcast(drops), Seq(idCol), "left_anti")
   }
 }

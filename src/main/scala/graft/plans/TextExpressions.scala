@@ -578,7 +578,11 @@ case class CompressionRatio(child: Expression)
 
 object CompressionRatio {
   // Deflater allocates native zlib state — reuse per thread instead of
-  // constructing/ending one per row.
+  // constructing/ending one per row. The per-thread Deflater is never
+  // end()ed, so each executor thread that ever ran this expression retains
+  // its native zlib state (+ the 8 KB buffer) for the JVM's lifetime.
+  // Bounded by the fixed executor thread pool — acceptable retention, not
+  // a per-row leak; revisit with a Cleaner if executor threads ever churn.
   private val deflater = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
     new java.util.zip.Deflater(6))
   private val buffer = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))

@@ -214,7 +214,8 @@ class TextFunctionsSpec extends SparkSpec {
       (4L, None: Option[String]),
       (5L, Some("sentence ends https://bad.example.com. next")),      // trailing dot
       (6L, Some("sub https://evil.bad.example.com/x")),               // subdomain
-      (7L, Some("caps HTTPS://BAD.EXAMPLE.COM/z"))                    // case
+      (7L, Some("caps HTTPS://BAD.EXAMPLE.COM/z")),                   // case
+      (8L, Some("auth https://anything@bad.example.com/x"))           // userinfo
     ).toDF("id", "text")
     val urls = df.select($"id", TextFunctions.extractUrls($"text").as("u"))
       .orderBy("id").collect()
@@ -222,6 +223,8 @@ class TextFunctionsSpec extends SparkSpec {
       Seq("https://good.example.com/a", "http://bad.example.com/x?q=1"))
     assert(urls(1).getSeq[String](1).isEmpty)
     assert(urls(3).isNullAt(1))
+    // the userinfo-form URL extracts in full, not truncated at the '@'
+    assert(urls(7).getSeq[String](1) == Seq("https://anything@bad.example.com/x"))
     val doms = df.select($"id", TextFunctions.urlDomains($"text").as("d"))
       .orderBy("id").collect()
     assert(doms(0).getSeq[String](1) == Seq("good.example.com", "bad.example.com"))
@@ -229,10 +232,13 @@ class TextFunctionsSpec extends SparkSpec {
     // trailing punctuation never joins the captured host; hosts lowercase
     assert(doms(4).getSeq[String](1) == Seq("bad.example.com"))
     assert(doms(6).getSeq[String](1) == Seq("bad.example.com"))
+    // userinfo is skipped — the REAL host is captured, not 'anything'
+    // (advisory regression: the gate was evadable via user@host URLs)
+    assert(doms(7).getSeq[String](1) == Seq("bad.example.com"))
     val kept = df.filter(TextFunctions.domainGateCondition($"text", Seq("bad.example.com")))
       .select("id").as[Long].collect().toSet
-    // exact cite (1), trailing-dot (5), subdomain (6) and uppercase (7) all
-    // drop; NULL text never passes a filter
+    // exact cite (1), trailing-dot (5), subdomain (6), uppercase (7) and
+    // userinfo-form (8) all drop; NULL text never passes a filter
     assert(kept == Set(2L, 3L))
     intercept[IllegalArgumentException] {
       TextFunctions.domainGateCondition($"text", Seq())

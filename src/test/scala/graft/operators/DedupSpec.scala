@@ -183,6 +183,19 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("maxNumBits"))
   }
 
+  test("exactIncremental rejects item estimates Spark would silently clamp (maxNumItems)") {
+    import spark.implicits._
+    // 8M items × 8 bits = 64M bits — UNDER the default maxNumBits budget,
+    // but the item estimate itself clamps at maxNumItems (default 4M),
+    // skewing the derived hash-function count. Advisory regression: the
+    // bits guard alone let this sizing through.
+    val df = Seq((1L, "a")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.exactIncremental(df, df, expectedCorpusItems = 8000000L, bloomBitsPerItem = 8)
+    }
+    assert(e.getMessage.contains("maxNumItems"))
+  }
+
   test("minhashIncrementalIndexed matches minhashIncremental on the same corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -84,6 +84,92 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.imageGridFeatures(decoded, 1).length == 1)
   }
 
+  private def pcm16Wav(samples: Array[Int], sampleRate: Float, channels: Int): Array[Byte] = {
+    // interleaved 16-bit signed little-endian PCM → WAV via the JDK writer
+    val data = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      data(2 * i) = (samples(i) & 0xff).toByte
+      data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate, 16, channels, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, samples.length / channels)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("real WAV decodes via AudioSystem: exact sample count, metadata and RMS windows") {
+    // 1600 mono samples at 8 kHz: first half constant 16384 (= 0.5 exactly
+    // in normalized float), second half silence — every expected value below
+    // is exactly representable, so the asserts are equality, not tolerance
+    val wav = pcm16Wav(Array.tabulate(1600)(i => if (i < 800) 16384 else 0), 8000f, 1)
+    val a = Multimodal.decodeAudio(wav).get
+    assert(a.sampleRate == 8000f && a.channels == 1 && a.frames == 1600L)
+    assert(a.durationMs == 200L) // 1600 frames / 8000 Hz
+    assert(a.samples.length == 1600)
+    assert(a.samples(0) == 0.5f && a.samples(799) == 0.5f && a.samples(800) == 0f)
+    // per-window RMS: rms([0.5]*800) = 0.5 exactly, rms(silence) = 0
+    assert(Multimodal.audioRmsFeatures(a, 2).toSeq == Seq(0.5f, 0f))
+    // 4 windows: 0.5, 0.5, 0, 0
+    assert(Multimodal.audioRmsFeatures(a, 4).toSeq == Seq(0.5f, 0.5f, 0f, 0f))
+    assert(Multimodal.audioRmsFeatures(a, 0).isEmpty) // degenerate-dims contract
+
+    // stereo mixdown: L=+16384, R=-16384 every frame → mono exactly 0
+    val st = Multimodal.decodeAudio(
+      pcm16Wav(Array.tabulate(400)(i => if (i % 2 == 0) 16384 else -16384), 8000f, 2)).get
+    assert(st.channels == 2 && st.frames == 200L)
+    assert(st.samples.forall(_ == 0f))
+
+    // degrade-don't-fail: garbage, truncated, null
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.decodeAudio(wav.take(16)).isEmpty)
+    assert(Multimodal.decodeAudio(null).isEmpty)
+  }
+
+  private def u32be(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  test("MP4 container probe reads mvhd duration without a codec") {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32be(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    // version-0 mvhd: ver+flags, creation, modification, timescale=1000, duration=3500
+    val mvhd0 = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32be(0) ++ u32be(0) ++
+      u32be(1000) ++ u32be(3500))
+    val ftyp = box("ftyp", "isom0000".getBytes("US-ASCII"))
+    assert(Multimodal.probeMp4DurationMs(ftyp ++ box("moov", mvhd0)) == Some(3500L))
+    // version-1 mvhd: 64-bit times/duration, timescale still u32
+    val mvhd1 = box("mvhd", Array[Byte](1, 0, 0, 0) ++ Array.fill(16)(0: Byte) ++
+      u32be(90000) ++ u32be(0) ++ u32be(180000))
+    assert(Multimodal.probeMp4DurationMs(box("moov", mvhd1)) == Some(2000L))
+    // malformed inputs degrade to None, never throw
+    assert(Multimodal.probeMp4DurationMs("nonsense bytes".getBytes).isEmpty)
+    assert(Multimodal.probeMp4DurationMs(box("moov", Array[Byte](1, 2))).isEmpty)
+    assert(Multimodal.probeMp4DurationMs(null).isEmpty)
+  }
+
+  test("extractFeatures decodes audio for real and probes video duration") {
+    val wav = pcm16Wav(Array.tabulate(1600)(i => if (i < 800) 16384 else 0), 8000f, 1)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32be(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    val mp4 = box("moov", box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32be(0) ++ u32be(0) ++
+      u32be(1000) ++ u32be(3500)))
+    val rows = Seq(
+      Row(20L, "audio", wav, Row(null, null, null, "audio/wav")),
+      Row(21L, "video", mp4, Row(null, null, null, "video/mp4")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.assetSchema)
+    val out = Multimodal.extractFeatures(df, dim = 2).orderBy("asset_id").collect()
+    val audio = out(0)
+    assert(audio.getAs[Boolean]("decoded"))
+    assert(audio.getAs[Int]("sample_rate") == 8000 && audio.getAs[Int]("channels") == 1)
+    assert(audio.getAs[Long]("duration_ms") == 200L)
+    assert(audio.getAs[scala.collection.Seq[Float]]("features") == Seq(0.5f, 0f))
+    val video = out(1)
+    assert(!video.getAs[Boolean]("decoded")) // frames stay stubbed (no JDK video codec)
+    assert(video.getAs[Long]("duration_ms") == 3500L) // but the container header parse is real
+  }
+
   test("video frame sampling emits one row per interval") {
     val frames = Multimodal.sampleFrames(assets, everyMs = 1000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq

@@ -46,6 +46,49 @@ class SimilaritySpec extends SparkSpec {
     assert(dupes.contains((0L, 999L)), s"missing planted dup, got $dupes")
   }
 
+  test("semDupes finds planted in-cluster dups; semDedupe drops exactly the higher ids") {
+    // plant exact copies of vecs 0, 1, 2 at ids 900-902: identical vectors
+    // ALWAYS share cell and bucket, so recall on the planted set must be
+    // total regardless of where k-means put the centroids
+    val planted = Seq.tabulate(3)(i => (900L + i, vecs.find(_._1 == i.toLong).get._2))
+    val withDups = emb.union(planted.toDF("vec_id", "embedding"))
+    val pairs = Similarity.semDupes(withDups, dim, threshold = 0.999, nlist = 4, nbits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 900L), (1L, 901L), (2L, 902L)).subsetOf(pairs),
+      s"missing planted semantic dup, got $pairs")
+    // at 0.999 nothing else in the noisy clusters qualifies
+    assert(pairs.forall { case (a, b) => b - a == 900L }, s"unexpected pair in $pairs")
+    val kept = Similarity.semDedupe(withDups, dim, threshold = 0.999, nlist = 4, nbits = 6)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == (0L until 200L).toSet, s"semDedupe kept wrong set: ${kept -- (0L until 200L)}")
+  }
+
+  test("semDupes candidates are cluster-scoped: a cross-cell pair never scores") {
+    // nbits=1 with 1-bit multiprobe makes the LSH layer admit EVERY pair, so
+    // any pruning left is the cell equi-join — the SemDedup property. With 4
+    // well-separated clusters and nlist=4, same-cluster pairs survive and the
+    // all-pairs count (200 choose 2) never materializes.
+    val scored = Similarity.semDupes(emb, dim, threshold = -1.0, nlist = 4, nbits = 1)
+    val n = scored.count()
+    assert(n < 199L * 100L, s"cell scoping pruned nothing: $n pairs scored")
+    // every surviving pair shares a cluster (clusters are i % 4 by construction
+    // and far apart; k-means at nlist=4 recovers them)
+    val wrong = scored.collect().count(r => (r.getLong(0) - r.getLong(1)) % 4 != 0)
+    assert(wrong == 0, s"$wrong cross-cluster pairs leaked through the cell join")
+  }
+
+  test("cosineDupes candidate dedup keys on scalar ids — vectors never hashed in the exchange") {
+    // Advisory regression: distinct() over (ids, v_a, v_b) hashed two
+    // dim-length arrays per candidate in the dedup exchange — at 1536-dim
+    // that multiplies the shuffle hashing ~100×. The pin: every
+    // hashpartitioning clause in the plan partitions on scalar ids only.
+    val p = Similarity.cosineDupes(emb, dim).queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n")
+    assert(parts.nonEmpty, s"expected a dedup exchange:\n$p")
+    assert(!parts.contains("v_a") && !parts.contains("v_b"),
+      s"a vector column is a partitioning key:\n$parts")
+  }
+
   test("no cartesian product in similarity plans") {
     for (df <- Seq(Similarity.lshTopK(emb, 0L, 10, dim), Similarity.cosineDupes(emb, dim))) {
       val plan = df.queryExecution.optimizedPlan.toString

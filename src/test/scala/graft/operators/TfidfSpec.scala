@@ -45,6 +45,23 @@ class TfidfSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Tfidf.topTerms(df, 0) }
   }
 
+  test("the corpus tokenizes ONCE: no tokenize node in the consuming plan") {
+    // Two consumers (the df aggregate and the join leg) read the tf
+    // relation; without the materialization Catalyst duplicates the
+    // tokenize→explode→shuffle subtree per consumer and exchange reuse
+    // cannot collapse it (column pruning diverges between the copies —
+    // verified on the AQE final plan). The pin: the consuming plan contains
+    // ZERO Generate/explode nodes (the single tokenize lives inside the
+    // checkpointed subtree, executed exactly once), and both legs read the
+    // materialized RDD.
+    val out = Tfidf.tfidf(docs)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    assert("(?i)generate explode".r.findAllIn(p).isEmpty,
+      s"a consumer re-tokenizes the corpus:\n$p")
+    assert(p.contains("ExistingRDD"), s"expected the checkpointed tf scan:\n$p")
+  }
+
   test("N counts only non-null texts (the idf subquery matches df semantics)") {
     // 2 real docs, 1 null: a term in both real docs must get df=2, N=2 ->
     // idf = ln(3/3)+1 = 1.0 exactly
