@@ -61,13 +61,47 @@ object SkewBench {
       Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
 
     val variants = Seq("plain_naive", "plain_aqe", "salted")
-    val samples = scala.collection.mutable.Map(variants.map(_ -> List.empty[Double]): _*)
-    for (_ <- 1 to Samples; v <- variants) samples(v) = once(v) :: samples(v)
-    def median(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val fields = variants.map(v => "\"" + v + "\":" + median(samples(v))).mkString(",")
+    def medians(once: String => Double): Map[String, Double] = {
+      val samples = scala.collection.mutable.Map(variants.map(_ -> List.empty[Double]): _*)
+      for (_ <- 1 to Samples; v <- variants) samples(v) = once(v) :: samples(v)
+      variants.map(v => v -> samples(v).sorted.apply(samples(v).size / 2)).toMap
+    }
+
+    val sf1 = medians(once)
     val hot = Tables.load(spark, sfDir, "orders")
       .filter(col("o_custkey") === 7).count()
-    println(s"""{"metric":"skew_join","sf":"$sfDir","hot_key_rows":$hot,$fields}""")
+
+    // Second scenario: skew HEAVY enough that one reducer's work dominates
+    // the stage. At sf1's 1.5 M orders the hot partition is ~340 k rows ≈
+    // 0.1 s of reducer work — under the noise floor, so salting's
+    // replication overhead outweighs its benefit there (the sf1 numbers
+    // SHOW that, deliberately: salting is not free and must be earned).
+    // Here: 20 M rows, 40% on ONE key, vs a 200 k-row dim too big to
+    // broadcast — the naive plan sorts an 8 M-row partition on one core.
+    def heavyOnce(variant: String): Double = {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled",
+        (variant == "plain_aqe").toString)
+      val large = spark.range(0L, 20000000L, 1L, 64).select(
+        when(col("id") % 5 < 2, lit(7L)).otherwise(col("id") % 200000L).as("k"),
+        (col("id") % 1000L).as("v"))
+      val dim = spark.range(0L, 200000L).select(col("id").as("dk"),
+        (col("id") % 97L).cast("double").as("weight"))
+      val joined = variant match {
+        case "salted" => operators.Skew.saltedJoin(large, dim, "k", "dk", factor = 32)
+        case _        => large.join(dim, col("k") === col("dk"))
+      }
+      val t0 = System.nanoTime()
+      joined.groupBy(col("v")).agg(count(lit(1)).as("n"), sum(col("weight")).as("w"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    heavyOnce("plain_aqe") // warm codegen for the synthetic shape
+    val heavy = medians(heavyOnce)
+
+    def js(m: Map[String, Double]) =
+      variants.map(v => "\"" + v + "\":" + m(v)).mkString(",")
+    println(s"""{"metric":"skew_join","sf":"$sfDir","hot_key_rows":$hot,${js(sf1)},""" +
+      s""""heavy":{"rows":20000000,"hot_share":0.4,${js(heavy)}}}""")
     spark.stop()
   }
 }

@@ -64,6 +64,17 @@ object Tables {
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.openCostInBytes", "131072")
+      // Scan-split size matched to the HARNESS scale: inputs here are
+      // 15-600 MB per table, so the 128 MB default turns most scans into
+      // 1-4 tasks and leaves 28+ of the 32 cores idle on every scan-heavy
+      // query (measured at sf1: the ANN corpus scan ran single-task). 1 MB
+      // splits even the 6-8 MB text/embedding tables ~8 ways and the
+      // biggest local table ~140 ways. On a real 100 TB cluster override
+      // back to 128 MB+ via the env knob — tiny splits there mean millions
+      // of tasks. (Splitting also needs multi-row-group parquet;
+      // tools/gen_sf.py writes small row groups for the same reason.)
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1048576"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

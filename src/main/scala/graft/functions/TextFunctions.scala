@@ -40,7 +40,12 @@ object TextFunctions {
   def bpeishTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpeishPattern), lit(0))
 
-  def bpeishTokenCount(text: Column): Column = size(bpeishTokens(text))
+  // Native state machine, NOT the regex: the pattern is fixed and Java's
+  // backtracking alternation made size(regexp_extract_all(...)) — and even
+  // regexp_count — the slowest pure scan in the suite (1.7 s at sf1 for a
+  // character classifier). See plans.TextExpressions.bpeishCount.
+  def bpeishTokenCount(text: Column): Column =
+    graft.plans.TextExpressions.bpeishCount(text)
 
   /** Default stopword list used by quality scoring and language ID. */
   val defaultStopwords: Seq[String] =

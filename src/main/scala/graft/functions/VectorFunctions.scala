@@ -18,9 +18,15 @@ import graft.plans.VectorExpressions
   */
 object VectorFunctions {
 
+  // The COLUMN TWINS still cast to array<double> (zip_with needs one element
+  // type); the native expressions are float-native and must NOT be handed a
+  // cast — an analyzer cast(... as array<double>) allocates and converts a
+  // fresh array per row on each side of every candidate join (measured: the
+  // dominant cost of q_ann_batch at sf1). Float→double widening inside the
+  // native read is exact, so parity with the casting twins is preserved.
   private def d(v: Column): Column = v.cast("array<double>")
 
-  def dot(a: Column, b: Column): Column = VectorExpressions.dot(d(a), d(b))
+  def dot(a: Column, b: Column): Column = VectorExpressions.dot(a, b)
 
   /** Column-algebra twin of [[dot]] (interpreted HOFs; parity-test spec). */
   def dotColumns(a: Column, b: Column): Column =
@@ -29,13 +35,13 @@ object VectorFunctions {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Left-fold element sum; native twin of `aggregate(v, 0.0, _ + _)`. */
-  def arraySum(a: Column): Column = VectorExpressions.arraySum(d(a))
+  def arraySum(a: Column): Column = VectorExpressions.arraySum(a)
 
   /** Zero-guarded: a zero vector scores 0.0, not NaN (NaN sorts ABOVE every
     * double in Spark and would top every desc-score ranking). One fused pass
     * per pair — this is the inner loop of every ANN candidate scoring join.
     */
-  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(d(a), d(b))
+  def cosine(a: Column, b: Column): Column = VectorExpressions.cosine(a, b)
 
   /** Column-algebra twin of [[cosine]] (the original formulation whose IEEE
     * operation order the native expression replicates exactly).
@@ -58,7 +64,7 @@ object VectorFunctions {
     */
   def hyperplaneBucket(vec: Column, dim: Int, nbits: Int = 8, seed: Long = 7L): Column = {
     val planes = planesFor(dim, nbits, seed)
-    val bucket = VectorExpressions.hyperplaneBits(d(vec), planes.map(_.toSeq).toSeq)
+    val bucket = VectorExpressions.hyperplaneBits(vec, planes.map(_.toSeq).toSeq)
     // A dim mismatch would silently collapse ALL vectors into bucket 0 — the
     // exact all-pairs blowup bucketing exists to prevent. Fail loudly instead.
     when(size(vec) === dim, bucket)

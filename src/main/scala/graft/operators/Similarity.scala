@@ -88,16 +88,16 @@ object Similarity {
     idx
       .join(broadcast(q), Seq("bucket"))
       .filter(col(idCol) =!= col("query_id"))
-      // dedupe candidates BEFORE scoring: a row sharing the query's bucket
-      // and several probe flips would otherwise pay the dim-length cosine
-      // once per shared bucket (up to nbits+1×) just to collapse later.
-      // Key on the two scalar ids only — the vectors are functionally
-      // determined by them, and hashing dim-length arrays in the dedup would
-      // reintroduce the very work this step removes
-      .select(col("query_id"), col(idCol), col(vecCol), col("__qvec"))
+      // score MAP-SIDE (codegen'd fused cosine), then dedupe the NARROW
+      // (query, id, score) rows: a candidate shared by several probe flips
+      // pays an extra ~dim-flop cosine per duplicate — cheap compute inside
+      // the scan stage — while the alternative (dedupe first, vectors in
+      // tow) ships two dim-length arrays per candidate through the dedup
+      // exchange. Shuffle bytes, not flops, are the scarce resource.
+      // Duplicates carry identical scores, so dedup-after-score is exact.
+      .select(col("query_id"), col(idCol),
+        V.cosine(col(vecCol), col("__qvec")).as("score"))
       .dropDuplicates("query_id", idCol)
-      .withColumn("score", V.cosine(col(vecCol), col("__qvec")))
-      .select(col("query_id"), col(idCol), col("score"))
       .orderBy(desc("score"), col(idCol))
       .limit(k)
   }
@@ -133,12 +133,12 @@ object Similarity {
       idx
         .join(q, Seq("bucket"))
         .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
-        // dedupe candidates BEFORE scoring (see lshTopK: a row sharing
-        // several probe buckets would pay the dim-length cosine per shared
-        // bucket).
-        .select(col(queryIdCol), col(idCol), col(vecCol), col("__qvec"))
-        .dropDuplicates(queryIdCol, idCol)
-        .withColumn("score", V.cosine(col(vecCol), col("__qvec"))),
+        // score map-side, dedupe the narrow scored rows (see lshTopK: an
+        // extra cosine per probe-duplicate beats shipping two vectors per
+        // candidate through the dedup exchange).
+        .select(col(queryIdCol), col(idCol),
+          V.cosine(col(vecCol), col("__qvec")).as("score"))
+        .dropDuplicates(queryIdCol, idCol),
       k, queryIdCol, idCol)
   }
 
@@ -279,16 +279,18 @@ object Similarity {
     val base = idx.select(col(idCol).as("id_b"), col(vecCol).as("v_b"), col("bucket"))
     probed.join(base, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
-      // dedupe candidate pairs BEFORE scoring, keyed on the two scalar ids
-      // only (the lshTopK pattern): the vectors are functionally determined
-      // by the ids, and a distinct() over (ids, v_a, v_b) would hash two
-      // dim-length arrays per row in the exchange — at 1536-dim embeddings
-      // that multiplies the dedup shuffle's hashing work ~100×.
-      .select("id_a", "id_b", "v_a", "v_b")
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("score", V.cosine(col("v_a"), col("v_b")))
+      // Score MAP-SIDE in the join's output projection (codegen'd fused
+      // cosine) and THRESHOLD before anything shuffles: only actual
+      // near-dup pairs — plus their multiprobe duplicates, which carry
+      // identical scores — ever reach the dedup exchange, as narrow
+      // (id, id, score) rows. The previous shape deduped first with the
+      // vectors in tow, which shipped two dim-length arrays per CANDIDATE
+      // (measured at sf1: 14M candidates × ~1 KB ≈ the whole runtime);
+      // re-scoring a probe-duplicate costs ~dim flops inside the scan.
+      .select(col("id_a"), col("id_b"),
+        V.cosine(col("v_a"), col("v_b")).as("score"))
       .filter(col("score") >= threshold)
-      .select("id_a", "id_b", "score")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SemDedup-shape semantic near-duplicate pairs (Abbas et al. 2023,
@@ -325,12 +327,12 @@ object Similarity {
       col("bucket"))
     probed.join(base, Seq("cell", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      // scalar-id candidate dedup before scoring — see cosineDupes
-      .select("id_a", "id_b", "v_a", "v_b")
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("score", V.cosine(col("v_a"), col("v_b")))
+      // map-side score → threshold → narrow dedup; see cosineDupes for why
+      // nothing wider than (id, id, score) may reach an exchange here
+      .select(col("id_a"), col("id_b"),
+        V.cosine(col("v_a"), col("v_b")).as("score"))
       .filter(col("score") >= threshold)
-      .select("id_a", "id_b", "score")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** The corpus with semantic near-duplicates dropped: for every

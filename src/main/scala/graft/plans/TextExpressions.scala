@@ -97,6 +97,19 @@ object TextExpressions {
   def compressionRatio(text: Column): Column =
     ColumnShim.column(CompressionRatio(ColumnShim.expression(text)))
 
+  /** BPE-ish token count — native state-machine twin of
+    * `regexp_count(text, "[a-z]+|[A-Z][a-z]*|[0-9]|[^a-zA-Z0-9\\s]")`. The
+    * pattern is FIXED, so the regex engine buys nothing: Java's backtracking
+    * alternation made this the slowest pure scan in the suite (1.7 s at sf1
+    * for a character classifier), while a direct scan is memory-bound. The
+    * scanner replicates the regex exactly — leftmost-first alternation,
+    * code-POINT stepping (a non-BMP char is one `[^...]` match, not two),
+    * and Java's ASCII-only `\s` class (U+00A0 is NOT whitespace and counts
+    * as a symbol token, same as the regex).
+    */
+  def bpeishCount(text: Column): Column =
+    ColumnShim.column(BpeishCount(ColumnShim.expression(text)))
+
   /** Shared tokenizer for every native text expression: edge-strip by the
     * SAME `\s` class the column twins use (`regexp_replace(text,
     * "^\\s+|\\s+$", "")` + `split("\\s+")`) — Java `String.trim` strips all
@@ -573,6 +586,63 @@ case class CompressionRatio(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): CompressionRatio =
+    copy(child = newChild)
+}
+
+object BpeishCount {
+  /** One scorer for the interpreted and generated paths. Mirrors the regex
+    * `[a-z]+|[A-Z][a-z]*|[0-9]|[^a-zA-Z0-9\s]` exactly: leftmost-first
+    * alternation order, Java's ASCII `\s` ([ \t\n\x0B\f\r]) as the skip
+    * class, code-point stepping in the symbol branch (surrogate pair = ONE
+    * match). ASCII-range checks are charAt-safe — surrogates never fall in
+    * those ranges.
+    */
+  def count(input: UTF8String): Int = {
+    val str = input.toString
+    val len = str.length
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val c = str.charAt(i)
+      if (c >= 'a' && c <= 'z') {
+        n += 1; i += 1
+        while (i < len && { val d = str.charAt(i); d >= 'a' && d <= 'z' }) i += 1
+      } else if (c >= 'A' && c <= 'Z') {
+        n += 1; i += 1
+        while (i < len && { val d = str.charAt(i); d >= 'a' && d <= 'z' }) i += 1
+      } else if (c >= '0' && c <= '9') {
+        n += 1; i += 1
+      } else if (c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r') {
+        i += 1
+      } else {
+        n += 1; i += Character.charCount(str.codePointAt(i))
+      }
+    }
+    n
+  }
+}
+
+/** Native twin of `regexp_count(text, bpeishPattern)` — see
+  * [[TextExpressions.bpeishCount]] for why the fixed pattern deserves a
+  * state machine instead of a backtracking regex. Parity is pinned in
+  * TextFunctionsSpec against the regex formulation on the alternation
+  * edges (CamelCase, digit runs, NBSP, surrogate pairs).
+  */
+case class BpeishCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(BpeishCount.count(input.asInstanceOf[UTF8String]))
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.BpeishCount$$.MODULE$$.count($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): BpeishCount =
     copy(child = newChild)
 }
 

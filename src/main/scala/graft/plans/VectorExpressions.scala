@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ImplicitCastInputTypes, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
@@ -17,12 +17,27 @@ import org.apache.spark.sql.types._
   * bucket-assignment scan those are THE inner loops at 100 TB. These
   * expressions do each job in one tight primitive pass per row.
   *
+  * Two properties make them join-hot-path safe (round-8 fix — the earlier
+  * double-array-only CodegenFallback versions cost q_ann_batch 12 s at sf1):
+  *
+  *  - FLOAT-NATIVE: `array<float>` (the actual embeddings type) is accepted
+  *    directly and read element-wise with an exact float→double widen — the
+  *    old signature forced an analyzer `cast(... as array<double>)` that
+  *    allocated and converted a fresh 64-element array PER JOINED ROW on
+  *    both sides of every candidate join.
+  *  - REAL CODEGEN: `doGenCode` emits a call to the same static scorer the
+  *    interpreted path uses, so a Project containing these no longer drops
+  *    its whole stage out of whole-stage codegen (CodegenFallback poisons
+  *    the operator, turning a BroadcastNestedLoopJoin + score projection
+  *    into fully interpreted row processing).
+  *
   * Bit parity with the twins is load-bearing (q_ann_bruteforce and
   * q_embed_centroid are oracle-hash-checked): every accumulator folds in the
   * same index order and applies the same IEEE operations as the column
-  * algebra it replaces, so results are bit-identical, not just close.
-  * Null/mismatch semantics replicate `zip_with`'s null-padding exactly —
-  * see each expression's note.
+  * algebra it replaces (float→double widening is exact, so reading floats
+  * directly equals casting the array first), and the interpreted and
+  * generated paths share one scorer each. Null/mismatch semantics replicate
+  * `zip_with`'s null-padding exactly — see each expression's note.
   */
 object VectorExpressions {
 
@@ -53,55 +68,79 @@ object VectorExpressions {
     */
   def hyperplaneBits(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnShim.column(HyperplaneBits(ColumnShim.expression(vec), planes))
+
+  /** float or double arrays, no cast for either; anything else coerces to
+    * double arrays (ImplicitCastInputTypes) so the SQL surface keeps taking
+    * e.g. int arrays. TypeCollection is private[sql] → shimmed.
+    */
+  private[plans] val vecType = ColumnShim.vecArrayInput
+
+  private[plans] def isFloatArray(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** Element read shared by every scorer: exact widen for floats. */
+  @inline private[plans] def elem(a: ArrayData, i: Int, isFloat: Boolean): Double =
+    if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 }
 
-case class DotProduct(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ExpectsInputTypes {
-
-  override def inputTypes = ColumnShim.doubleArrayInput2
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+object DotProduct {
+  /** One scorer for BOTH the interpreted and generated paths. Boxed null =
+    * null result (mismatch or null element — the zip_with twin's semantics).
+    */
+  def compute(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
     val la = a.numElements()
-    // zip_with pads a length mismatch with nulls; a null product nulls the
-    // whole fold — so mismatch or any null element → null, same as the twin
     if (la != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < la) {
       if (a.isNullAt(i) || b.isNullAt(i)) return null
-      acc += a.getDouble(i) * b.getDouble(i)
+      acc += VectorExpressions.elem(a, i, aF) * VectorExpressions.elem(b, i, bF)
       i += 1
     }
     java.lang.Double.valueOf(acc)
   }
+}
+
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(VectorExpressions.vecType, VectorExpressions.vecType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val aF = VectorExpressions.isFloatArray(left)
+  @transient private lazy val bF = VectorExpressions.isFloatArray(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    DotProduct.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], aF, bF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("dotRes")
+      s"""
+         |java.lang.Double $r = graft.plans.DotProduct$$.MODULE$$.compute($a, $b, $aF, $bF);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
-/** ImplicitCastInputTypes (not bare ExpectsInputTypes) so the SQL surface
-  * (`graft_cosine`) accepts array<float> — the repo's actual embeddings
-  * column type — by analyzer-inserted cast, matching the Scala API which
-  * casts explicitly.
-  */
-case class CosineSim(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback with ImplicitCastInputTypes {
-
-  override def inputTypes = ColumnShim.doubleArrayInput2
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+object CosineSim {
+  /** One fused pass: three independent accumulators, each folding in index
+    * order — the same IEEE sequence as the twin's three separate folds.
+    * ANY null element → null overall in the twin (a null norm nulls the
+    * denom and its side's dot simultaneously), so we can return early.
+    * The twin decides `when(denom === 0.0, 0.0)` FIRST — a zero vector
+    * scores 0.0 even against a mismatched-length partner (whose dot would
+    * be null).
+    */
+  def compute(a: ArrayData, b: ArrayData, aF: Boolean, bF: Boolean): java.lang.Double = {
     val la = a.numElements()
     val lb = b.numElements()
-    // One fused pass: three independent accumulators, each folding in index
-    // order — the same IEEE sequence as the twin's three separate folds.
-    // ANY null element → null overall in the twin (a null norm nulls the
-    // denom and its side's dot simultaneously), so we can return early.
     var accAA = 0.0
     var accBB = 0.0
     var accAB = 0.0
@@ -113,68 +152,104 @@ case class CosineSim(left: Expression, right: Expression)
       if ((inA && a.isNullAt(i)) || (inB && b.isNullAt(i))) return null
       var x = 0.0
       var y = 0.0
-      if (inA) { x = a.getDouble(i); accAA += x * x }
-      if (inB) { y = b.getDouble(i); accBB += y * y }
+      if (inA) { x = VectorExpressions.elem(a, i, aF); accAA += x * x }
+      if (inB) { y = VectorExpressions.elem(b, i, bF); accBB += y * y }
       if (inA && inB) accAB += x * y
       i += 1
     }
     val denom = math.sqrt(accAA) * math.sqrt(accBB)
-    // twin decides `when(denom === 0.0, 0.0)` FIRST — a zero vector scores
-    // 0.0 even against a mismatched-length partner (whose dot would be null)
     if (denom == 0.0) java.lang.Double.valueOf(0.0)
     else if (la != lb) null
     else java.lang.Double.valueOf(accAB / denom)
   }
+}
+
+/** ImplicitCastInputTypes (not bare ExpectsInputTypes) so the SQL surface
+  * (`graft_cosine`) accepts any numeric array by analyzer-inserted cast —
+  * while float and double arrays (the actual embedding types) pass through
+  * uncast and are read natively.
+  */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(VectorExpressions.vecType, VectorExpressions.vecType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val aF = VectorExpressions.isFloatArray(left)
+  @transient private lazy val bF = VectorExpressions.isFloatArray(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CosineSim.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], aF, bF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("cosRes")
+      s"""
+         |java.lang.Double $r = graft.plans.CosineSim$$.MODULE$$.compute($a, $b, $aF, $bF);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
 
-case class ArraySumFold(child: Expression)
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
-
-  override def inputTypes = ColumnShim.doubleArrayInput
-  override def dataType: DataType = DoubleType
-
-  override def nullSafeEval(input: Any): Any = {
-    val a = input.asInstanceOf[ArrayData]
+object ArraySumFold {
+  def compute(a: ArrayData, aF: Boolean): java.lang.Double = {
     val n = a.numElements()
     var acc = 0.0
     var i = 0
     while (i < n) {
       if (a.isNullAt(i)) return null
-      acc += a.getDouble(i)
+      acc += VectorExpressions.elem(a, i, aF)
       i += 1
     }
     java.lang.Double.valueOf(acc)
   }
+}
+
+case class ArraySumFold(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(VectorExpressions.vecType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  @transient private lazy val aF = VectorExpressions.isFloatArray(child)
+
+  override def nullSafeEval(input: Any): Any =
+    ArraySumFold.compute(input.asInstanceOf[ArrayData], aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val r = ctx.freshName("sumRes")
+      s"""
+         |java.lang.Double $r = graft.plans.ArraySumFold$$.MODULE$$.compute($a, $aF);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
 
-case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
-
-  override def inputTypes = ColumnShim.doubleArrayInput
-  override def dataType: DataType = IntegerType
-
-  @transient private lazy val p: Array[Array[Double]] = planes.map(_.toArray).toArray
-
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+object HyperplaneBits {
+  /** Twin semantics: a length mismatch or null element null-poisons every
+    * projection, and `when(proj > 0, bit).otherwise(0)` maps a null proj to
+    * 0 — so such vectors land in bucket 0. (Callers guard real mismatches
+    * with raise_error in column algebra before this expression runs.)
+    * Never null, so the return is a primitive.
+    */
+  def compute(arr: ArrayData, p: Array[Array[Double]], aF: Boolean): Int = {
     val n = arr.numElements()
     val dim = if (p.length == 0) 0 else p(0).length
-    // Twin semantics: a length mismatch or null element null-poisons every
-    // projection, and `when(proj > 0, bit).otherwise(0)` maps a null proj to
-    // 0 — so such vectors land in bucket 0. (Callers guard real mismatches
-    // with raise_error in column algebra before this expression runs.)
-    if (n != dim) return Integer.valueOf(0)
+    if (n != dim) return 0
     val v = new Array[Double](n)
     var i = 0
     while (i < n) {
-      if (arr.isNullAt(i)) return Integer.valueOf(0)
-      v(i) = arr.getDouble(i)
+      if (arr.isNullAt(i)) return 0
+      v(i) = VectorExpressions.elem(arr, i, aF)
       i += 1
     }
     var bucket = 0
@@ -187,7 +262,26 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
       if (acc > 0) bucket |= 1 << pi
       pi += 1
     }
-    Integer.valueOf(bucket)
+    bucket
+  }
+}
+
+case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(VectorExpressions.vecType)
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val p: Array[Array[Double]] = planes.map(_.toArray).toArray
+  @transient private lazy val aF = VectorExpressions.isFloatArray(child)
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(HyperplaneBits.compute(input.asInstanceOf[ArrayData], p, aF))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", p, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.HyperplaneBits$$.MODULE$$.compute($a, $pRef, $aF);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

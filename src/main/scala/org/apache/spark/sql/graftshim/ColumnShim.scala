@@ -26,6 +26,15 @@ object ColumnShim {
     Seq(org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
         org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))
 
+  /** Input type accepting array<double> OR array<float> with NO cast (the
+    * float-native vector hot path); other numeric arrays implicit-cast to the
+    * collection's first entry. `TypeCollection` is private[sql] — hence here.
+    */
+  val vecArrayInput: org.apache.spark.sql.types.AbstractDataType =
+    org.apache.spark.sql.types.TypeCollection(
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))
+
   /** Integer division (`div`) — exact at every long magnitude, unlike `/`
     * (double division, exact only below 2^53). Truncates toward zero.
     */

@@ -206,6 +206,38 @@ class TextFunctionsSpec extends SparkSpec {
     assert(again == out.map(r => if (r.isNullAt(1)) -1.0 else r.getDouble(1)).toSeq)
   }
 
+  test("native bpeish count matches the regex formulation on every alternation edge") {
+    // The native state machine replaces regexp_count on a FIXED pattern;
+    // parity must hold on the branch boundaries: CamelCase ([A-Z][a-z]*),
+    // digit runs ([0-9] matches ONE digit each), ASCII-only \s (NBSP is a
+    // symbol token), surrogate pairs (one [^...] match, not two).
+    val df = Seq(
+      (1L, Some("plain lower words")),
+      (2L, Some("CamelCaseAndABBRev")),
+      (3L, Some("digits 12345 mix3d")),
+      (4L, Some("punct!... and,separators;")),
+      (5L, Some("nbsp separated")),        // U+00A0: NOT Java \s → symbol token
+      (6L, Some("emoji 😀 pair")),    // surrogate pair: ONE token
+      (7L, Some("\t \n\f\r")),            // all skip chars: zero tokens
+      (8L, Some("")),
+      (9L, None: Option[String])
+    ).toDF("id", "text")
+    val out = df.select($"id",
+        TextFunctions.bpeishTokenCount($"text").as("native"),
+        regexp_count($"text", lit(TextFunctions.bpeishPattern)).as("regex"))
+      .orderBy("id").collect()
+    for (r <- out if !r.isNullAt(1) || !r.isNullAt(2))
+      assert(r.getInt(1) == r.getInt(2), s"row ${r.getLong(0)}: native ${r.get(1)} != regex ${r.get(2)}")
+    assert(out(8).isNullAt(1) && out(8).isNullAt(2)) // null propagates on both
+    // spot-check absolute values so BOTH formulations can't drift together
+    val byId = out.filter(!_.isNullAt(1)).map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(byId(2L) == 7)  // Camel|Case|And|A|B|B|Rev — [A-Z][a-z]* takes ONE capital each
+    assert(byId(3L) == 9)  // digits | 1|2|3|4|5 (one per digit) | mix|3|d
+    assert(byId(5L) == 3)  // nbsp | U+00A0 symbol | separated
+    assert(byId(6L) == 3)  // "emoji", the emoji (one code point), "pair"
+    assert(byId(7L) == 0)
+  }
+
   test("URL extraction, domains, and blocklist gate (incl. evasion edges)") {
     val df = Seq(
       (1L, Some("read https://good.example.com/a and http://bad.example.com/x?q=1 today")),

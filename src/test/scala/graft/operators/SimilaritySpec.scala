@@ -77,16 +77,21 @@ class SimilaritySpec extends SparkSpec {
     assert(wrong == 0, s"$wrong cross-cluster pairs leaked through the cell join")
   }
 
-  test("cosineDupes candidate dedup keys on scalar ids — vectors never hashed in the exchange") {
-    // Advisory regression: distinct() over (ids, v_a, v_b) hashed two
-    // dim-length arrays per candidate in the dedup exchange — at 1536-dim
-    // that multiplies the shuffle hashing ~100×. The pin: every
-    // hashpartitioning clause in the plan partitions on scalar ids only.
+  test("cosineDupes dedup exchange carries narrow scored rows — vectors never shuffle") {
+    // Advisory regression, then strengthened: the original distinct() hashed
+    // two dim-length arrays per candidate; the scalar-keyed dropDuplicates
+    // still SHIPPED them as aggregate payload. Now scoring happens map-side
+    // and only (id_a, id_b, score) rows reach the exchange. The pin: no
+    // vector column in any partitioning clause OR any dedup aggregate.
     val p = Similarity.cosineDupes(emb, dim).queryExecution.executedPlan.toString
     val parts = "hashpartitioning\\([^)]*\\)".r.findAllIn(p).mkString("\n")
     assert(parts.nonEmpty, s"expected a dedup exchange:\n$p")
     assert(!parts.contains("v_a") && !parts.contains("v_b"),
       s"a vector column is a partitioning key:\n$parts")
+    val aggs = "HashAggregate\\(keys=\\[id_a[^\\n]*".r.findAllIn(p).mkString("\n")
+    assert(aggs.nonEmpty, s"expected the pair-dedup aggregate:\n$p")
+    assert(!aggs.contains("v_a") && !aggs.contains("v_b"),
+      s"vectors ride the dedup aggregate:\n$aggs")
   }
 
   test("no cartesian product in similarity plans") {

@@ -101,11 +101,22 @@ write(f"""
   FROM lineitem, range({FACTOR}) t(i)""", "lineitem")
 
 # same one-month event-time window at factor x density (keeps window plans
-# comparable); user population scales with the copies
-write(f"""
+# comparable); user population scales with the copies. Written via pyarrow
+# with a timestamp[ns] cast: the driver's events are parquet TIMESTAMP(NANOS)
+# and Tables.load reads them through the nanosAsLong shim, which FAILS on a
+# plain-micros column — and DuckDB 1.0's parquet writer only emits micros.
+evt = con.execute(f"""
   SELECT event_id + i * {N_EVT} AS event_id, ts,
          user_id + i * 1500 AS user_id, event_type, value, props
-  FROM events, range({FACTOR}) t(i)""", "events")
+  FROM events, range({FACTOR}) t(i)""").arrow()
+evt = evt.set_column(evt.schema.get_field_index("ts"),
+                     pa.field("ts", pa.timestamp("ns")),
+                     evt.column("ts").cast(pa.timestamp("ns")))
+# small row groups everywhere pyarrow writes: a single-row-group file is
+# UNSPLITTABLE for Spark (byte-range splits land on row-group boundaries),
+# which serializes every scan of that table onto one core
+pq.write_table(evt, f"{OUT}/events.parquet", row_group_size=65536)
+print(f"events: {evt.num_rows} rows")
 
 # ---- documents: fresh word-soup, driver-compatible statistics ----------------
 rng = np.random.default_rng(42)
@@ -128,7 +139,7 @@ pq.write_table(pa.table({
     "lang": pa.array(doc_lang, pa.string()),
     "source": pa.array(doc_src, pa.string()),
     "n_chars": pa.array(np.array([len(t) for t in texts]), pa.int64()),
-}), f"{OUT}/documents.parquet")
+}), f"{OUT}/documents.parquet", row_group_size=4096)
 print(f"documents: {n_docs} rows")
 
 # ---- embeddings: 10 label clusters + noise, float32[64] ----------------------
@@ -141,6 +152,6 @@ pq.write_table(pa.table({
     "vec_id": pa.array(np.arange(n_vec), pa.int64()),
     "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
     "label": pa.array(labels.astype(np.int32), pa.int32()),
-}), f"{OUT}/embeddings.parquet")
+}), f"{OUT}/embeddings.parquet", row_group_size=2048)
 print(f"embeddings: {n_vec} rows")
 print(f"done -> {OUT}")
