@@ -1024,16 +1024,19 @@ object SparkEntry {
     }),
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDedup (embedding-cluster semantic dedup): every 50th vector is
-      // planted again at id+10000; the operator must find exactly those
+      // planted again at id+10^9; the operator must find exactly those
       // pairs. Identical vectors always share k-means cell and LSH bucket,
       // so the approximate path has total recall on the planted set and the
       // exact all-pairs DuckDB twin is a fair oracle (nothing else in the
       // synthetic table reaches cosine 0.999). Output is the id pair set —
-      // scores stay engine-internal like every embedding query here.
+      // scores stay engine-internal like every embedding query here. The
+      // offset sits far past ANY corpus size (review regression: +10000
+      // collided with real vec_ids at sf1's 20k rows, putting two different
+      // vectors under one id).
       val emb = Tables.load(s, dir, "embeddings")
       val aug = emb.unionByName(
         emb.filter(col("vec_id") % 50 === 0)
-          .withColumn("vec_id", col("vec_id") + 10000))
+          .withColumn("vec_id", col("vec_id") + 1000000000L))
       operators.Similarity.semDupes(aug, dim = 64, threshold = 0.999, nlist = 8)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
@@ -1213,7 +1216,7 @@ object SparkEntry {
            FROM documents),
          doms AS (
            SELECT list_transform(
-                    regexp_extract_all(t, '(?i:https?)://(?:[^/@\s]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1),
+                    regexp_extract_all(t, '(?i:https?)://(?:[^/\s]*@)?([A-Za-z0-9-]+(?:\.[A-Za-z0-9-]+)*)', 1),
                     d -> lower(d)) AS ds
            FROM aug),
          kept AS (
@@ -1445,7 +1448,7 @@ object SparkEntry {
       """WITH aug AS (
            SELECT vec_id, embedding FROM embeddings
            UNION ALL
-           SELECT vec_id + 10000, embedding FROM embeddings WHERE vec_id % 50 = 0)
+           SELECT vec_id + 1000000000, embedding FROM embeddings WHERE vec_id % 50 = 0)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b
          FROM aug a JOIN aug b
            ON a.vec_id < b.vec_id

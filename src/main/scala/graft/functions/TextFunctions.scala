@@ -132,16 +132,20 @@ object TextFunctions {
     * text signal here has. Scheme matching is case-insensitive (HTTPS://
     * counts) via an inline (?i) group on the scheme only.
     */
-  val urlPattern = "(?i:https?)://(?:[^/@\\s]*@)?[A-Za-z0-9.-]+(?:/[^\\s]*)?"
+  val urlPattern = "(?i:https?)://(?:[^/\\s]*@)?[A-Za-z0-9.-]+(?:/[^\\s]*)?"
   // host = dot-separated labels; the label structure (not a char class with
   // '.') means a trailing dot is NEVER captured — 'example.com.' extracts
   // 'example.com', so gates and per-domain stats can't be split or evaded
   // by punctuation after the host. An optional userinfo component
   // ('user:pass@') is skipped before the host capture — without it,
   // https://anything@bad.example.com would extract 'anything' as the
-  // domain, letting the real host slip past the blocklist gate.
+  // domain, letting the real host slip past the blocklist gate. The
+  // userinfo class deliberately ALLOWS '@' ([^/\s]*, greedy): per
+  // WHATWG/curl everything before the LAST '@' is userinfo, so
+  // https://a@b@bad.example.com must still yield bad.example.com — with
+  // '@' excluded from the class, a second '@' re-opened the evasion.
   private val urlDomainPattern =
-    "(?i:https?)://(?:[^/@\\s]*@)?([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
+    "(?i:https?)://(?:[^/\\s]*@)?([A-Za-z0-9-]+(?:\\.[A-Za-z0-9-]+)*)"
 
   def extractUrls(text: Column): Column =
     regexp_extract_all(text, lit(urlPattern), lit(0))

@@ -247,7 +247,8 @@ class TextFunctionsSpec extends SparkSpec {
       (5L, Some("sentence ends https://bad.example.com. next")),      // trailing dot
       (6L, Some("sub https://evil.bad.example.com/x")),               // subdomain
       (7L, Some("caps HTTPS://BAD.EXAMPLE.COM/z")),                   // case
-      (8L, Some("auth https://anything@bad.example.com/x"))           // userinfo
+      (8L, Some("auth https://anything@bad.example.com/x")),          // userinfo
+      (9L, Some("evade https://a@b@bad.example.com/x"))               // double-@: host is after the LAST @
     ).toDF("id", "text")
     val urls = df.select($"id", TextFunctions.extractUrls($"text").as("u"))
       .orderBy("id").collect()
@@ -265,12 +266,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(doms(4).getSeq[String](1) == Seq("bad.example.com"))
     assert(doms(6).getSeq[String](1) == Seq("bad.example.com"))
     // userinfo is skipped — the REAL host is captured, not 'anything'
-    // (advisory regression: the gate was evadable via user@host URLs)
+    // (advisory regression: the gate was evadable via user@host URLs);
+    // a SECOND '@' must not re-open it (everything before the LAST '@'
+    // is userinfo per WHATWG/curl — review regression)
     assert(doms(7).getSeq[String](1) == Seq("bad.example.com"))
+    assert(doms(8).getSeq[String](1) == Seq("bad.example.com"))
     val kept = df.filter(TextFunctions.domainGateCondition($"text", Seq("bad.example.com")))
       .select("id").as[Long].collect().toSet
-    // exact cite (1), trailing-dot (5), subdomain (6), uppercase (7) and
-    // userinfo-form (8) all drop; NULL text never passes a filter
+    // exact cite (1), trailing-dot (5), subdomain (6), uppercase (7),
+    // userinfo-form (8) and double-@ (9) all drop; NULL never passes
     assert(kept == Set(2L, 3L))
     intercept[IllegalArgumentException] {
       TextFunctions.domainGateCondition($"text", Seq())

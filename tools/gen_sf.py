@@ -10,9 +10,10 @@ larger set FROM sf0.1 so distributions stay comparable:
    embed the key are regenerated so uniqueness properties survive (cursor
    pagination pages on c_name). nation/region are dimensions - copied as-is.
  - SKEW PLANT: in copies 1..factor-1, orders rows with o_orderkey % 4 == 0
-   point at hot customer 7 - a genuine heavy-hitter (~19% of all orders) so
-   salted-vs-plain shuffle joins can be MEASURED, not argued. Copy 0 is left
-   untouched. Oracles recompute on the same files, so every query stays green.
+   point at hot customer 7 - a genuine heavy-hitter ((factor-1)/factor * 25%
+   = 22.5% of all orders at factor 10) so salted-vs-plain shuffle joins can
+   be MEASURED, not argued. Copy 0 is left untouched. Oracles recompute on
+   the same files, so every query stays green.
  - documents: generated fresh (same ~31-word vocabulary, same length range,
    same lang/source mix as sf0.1, seeded) at rows_sf01 * factor. Replicating
    texts verbatim would make 90% of the corpus exact dups and turn every dedup
@@ -54,7 +55,8 @@ for table, key, stride in [("customer", "c_custkey", N_CUST),
                            ("supplier", "s_suppkey", N_SUPP),
                            ("part", "p_partkey", N_PART),
                            ("orders", "o_orderkey", N_ORD),
-                           ("events", "event_id", N_EVT)]:
+                           ("events", "event_id", N_EVT),
+                           ("events", "user_id", 1500)]:
     mx = con.execute(f"SELECT max({key}) FROM {table}").fetchone()[0]
     assert mx == stride - 1, f"{table}.{key} max {mx} != stride-1 {stride - 1}"
 
