@@ -625,6 +625,29 @@ object SparkEntry {
         .select(col("doc_id"),
           functions.TextFunctions.bpeishTokenCount(col("text")).as("n_bpe_tokens"))
         .orderBy("doc_id")),
+    "q_text_winnow" -> ((s, dir) =>
+      // Winnowing fingerprints (Schleimer et al. — the MOSS selection):
+      // md5 k-gram hashes, min per sliding window — fully engine-portable
+      // (md5 + window algebra), so unlike the xxhash64 operators this has
+      // an exact DuckDB twin.
+      operators.Winnow.fingerprints(
+          Tables.load(s, dir, "documents").filter(col("doc_id") < 50), k = 5, w = 4)
+        .orderBy("doc_id", "fp")),
+    "q_dedup_passage" -> ((s, dir) => {
+      // Duplicate-PASSAGE candidates: every 10th doc gets the same planted
+      // passage appended (the copied-paragraph case that doc-level exact
+      // dedup misses and whole-doc MinHash dilutes); winnowed fingerprints
+      // pair exactly the docs sharing it. minShared=2 suppresses the rare
+      // accidental single-gram collision of the tiny synthetic vocabulary
+      // (deterministic on both engines either way).
+      val aug = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            lit(" copied canonical passage appears verbatim here twice over"))
+            .otherwise(lit(""))))
+      operators.Winnow.dupCandidates(aug, k = 5, w = 4, minShared = 2)
+        .orderBy("id_a", "id_b")
+    }),
     "q_text_quality" -> ((s, dir) =>
       Tables.load(s, dir, "documents")
         .select(col("doc_id"),
@@ -1057,6 +1080,56 @@ object SparkEntry {
       """SELECT doc_id,
                 len(regexp_extract_all(text, '[a-z]+|[A-Z][a-z]*|[0-9]|[^a-zA-Z0-9\s]')) AS n_bpe_tokens
          FROM documents ORDER BY doc_id""",
+    "q_text_winnow" ->
+      // identical winnowing algebra: md5 5-gram hashes, min per window of 4
+      // full windows only, distinct per doc
+      """WITH toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM documents WHERE doc_id < 50),
+         grams AS (
+           SELECT doc_id, p, md5(array_to_string(list_slice(t, p, p + 4), ' ')) AS h,
+                  len(t) - 4 AS ng
+           FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS r(p)
+           WHERE len(t) >= 5),
+         win AS (
+           SELECT doc_id, p, ng,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM grams)
+         SELECT DISTINCT doc_id, fp FROM win
+         WHERE p <= ng - 4 + 1
+         ORDER BY doc_id, fp""",
+    "q_dedup_passage" ->
+      """WITH aug AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 10 = 0
+                               THEN ' copied canonical passage appears verbatim here twice over'
+                               ELSE '' END AS text
+           FROM documents WHERE doc_id < 100),
+         toks AS (
+           SELECT doc_id,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
+           FROM aug),
+         grams AS (
+           SELECT doc_id, p, md5(array_to_string(list_slice(t, p, p + 4), ' ')) AS h,
+                  len(t) - 4 AS ng
+           FROM toks, UNNEST(range(1, len(t) - 5 + 2)) AS r(p)
+           WHERE len(t) >= 5),
+         win AS (
+           SELECT doc_id, p, ng,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY p
+                               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+           FROM grams),
+         fps AS (
+           SELECT DISTINCT doc_id, fp FROM win WHERE p <= ng - 4 + 1),
+         keep AS (
+           SELECT fp FROM fps GROUP BY fp HAVING count(*) BETWEEN 2 AND 1000),
+         g AS (SELECT f.doc_id, f.fp FROM fps f JOIN keep USING (fp))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+         FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 2
+         ORDER BY id_a, id_b""",
     "q_text_quality" ->
       """SELECT doc_id,
                 round(LEAST(CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Winnowing document fingerprints + duplicate-passage detection — the
+  * local-fingerprinting algorithm of Schleimer/Wilkerson/Aiken (SIGMOD'03,
+  * the MOSS algorithm): hash every k-gram, then keep the MINIMUM hash of
+  * each sliding window of `w` consecutive k-gram positions. Guarantee: any
+  * shared passage of at least `w + k - 1` tokens contributes at least one
+  * IDENTICAL fingerprint to both documents, while only ~2/(w+1) of the
+  * k-grams are kept — the passage-level complement to the dedup family
+  * (doc-level exact #32, MinHash near-dup #33, embedding SemDedup #73):
+  * exact dedup misses a copied paragraph inside an otherwise-new document,
+  * MinHash dilutes it below the whole-doc Jaccard threshold, and this
+  * catches it.
+  *
+  * Engine-portable by construction: tokens come from the shared whitespace
+  * contract, gram hashes are `md5` hex strings (identical in DuckDB), and
+  * the window minimum is plain SQL window algebra — so the whole pipeline
+  * has an exact cross-engine oracle, unlike the xxhash64-based operators
+  * (SURVEY §6). Winnowing proper breaks min-TIES toward the rightmost
+  * position; since fingerprints are deduplicated per document by VALUE,
+  * tie policy cannot change the output set and both engines agree for free.
+  *
+  * Scale shape: tokenize → gram positions explode inside the scan stage →
+  * ONE exchange (window on the document id, slim (id, pos, hash) rows —
+  * bodies never shuffle) → per-doc distinct via an aggregate that REUSES
+  * the window's partitioning (zero additional exchange). Downstream
+  * passage stats add one vocabulary-sized exchange on the fingerprint.
+  */
+object Winnow {
+
+  /** `(idCol, fp)` — the distinct winnowed fingerprints of each document.
+    * Documents with fewer than `k + w - 1` tokens emit no rows (no full
+    * window exists — same on the oracle side, where the trailing partial
+    * frames are filtered out).
+    */
+  def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(k > 0 && w > 0, s"Winnow: k=$k and w=$w must be positive")
+    Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
+      s"Winnow: input has no '$c' column"))
+    Seq("fp", "__graft_p", "__graft_ng", "__graft_h").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"Winnow: input already has a '$c' column — rename it first"))
+
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // gram positions 1..n-k+1; the guard matters because sequence(1, 0)
+    // yields a DESCENDING [1, 0] in Spark, not an empty array
+    val positions = when(size(toks) >= k, sequence(lit(1), size(toks) - k + 1))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs
+      .select(col(idCol), toks.as("__toks"),
+        explode(positions).as("__graft_p"))
+      .select(col(idCol), col("__graft_p"),
+        md5(concat_ws(" ", slice(col("__toks"), col("__graft_p"), lit(k)))).as("__graft_h"),
+        // gram count rides the projection (= positions length) so the
+        // full-window filter below needs no second window pass
+        (size(col("__toks")) - k + 1).as("__graft_ng"))
+
+    val frame = Window.partitionBy(col(idCol)).orderBy(col("__graft_p"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("__graft_h")).over(frame))
+      // only FULL windows fingerprint (trailing frames see < w grams)
+      .filter(col("__graft_p") <= col("__graft_ng") - w + 1)
+      // per-doc distinct WITHOUT a second exchange: the aggregate groups on
+      // the window's own partition key, so the (id)-hash partitioning is
+      // reused; fingerprints re-explode inside the same stage
+      .groupBy(col(idCol))
+      .agg(array_distinct(collect_list(col("fp"))).as("__fps"))
+      .select(col(idCol), explode(col("__fps")).as("fp"))
+  }
+
+  /** Fingerprints appearing in at least `minDocs` distinct documents —
+    * shared passages (≥ `w + k - 1` common tokens somewhere). One
+    * fingerprint-keyed exchange over slim `(fp, count)` aggregates.
+    */
+  def sharedPassages(docs: DataFrame, k: Int = 5, w: Int = 4, minDocs: Int = 2,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs > 0, s"Winnow: minDocs=$minDocs must be positive")
+    fingerprints(docs, k, w, idCol, textCol)
+      .groupBy(col("fp"))
+      // (id, fp) rows are distinct by construction, so count(*) IS the
+      // distinct-document count — no count_distinct buffer needed
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
+  /** Candidate document pairs sharing at least `minShared` fingerprints —
+    * the MOSS pairing. Fingerprints more common than `maxDocFreq` are
+    * dropped FIRST (standard winnowing practice: viral boilerplate would
+    * otherwise contribute O(n²) pairs for one fingerprint — the same
+    * hot-key discipline as the LSH band joins). Pair generation is a
+    * fingerprint equi-join of slim (id, fp) rows; never a cross join.
+    */
+  def dupCandidates(docs: DataFrame, k: Int = 5, w: Int = 4,
+                    minShared: Int = 2, maxDocFreq: Int = 1000,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared > 0 && maxDocFreq > 1,
+      s"Winnow: minShared=$minShared must be positive and maxDocFreq=$maxDocFreq > 1")
+    val fps = fingerprints(docs, k, w, idCol, textCol)
+    val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs").between(2, maxDocFreq)) // singletons pair with nothing
+      .select("fp")
+    val gated = fps.join(keep, Seq("fp"), "left_semi")
+    val a = gated.select(col("fp"), col(idCol).as("id_a"))
+    val b = gated.select(col("fp"), col(idCol).as("id_b"))
+    a.join(b, Seq("fp"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val K = 3
+  private val W = 2
+
+  /** Independent model: k-gram md5s, min per full window of w, distinct. */
+  private def model(text: String, k: Int = K, w: Int = W): Set[String] = {
+    def md5(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val toks = text.trim.split("\\s+").filter(_.nonEmpty)
+    val grams = (0 to toks.length - k).map(i => md5(toks.slice(i, i + k).mkString(" ")))
+    (0 to grams.length - w).map(p => grams.slice(p, p + w).min).toSet
+  }
+
+  test("fingerprints match the independent model; short docs emit nothing") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four"),      // 2 grams → 1 full window → 1 fp
+      (3L, "tiny doc"),                // < k tokens → no grams
+      (4L, "just four tokens"),        // 1 gram < w → no full window
+      (5L, "  spaced   out  tokens here   ")
+    ).toDF("doc_id", "text")
+    val got = Winnow.fingerprints(docs, k = K, w = W)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(got(1L) == model("alpha beta gamma delta epsilon zeta"))
+    assert(got(2L) == model("one two three four") && got(2L).size == 1)
+    assert(!got.contains(3L) && !got.contains(4L))
+    assert(got(5L) == model("spaced out tokens here"))
+  }
+
+  test("the winnowing guarantee: a shared passage of w+k-1 tokens always collides") {
+    // passage of exactly w+k-1 = 4 tokens embedded in unrelated contexts
+    val passage = "copied passage appears here"
+    val docs = Seq(
+      (10L, s"lead in words then $passage and trailing context words"),
+      (11L, s"totally different opening $passage closing differently entirely"),
+      (12L, "nothing in common with anything else at all")
+    ).toDF("doc_id", "text")
+    val shared = Winnow.sharedPassages(docs, k = K, w = W)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(shared.nonEmpty, "shared passage produced no common fingerprint")
+    assert(shared.forall(_._2 == 2L))
+    val pairs = Winnow.dupCandidates(docs, k = K, w = W, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((10L, 11L)), s"wrong candidate pairs: $pairs")
+  }
+
+  test("boilerplate cap: a fingerprint above maxDocFreq never generates pairs") {
+    val boiler = "standard footer text repeated everywhere always"
+    val docs = (0L until 10L).map(i => (i, s"unique opening number$i words $boiler"))
+      .toDF("doc_id", "text")
+    // the boilerplate fp is in all 10 docs; capping at 5 must yield ZERO
+    // pairs instead of 45
+    val pairs = Winnow.dupCandidates(docs, k = K, w = W, minShared = 1, maxDocFreq = 5)
+    assert(pairs.count() == 0)
+    // raising the cap reinstates the pairing
+    assert(Winnow.dupCandidates(docs, k = K, w = W, minShared = 1, maxDocFreq = 100)
+      .count() == 45)
+  }
+
+  test("deterministic under repartitioning; guards fire") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"document $i with some moderately long shared vocabulary tail ${i % 3}"))
+      .toDF("doc_id", "text")
+    val a = Winnow.fingerprints(docs).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = Winnow.fingerprints(docs.repartition(7)).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] { Winnow.fingerprints(docs, k = 0) }
+    intercept[IllegalArgumentException] { Winnow.fingerprints(docs.withColumnRenamed("text", "t")) }
+    intercept[IllegalArgumentException] { Winnow.fingerprints(docs.withColumn("fp", org.apache.spark.sql.functions.lit(1))) }
+    intercept[IllegalArgumentException] { Winnow.dupCandidates(docs, maxDocFreq = 1) }
+  }
+
+  test("plan: one exchange to the per-doc fingerprint set; bodies never shuffle") {
+    val docs = (0L until 50L).map(i => (i, s"doc $i alpha beta gamma delta ${i % 5}"))
+      .toDF("doc_id", "text")
+    val fp = Winnow.fingerprints(docs)
+    fp.collect()
+    // AQE's toString prints the Initial Plan after the Final — audit only
+    // the final section or every exchange counts twice
+    val p = fp.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    val exchanges = "(?i)exchange [^\\n]*".r.findAllIn(p).mkString("\n")
+    assert("(?i)hashpartitioning".r.findAllIn(exchanges).length == 1,
+      s"expected exactly ONE hash exchange (the doc-id window):\n$p")
+    assert(!exchanges.contains("text#"), s"document bodies ride an exchange:\n$exchanges")
+  }
+}
