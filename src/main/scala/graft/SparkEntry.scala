@@ -629,9 +629,10 @@ object SparkEntry {
       // Winnowing fingerprints (Schleimer et al. — the MOSS selection):
       // md5 k-gram hashes, min per sliding window — fully engine-portable
       // (md5 + window algebra), so unlike the xxhash64 operators this has
-      // an exact DuckDB twin.
-      operators.Winnow.fingerprints(
-          Tables.load(s, dir, "documents").filter(col("doc_id") < 50), k = 5, w = 4)
+      // an exact DuckDB twin. Whole corpus, deliberately: the fingerprint
+      // pass is the data-dominated stage and benching a 50-doc slice would
+      // only measure the job floor.
+      operators.Winnow.fingerprints(Tables.load(s, dir, "documents"), k = 5, w = 4)
         .orderBy("doc_id", "fp")),
     "q_dedup_passage" -> ((s, dir) => {
       // Duplicate-PASSAGE candidates: every 10th doc gets the same planted
@@ -640,7 +641,7 @@ object SparkEntry {
       // pair exactly the docs sharing it. minShared=2 suppresses the rare
       // accidental single-gram collision of the tiny synthetic vocabulary
       // (deterministic on both engines either way).
-      val aug = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val aug = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
         .withColumn("text", concat(col("text"),
           when(col("doc_id") % 10 === 0,
             lit(" copied canonical passage appears verbatim here twice over"))
@@ -1086,7 +1087,7 @@ object SparkEntry {
       """WITH toks AS (
            SELECT doc_id,
                   regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
-           FROM documents WHERE doc_id < 50),
+           FROM documents),
          grams AS (
            SELECT doc_id, p, md5(array_to_string(list_slice(t, p, p + 4), ' ')) AS h,
                   len(t) - 4 AS ng
@@ -1106,7 +1107,7 @@ object SparkEntry {
                   text || CASE WHEN doc_id % 10 = 0
                                THEN ' copied canonical passage appears verbatim here twice over'
                                ELSE '' END AS text
-           FROM documents WHERE doc_id < 100),
+           FROM documents WHERE doc_id < 1000),
          toks AS (
            SELECT doc_id,
                   regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS t
