@@ -638,13 +638,17 @@ object SparkEntry {
       // Duplicate-PASSAGE candidates: every 10th doc gets the same planted
       // passage appended (the copied-paragraph case that doc-level exact
       // dedup misses and whole-doc MinHash dilutes); winnowed fingerprints
-      // pair exactly the docs sharing it. minShared=2 suppresses the rare
-      // accidental single-gram collision of the tiny synthetic vocabulary
-      // (deterministic on both engines either way).
+      // pair exactly the docs sharing it. The passage is 12 tokens = 5 full
+      // windows, of which two are DISJOINT, guaranteeing >= 2 distinct
+      // shared fingerprints — so minShared=2 detects every planted pair
+      // deterministically while suppressing the rare accidental single-gram
+      // collision of the tiny synthetic vocabulary (review regression: an
+      // 8-token passage yields exactly ONE shared fingerprint, which
+      // minShared=2 silently filtered — the demo detected nothing).
       val aug = Tables.load(s, dir, "documents").filter(col("doc_id") < 1000)
         .withColumn("text", concat(col("text"),
           when(col("doc_id") % 10 === 0,
-            lit(" copied canonical passage appears verbatim here twice over"))
+            lit(" copied canonical passage tokens appear verbatim in many documents across this corpus"))
             .otherwise(lit(""))))
       operators.Winnow.dupCandidates(aug, k = 5, w = 4, minShared = 2)
         .orderBy("id_a", "id_b")
@@ -1105,7 +1109,7 @@ object SparkEntry {
       """WITH aug AS (
            SELECT doc_id,
                   text || CASE WHEN doc_id % 10 = 0
-                               THEN ' copied canonical passage appears verbatim here twice over'
+                               THEN ' copied canonical passage tokens appear verbatim in many documents across this corpus'
                                ELSE '' END AS text
            FROM documents WHERE doc_id < 1000),
          toks AS (

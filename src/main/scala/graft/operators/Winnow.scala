@@ -47,18 +47,21 @@ object Winnow {
         s"Winnow: input already has a '$c' column — rename it first"))
 
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
-    // gram positions 1..n-k+1; the guard matters because sequence(1, 0)
-    // yields a DESCENDING [1, 0] in Spark, not an empty array
-    val positions = when(size(toks) >= k, sequence(lit(1), size(toks) - k + 1))
-      .otherwise(array().cast("array<int>"))
+    // gram construction reuses the ONE word-shingle definition
+    // (HashFunctions.shingles — also the MinHash base), so the oracle SQL
+    // has a single gram contract to mirror. Its short-doc whole-text
+    // shingle emits one sub-k gram; the full-window filter below drops it
+    // (ng ≤ 0), matching the oracle's len(t) >= k guard.
     val grams = docs
-      .select(col(idCol), toks.as("__toks"),
-        explode(positions).as("__graft_p"))
-      .select(col(idCol), col("__graft_p"),
-        md5(concat_ws(" ", slice(col("__toks"), col("__graft_p"), lit(k)))).as("__graft_h"),
-        // gram count rides the projection (= positions length) so the
-        // full-window filter below needs no second window pass
-        (size(col("__toks")) - k + 1).as("__graft_ng"))
+      .select(col(idCol), toks.as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__graft_n"),
+        posexplode(graft.functions.HashFunctions.shingles(col("__toks"), k))
+          .as(Seq("__graft_p0", "__graft_g")))
+      .select(col(idCol), (col("__graft_p0") + 1).as("__graft_p"),
+        md5(col("__graft_g")).as("__graft_h"),
+        // gram count rides the projection so the full-window filter needs
+        // no second window pass
+        (col("__graft_n") - k + 1).as("__graft_ng"))
 
     val frame = Window.partitionBy(col(idCol)).orderBy(col("__graft_p"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -95,13 +98,27 @@ object Winnow {
     * otherwise contribute O(n²) pairs for one fingerprint — the same
     * hot-key discipline as the LSH band joins). Pair generation is a
     * fingerprint equi-join of slim (id, fp) rows; never a cross join.
+    *
+    * Threshold semantics: the w+k-1 guarantee promises exactly ONE shared
+    * fingerprint, so only `minShared = 1` (the default) honors it.
+    * Raising `minShared` demands a proportionally longer overlap — m
+    * disjoint full windows (a shared run of ≥ m·w + k - 1 tokens)
+    * guarantee m DISTINCT shared fingerprints, since disjoint windows
+    * select different grams; anything shorter clears a higher threshold
+    * only probabilistically.
     */
   def dupCandidates(docs: DataFrame, k: Int = 5, w: Int = 4,
-                    minShared: Int = 2, maxDocFreq: Int = 1000,
+                    minShared: Int = 1, maxDocFreq: Int = 1000,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minShared > 0 && maxDocFreq > 1,
       s"Winnow: minShared=$minShared must be positive and maxDocFreq=$maxDocFreq > 1")
-    val fps = fingerprints(docs, k, w, idCol, textCol)
+    // materialize the fingerprint pipeline ONCE (lazy local checkpoint —
+    // the established Tfidf/Clusters idiom): the doc-frequency aggregate
+    // and BOTH self-join branches consume it, and Catalyst would otherwise
+    // duplicate the window+aggregate subtree per consumer. The aggregate
+    // (not a count-over-fp window) keeps the doc-frequency computation
+    // skew-safe: partial map-side combine, no viral-fp hot partition.
+    val fps = fingerprints(docs, k, w, idCol, textCol).localCheckpoint(eager = false)
     val keep = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs").between(2, maxDocFreq)) // singletons pair with nothing
       .select("fp")

@@ -53,11 +53,14 @@ class WinnowSpec extends SparkSpec {
   }
 
   test("boilerplate cap: a fingerprint above maxDocFreq never generates pairs") {
-    val boiler = "standard footer text repeated everywhere always"
-    val docs = (0L until 10L).map(i => (i, s"unique opening number$i words $boiler"))
+    // IDENTICAL docs so EVERY fingerprint has document frequency exactly 10
+    // — a unique per-doc prefix would make straddle-window fingerprint
+    // frequencies depend on md5 ordering luck (review finding: the old
+    // assertion held only because one straddle fp happened to land at
+    // frequency 1). Capping at 5 must yield ZERO pairs instead of 45.
+    val docs = (0L until 10L).map(i =>
+      (i, "standard footer text repeated everywhere always unchanged"))
       .toDF("doc_id", "text")
-    // the boilerplate fp is in all 10 docs; capping at 5 must yield ZERO
-    // pairs instead of 45
     val pairs = Winnow.dupCandidates(docs, k = K, w = W, minShared = 1, maxDocFreq = 5)
     assert(pairs.count() == 0)
     // raising the cap reinstates the pairing
