@@ -92,6 +92,67 @@ object Winnow {
       .filter(col("n_docs") >= minDocs)
   }
 
+  /** Materialize the fingerprint relation bucketed by `fp` — the
+    * passage-dedup half of the daily-ingest storage story (the MinHash band
+    * index's sibling, SURVEY §2 #66): with the index pre-shuffled on disk
+    * by the probe key, the corpus side of every subsequent
+    * [[passageIncremental]] reads co-located and contributes ZERO
+    * exchanges; only the day's batch redistributes.
+    */
+  def writeFpIndex(docs: DataFrame, table: String, buckets: Int,
+                   k: Int = 5, w: Int = 4,
+                   idCol: String = "doc_id", textCol: String = "text"): Unit =
+    Bucketing.writeBucketed(fingerprints(docs, k, w, idCol, textCol)
+      .withColumnRenamed(idCol, "id"), table, buckets, Seq("fp"))
+
+  /** Append a day's surviving batch to the fingerprint index. `buckets` must
+    * match the table's spec — Spark validates bucketing compatibility on
+    * append, so a drifted layout fails loudly instead of mis-bucketing.
+    */
+  def appendFpIndex(docs: DataFrame, table: String, buckets: Int,
+                    k: Int = 5, w: Int = 4,
+                    idCol: String = "doc_id", textCol: String = "text"): Unit =
+    fingerprints(docs, k, w, idCol, textCol)
+      .withColumnRenamed(idCol, "id")
+      .write.format("parquet").bucketBy(buckets, "fp")
+      .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
+
+  /** The day's batch minus documents that share at least `minShared`
+    * fingerprints with SOME single indexed document (the pairwise MOSS
+    * criterion — a passage was copied FROM somewhere). Viral fingerprints
+    * (indexed document frequency > `maxDocFreq`) are gated out first, like
+    * [[dupCandidates]]. Plan shape: the index side reads co-located (its
+    * doc-frequency gate aggregates on the bucket key — no exchange — and
+    * the probe join consumes the stored layout directly); the batch's slim
+    * (id, fp) rows redistribute to the bucket count; hit pairs aggregate
+    * narrow. Within-batch passage dups are NOT this operator's job —
+    * [[dupCandidates]] over the batch (or the stream-side content dedup)
+    * handles those; the split mirrors `Dedup.exactIncremental`'s contract.
+    */
+  def passageIncremental(newDocs: DataFrame, fpIndex: DataFrame,
+                         k: Int = 5, w: Int = 4,
+                         minShared: Int = 1, maxDocFreq: Int = 1000,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minShared > 0 && maxDocFreq > 1,
+      s"Winnow: minShared=$minShared must be positive and maxDocFreq=$maxDocFreq > 1")
+    Seq("id", "fp").foreach(c => require(fpIndex.columns.contains(c),
+      s"Winnow: fingerprint index has no '$c' column (expect writeFpIndex layout)"))
+    val probe = fingerprints(newDocs, k, w, idCol, textCol)
+      .withColumnRenamed(idCol, "__graft_new")
+    // doc-frequency gate computed ON the bucketed layout: groupBy(fp) reuses
+    // the storage partitioning, so the viral-fp scan adds no exchange
+    val viral = fpIndex.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDocFreq)
+      .select("fp")
+    val hits = fpIndex.join(broadcast(viral), Seq("fp"), "left_anti")
+      .join(probe, Seq("fp"))
+      .groupBy(col("__graft_new"), col("id"))
+      .agg(count(lit(1)).as("__shared"))
+      .filter(col("__shared") >= minShared)
+      .select(col("__graft_new")).distinct()
+    newDocs.join(hits, newDocs(idCol) === col("__graft_new"), "left_anti")
+  }
+
   /** Candidate document pairs sharing at least `minShared` fingerprints —
     * the MOSS pairing. Fingerprints more common than `maxDocFreq` are
     * dropped FIRST (standard winnowing practice: viral boilerplate would

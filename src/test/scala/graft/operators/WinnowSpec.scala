@@ -82,6 +82,57 @@ class WinnowSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Winnow.dupCandidates(docs, maxDocFreq = 1) }
   }
 
+  test("fp-index daily loop: probe drops passage copies; index side reads co-located") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    def dropTables(n: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      if (loc.exists()) rm(loc)
+    }
+    dropTables("wn_fps")
+    val passage = "widely copied boilerplate passage text"
+    val day0 = Seq(
+      (1L, s"original document containing the $passage inside it somewhere"),
+      (2L, "unrelated seed content nothing shared here at all")).toDF("doc_id", "text")
+    Winnow.writeFpIndex(day0, "wn_fps", 4, k = K, w = W)
+
+    // day 1: one doc copies the day-0 passage, one is clean
+    val day1 = Seq(
+      (10L, s"fresh framing around the $passage with new surroundings"),
+      (11L, "completely novel material with zero overlap today")).toDF("doc_id", "text")
+    val kept1 = Winnow.passageIncremental(day1, Bucketing.table(spark, "wn_fps"), k = K, w = W)
+    assert(kept1.select("doc_id").as[Long].collect().toSet == Set(11L))
+    Winnow.appendFpIndex(kept1, "wn_fps", 4, k = K, w = W)
+
+    // day 2: a copy of DAY 1's survivor passage must be caught via the append
+    val day2 = Seq(
+      (20L, "completely novel material with zero overlap today rephrased"),
+      (21L, "another untouched document entirely its own words")).toDF("doc_id", "text")
+    val kept2 = Winnow.passageIncremental(day2, Bucketing.table(spark, "wn_fps"), k = K, w = W)
+    assert(kept2.select("doc_id").as[Long].collect().toSet == Set(21L))
+
+    // the scale property: probing the index joins the STORED layout — the
+    // index side contributes no shuffle; only the batch fps redistribute
+    val probe = Winnow.fingerprints(day2, k = K, w = W)
+      .withColumnRenamed("doc_id", "new_id").localCheckpoint()
+    val candidates = Bucketing.table(spark, "wn_fps")
+      .join(probe.hint("merge"), Seq("fp"))
+      .select("new_id", "id").distinct()
+    candidates.collect()
+    val n = helper.collectWithSubqueries(candidates.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike => s
+    }.size
+    assert(n <= 2, s"index side of the probe shuffles (got $n):\n" +
+      candidates.queryExecution.executedPlan.toString)
+    dropTables("wn_fps")
+  }
+
   test("plan: one exchange to the per-doc fingerprint set; bodies never shuffle") {
     val docs = (0L until 50L).map(i => (i, s"doc $i alpha beta gamma delta ${i % 5}"))
       .toDF("doc_id", "text")
