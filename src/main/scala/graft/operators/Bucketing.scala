@@ -44,6 +44,22 @@ object Bucketing {
     */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
+  /** Append to an existing bucketed table. `buckets`/`keys` must match the
+    * table's spec — Spark validates bucketing compatibility on append, so a
+    * drifted layout fails loudly instead of silently mis-bucketing rows.
+    * The one append recipe shared by every daily-ingest index
+    * ([[appendBandIndex]], `Winnow.appendFpIndex`).
+    */
+  def appendBucketed(df: DataFrame, table: String, buckets: Int,
+                     keys: Seq[String]): Unit = {
+    require(buckets > 0, s"Bucketing: bucket count must be positive, got $buckets")
+    require(keys.nonEmpty, "Bucketing: at least one bucket key required")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"Bucketing: input has no '$k' column"))
+    df.write.format("parquet").bucketBy(buckets, keys.head, keys.tail: _*)
+      .mode(SaveMode.Append).saveAsTable(table)
+  }
+
   /** Append the day's surviving batch to an existing band index (same
     * exploded `(id, sh, band, bhash)` shape as [[writeBandIndex]]) — the
     * write half of the daily-ingest loop: probe → [[Dedup.minhashIncremental]]
@@ -53,9 +69,7 @@ object Bucketing {
     * silently mis-bucketing rows.
     */
   def appendBandIndex(minhashed: DataFrame, table: String, buckets: Int): Unit =
-    explodeBands(minhashed).write.format("parquet")
-      .bucketBy(buckets, "band", "bhash")
-      .mode(SaveMode.Append).saveAsTable(table)
+    appendBucketed(explodeBands(minhashed), table, buckets, Seq("band", "bhash"))
 
   private def explodeBands(minhashed: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._

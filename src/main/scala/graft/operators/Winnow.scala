@@ -97,37 +97,65 @@ object Winnow {
     * index's sibling, SURVEY §2 #66): with the index pre-shuffled on disk
     * by the probe key, the corpus side of every subsequent
     * [[passageIncremental]] reads co-located and contributes ZERO
-    * exchanges; only the day's batch redistributes.
+    * exchanges; only the day's batch redistributes. The winnowing
+    * parameters ride along as constant `(k, w)` columns (RLE — bytes on
+    * disk) so every probe can verify them per-row: a drifted `k`/`w`
+    * changes the gram hashes entirely, and the fp equi-join would
+    * otherwise match NOTHING and silently wave every copy through — the
+    * same silent-recall-collapse guard as `Dedup.minhashIncremental`.
     */
   def writeFpIndex(docs: DataFrame, table: String, buckets: Int,
                    k: Int = 5, w: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): Unit =
-    Bucketing.writeBucketed(fingerprints(docs, k, w, idCol, textCol)
-      .withColumnRenamed(idCol, "id"), table, buckets, Seq("fp"))
+    Bucketing.writeBucketed(indexRows(docs, k, w, idCol, textCol),
+      table, buckets, Seq("fp"))
 
-  /** Append a day's surviving batch to the fingerprint index. `buckets` must
-    * match the table's spec — Spark validates bucketing compatibility on
-    * append, so a drifted layout fails loudly instead of mis-bucketing.
+  /** Append a day's surviving batch to the fingerprint index (the one
+    * shared bucketed-append recipe — drifted layouts fail loudly).
     */
   def appendFpIndex(docs: DataFrame, table: String, buckets: Int,
                     k: Int = 5, w: Int = 4,
                     idCol: String = "doc_id", textCol: String = "text"): Unit =
+    Bucketing.appendBucketed(indexRows(docs, k, w, idCol, textCol),
+      table, buckets, Seq("fp"))
+
+  private def indexRows(docs: DataFrame, k: Int, w: Int,
+                        idCol: String, textCol: String): DataFrame =
     fingerprints(docs, k, w, idCol, textCol)
       .withColumnRenamed(idCol, "id")
-      .write.format("parquet").bucketBy(buckets, "fp")
-      .mode(org.apache.spark.sql.SaveMode.Append).saveAsTable(table)
+      .withColumn("k", lit(k)).withColumn("w", lit(w))
+
+  /** Per-row `(k, w)` validation as a FILTER, not a projection — a
+    * projection would replace the `fp` attribute and drop the bucketed
+    * scan's partitioning (see `Dedup.validatedBandIndex` for the full
+    * why). Raises at execution time on the first drifted row.
+    */
+  private def validatedFpIndex(fpIndex: DataFrame, k: Int, w: Int): DataFrame =
+    fpIndex.filter(
+      when(col("k") === k && col("w") === w, lit(true))
+        .otherwise(raise_error(format_string(
+          "graft.Winnow.passageIncremental: fp index built with k=%d, w=%d but call uses k=%d, w=%d — rebuild the index with matching parameters",
+          col("k"), col("w"), lit(k), lit(w)))))
 
   /** The day's batch minus documents that share at least `minShared`
     * fingerprints with SOME single indexed document (the pairwise MOSS
     * criterion — a passage was copied FROM somewhere). Viral fingerprints
-    * (indexed document frequency > `maxDocFreq`) are gated out first, like
-    * [[dupCandidates]]. Plan shape: the index side reads co-located (its
-    * doc-frequency gate aggregates on the bucket key — no exchange — and
-    * the probe join consumes the stored layout directly); the batch's slim
-    * (id, fp) rows redistribute to the bucket count; hit pairs aggregate
-    * narrow. Within-batch passage dups are NOT this operator's job —
-    * [[dupCandidates]] over the batch (or the stream-side content dedup)
-    * handles those; the split mirrors `Dedup.exactIncremental`'s contract.
+    * (document frequency > `maxDocFreq` on EITHER side — the indexed
+    * corpus or the day's batch) are gated out first, like
+    * [[dupCandidates]]: gating only the index side would let a footer
+    * passage concentrated in the batch hit every matching indexed doc
+    * (batch_df × index_df rows on one hot key); with both gates the join's
+    * per-fp fan-out is bounded by maxDocFreq². Plan shape: the index side
+    * reads co-located (its doc-frequency gate aggregates on the bucket key
+    * and the anti-join matches the same partitioning — no exchange, no
+    * unconditional driver broadcast of an unbounded viral set; AQE may
+    * still choose broadcast when the set is measured small); the batch's
+    * slim (id, fp) rows redistribute; hit pairs aggregate narrow. The
+    * stored `(k, w)` columns are verified per-row — a drifted call fails
+    * loudly instead of matching nothing. Within-batch passage dups are NOT
+    * this operator's job — [[dupCandidates]] over the batch (or the
+    * stream-side content dedup) handles those; the split mirrors
+    * `Dedup.exactIncremental`'s contract.
     */
   def passageIncremental(newDocs: DataFrame, fpIndex: DataFrame,
                          k: Int = 5, w: Int = 4,
@@ -135,17 +163,26 @@ object Winnow {
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(minShared > 0 && maxDocFreq > 1,
       s"Winnow: minShared=$minShared must be positive and maxDocFreq=$maxDocFreq > 1")
-    Seq("id", "fp").foreach(c => require(fpIndex.columns.contains(c),
+    Seq("id", "fp", "k", "w").foreach(c => require(fpIndex.columns.contains(c),
       s"Winnow: fingerprint index has no '$c' column (expect writeFpIndex layout)"))
+    require(!newDocs.columns.contains("__graft_new"),
+      "Winnow: input already has a '__graft_new' column — rename it first")
+    val idx = validatedFpIndex(fpIndex, k, w)
+    // materialized once (the dupCandidates idiom): the batch-side viral
+    // gate and the probe join both consume it
     val probe = fingerprints(newDocs, k, w, idCol, textCol)
-      .withColumnRenamed(idCol, "__graft_new")
+      .withColumnRenamed(idCol, "__graft_new").localCheckpoint(eager = false)
+    val batchViral = probe.groupBy(col("fp"))
+      .agg(count(lit(1)).as("__bdf")).filter(col("__bdf") > maxDocFreq)
+      .select("fp")
     // doc-frequency gate computed ON the bucketed layout: groupBy(fp) reuses
-    // the storage partitioning, so the viral-fp scan adds no exchange
-    val viral = fpIndex.groupBy(col("fp"))
+    // the storage partitioning, and the anti-join against it matches that
+    // same partitioning — the whole index leg plans exchange-free
+    val viral = idx.groupBy(col("fp"))
       .agg(count(lit(1)).as("__df")).filter(col("__df") > maxDocFreq)
       .select("fp")
-    val hits = fpIndex.join(broadcast(viral), Seq("fp"), "left_anti")
-      .join(probe, Seq("fp"))
+    val hits = idx.join(viral, Seq("fp"), "left_anti")
+      .join(probe.join(batchViral, Seq("fp"), "left_anti"), Seq("fp"))
       .groupBy(col("__graft_new"), col("id"))
       .agg(count(lit(1)).as("__shared"))
       .filter(col("__shared") >= minShared)

@@ -19,4 +19,22 @@ trait SparkSpec extends AnyFunSuite {
     s.sparkContext.setLogLevel("ERROR")
     s
   }
+
+  /** Drop catalog tables AND their managed warehouse directories — a test
+    * failure between create and drop leaves the location behind while the
+    * in-memory catalog forgets it, and the next run's CREATE then trips
+    * over stale files. Shared by every bucketed-table spec.
+    */
+  protected def dropTables(names: String*): Unit =
+    names.foreach { n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(loc)
+      }
+    }
 }

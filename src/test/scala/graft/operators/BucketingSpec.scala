@@ -16,21 +16,6 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     collectWithSubqueries(executed) { case s: ShuffleExchangeLike => s }.size
   }
 
-  private def dropTables(names: String*): Unit =
-    names.foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $n")
-      // A test failure between create and drop leaves the managed location
-      // behind while the in-memory catalog forgets it — clean both.
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(loc)
-      }
-    }
-
   test("bucketed x bucketed equi-join runs with ZERO shuffles") {
     val a = (0L until 200L).map(i => (i, s"left $i")).toDF("k", "va")
     val b = (0L until 200L).map(i => (i, s"right $i")).toDF("k", "vb")

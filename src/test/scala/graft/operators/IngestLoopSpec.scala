@@ -38,19 +38,6 @@ class IngestLoopSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     }.size
   }
 
-  private def dropTables(names: String*): Unit =
-    names.foreach { n =>
-      spark.sql(s"DROP TABLE IF EXISTS $n")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
-      if (loc.exists()) {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-        }
-        rm(loc)
-      }
-    }
-
   // ≥12 words each so one-word edits keep shingle-Jaccard well above the 0.7
   // verify threshold; vocabularies disjoint so UNRELATED texts never collide
   private val tA = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"

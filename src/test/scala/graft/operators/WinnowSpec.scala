@@ -86,15 +86,6 @@ class WinnowSpec extends SparkSpec {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
     val helper = new AdaptiveSparkPlanHelper {}
-    def dropTables(n: String): Unit = {
-      spark.sql(s"DROP TABLE IF EXISTS $n")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), n)
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      if (loc.exists()) rm(loc)
-    }
     dropTables("wn_fps")
     val passage = "widely copied boilerplate passage text"
     val day0 = Seq(
@@ -115,22 +106,57 @@ class WinnowSpec extends SparkSpec {
       (20L, "completely novel material with zero overlap today rephrased"),
       (21L, "another untouched document entirely its own words")).toDF("doc_id", "text")
     val kept2 = Winnow.passageIncremental(day2, Bucketing.table(spark, "wn_fps"), k = K, w = W)
+    kept2.collect()
     assert(kept2.select("doc_id").as[Long].collect().toSet == Set(21L))
 
-    // the scale property: probing the index joins the STORED layout — the
-    // index side contributes no shuffle; only the batch fps redistribute
-    val probe = Winnow.fingerprints(day2, k = K, w = W)
-      .withColumnRenamed("doc_id", "new_id").localCheckpoint()
-    val candidates = Bucketing.table(spark, "wn_fps")
-      .join(probe.hint("merge"), Seq("fp"))
-      .select("new_id", "id").distinct()
-    candidates.collect()
-    val n = helper.collectWithSubqueries(candidates.queryExecution.executedPlan) {
+    // the scale property, pinned on the OPERATOR'S OWN executed plan: the
+    // bucketed index feeds the viral gate, the anti-join, and the probe
+    // join without ever re-partitioning on fp — an fp-keyed exchange with
+    // the index scan in its subtree would mean the stored layout was
+    // re-shuffled. (The narrow post-join hit rows DO shuffle, on
+    // (__graft_new, id) — that exchange rightly has the scan upstream.)
+    val plan = kept2.queryExecution.executedPlan
+    val shuffles = helper.collectWithSubqueries(plan) {
       case s: ShuffleExchangeLike => s
-    }.size
-    assert(n <= 2, s"index side of the probe shuffles (got $n):\n" +
-      candidates.queryExecution.executedPlan.toString)
+    }
+    val offenders = shuffles.filter(s =>
+      s.outputPartitioning.toString.contains("fp#") && s.toString.contains("wn_fps"))
+    assert(offenders.isEmpty,
+      s"index side of passageIncremental re-shuffles on fp:\n${offenders.mkString("\n")}")
+
+    // drifted parameters fail loudly instead of matching nothing
+    val drifted = intercept[Exception] {
+      Winnow.passageIncremental(day2, Bucketing.table(spark, "wn_fps"),
+        k = K + 1, w = W).collect()
+    }
+    assert(drifted.getMessage.contains("rebuild the index"), drifted.getMessage)
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Winnow.passageIncremental(
+        day2.withColumn("__graft_new", org.apache.spark.sql.functions.lit(1)),
+        Bucketing.table(spark, "wn_fps"), k = K, w = W)
+    }
     dropTables("wn_fps")
+  }
+
+  test("batch-side viral gate: boilerplate concentrated in the day's batch is dropped") {
+    dropTables("wn_viral")
+    val passage = "shared footer passage appearing everywhere today"
+    val day0 = Seq(
+      (1L, s"indexed original with the $passage embedded in it")).toDF("doc_id", "text")
+    Winnow.writeFpIndex(day0, "wn_viral", 2, k = K, w = W)
+    // six batch docs all carry the footer → its fps have batch df 6 > 5:
+    // gated out, so the docs survive (hot-key fan-out never materializes)
+    val batch = (10L until 16L).map(i =>
+      (i, s"doc number $i unique words here then the $passage at the end"))
+      .toDF("doc_id", "text")
+    val idx = Bucketing.table(spark, "wn_viral")
+    val gated = Winnow.passageIncremental(batch, idx, k = K, w = W, maxDocFreq = 5)
+    assert(gated.count() == 6L, "batch-viral fps must be gated out of the probe")
+    // with the cap lifted the same batch is caught against the index
+    val ungated = Winnow.passageIncremental(batch, idx, k = K, w = W, maxDocFreq = 100)
+    assert(ungated.count() == 0L, "below the cap the passage hits must drop the docs")
+    dropTables("wn_viral")
   }
 
   test("plan: one exchange to the per-doc fingerprint set; bodies never shuffle") {
