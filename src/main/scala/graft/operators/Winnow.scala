@@ -24,11 +24,11 @@ import org.apache.spark.sql.functions._
   * position; since fingerprints are deduplicated per document by VALUE,
   * tie policy cannot change the output set and both engines agree for free.
   *
-  * Scale shape: tokenize → gram positions explode inside the scan stage →
-  * ONE exchange (window on the document id, slim (id, pos, hash) rows —
-  * bodies never shuffle) → per-doc distinct via an aggregate that REUSES
-  * the window's partitioning (zero additional exchange). Downstream
-  * passage stats add one vocabulary-sized exchange on the fingerprint.
+  * Scale shape: winnowing is per-document selection with no cross-row
+  * state, so the fingerprint pass is a single native expression inside
+  * the scan stage — ZERO exchanges; no k-gram ever becomes a row.
+  * Downstream passage stats add one vocabulary-sized exchange on the
+  * slim (id, fp) fingerprint rows.
   */
 object Winnow {
 
@@ -36,16 +36,42 @@ object Winnow {
     * Documents with fewer than `k + w - 1` tokens emit no rows (no full
     * window exists — same on the oracle side, where the trailing partial
     * frames are filtered out).
+    *
+    * Computed by the native [[graft.plans.TextExpressions.winnowFps]]
+    * expression: winnowing is a purely per-document selection, so the
+    * whole pass (tokenize → md5 k-grams → sliding min → distinct) runs
+    * inside the scan stage with ZERO exchanges — no k-gram ever becomes a
+    * row, nothing shuffles. The column-algebra formulation survives as
+    * [[fingerprintsColumnar]] (bit-parity pinned in WinnowSpec); the
+    * DuckDB oracle mirrors the columnar algebra, which the native output
+    * matches exactly.
     */
   def fingerprints(docs: DataFrame, k: Int = 5, w: Int = 4,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    checkWinnowInputs(docs, k, w, idCol, textCol)
+    docs.select(col(idCol),
+      explode(graft.plans.TextExpressions.winnowFps(col(textCol), k, w)).as("fp"))
+  }
+
+  private def checkWinnowInputs(docs: DataFrame, k: Int, w: Int,
+                                idCol: String, textCol: String): Unit = {
     require(k > 0 && w > 0, s"Winnow: k=$k and w=$w must be positive")
     Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
       s"Winnow: input has no '$c' column"))
     Seq("fp", "__graft_p", "__graft_ng", "__graft_h").foreach(c =>
       require(!docs.columns.contains(c),
         s"Winnow: input already has a '$c' column — rename it first"))
+  }
 
+  /** The column-algebra twin of [[fingerprints]] — every step expressible
+    * in portable SQL (the DuckDB oracle's shape). Kept as the parity
+    * reference for the native expression; prefer [[fingerprints]]
+    * everywhere else (this form pays a doc-id window exchange on exploded
+    * k-gram rows).
+    */
+  private[operators] def fingerprintsColumnar(docs: DataFrame, k: Int = 5, w: Int = 4,
+                                              idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    checkWinnowInputs(docs, k, w, idCol, textCol)
     val toks = graft.functions.TextFunctions.tokens(col(textCol))
     // gram construction reuses the ONE word-shingle definition
     // (HashFunctions.shingles — also the MinHash base), so the oracle SQL

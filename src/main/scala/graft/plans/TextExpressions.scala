@@ -110,6 +110,23 @@ object TextExpressions {
   def bpeishCount(text: Column): Column =
     ColumnShim.column(BpeishCount(ColumnShim.expression(text)))
 
+  /** Distinct winnowed fingerprints (Schleimer/Wilkerson/Aiken) of the
+    * whole document in ONE pass — native twin of the
+    * `Winnow.fingerprintsColumnar` explode→window→aggregate pipeline. The
+    * columnar form is correct but materializes every k-gram as a row
+    * through a doc-id window exchange; per-document winnowing needs no
+    * cross-row state at all, so this computes md5 k-gram digests and the
+    * sliding-window minimum (monotonic deque, O(grams)) inside the scan
+    * stage and the whole fingerprint pass runs shuffle-free. Digests are
+    * compared as UNSIGNED byte arrays, which orders identically to Spark's
+    * binary UTF8String comparison of their lowercase-hex strings (each
+    * byte maps monotonically to its two hex chars), so min-selection
+    * matches the column twin's `min(md5_hex)` bit-for-bit; only the ~2/(w+1)
+    * winners are hex-encoded.
+    */
+  def winnowFps(text: Column, k: Int, w: Int): Column =
+    ColumnShim.column(WinnowFps(ColumnShim.expression(text), k, w))
+
   /** Shared tokenizer for every native text expression: edge-strip by the
     * SAME `\s` class the column twins use (`regexp_replace(text,
     * "^\\s+|\\s+$", "")` + `split("\\s+")`) — Java `String.trim` strips all
@@ -643,6 +660,115 @@ case class BpeishCount(child: Expression)
       s"${ev.value} = graft.plans.BpeishCount$$.MODULE$$.count($a);")
 
   override protected def withNewChildInternal(newChild: Expression): BpeishCount =
+    copy(child = newChild)
+}
+
+object WinnowFps {
+  // MessageDigest.getInstance allocates provider machinery per call; one
+  // reusable instance per executor thread (reset() per gram). Pure-JVM
+  // state — no native retention concern.
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  private def hex(d: Array[Byte]): UTF8String = {
+    val out = new Array[Byte](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = hexChars((d(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(d(i) & 0xf).toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** Unsigned lexicographic compare — the digest-space image of comparing
+    * the digests' lowercase-hex strings (hex encoding is monotone per
+    * byte), so winners match `min(md5_hex)` under Spark's binary string
+    * ordering. */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < 16) {
+      val x = a(i) & 0xff; val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  /** One scorer for the interpreted and generated paths. Tokens come from
+    * the shared Tok contract; grams are md5 over the space-joined token
+    * bytes (byte-identical to `md5(concat_ws(" ", tokens))`); windows are
+    * the ng-w+1 FULL frames only (short docs emit an empty array, which
+    * `explode` then drops — the columnar `p <= ng-w+1` filter).
+    */
+  def compute(input: UTF8String, k: Int, w: Int): ArrayData = {
+    val toks = TextExpressions.Tok.tokens(input.toString)
+    val ng = toks.length - k + 1
+    val nw = ng - w + 1
+    if (nw <= 0) return new GenericArrayData(Array.empty[Any])
+    val md = md5.get()
+    val space = ' '.toByte
+    val digests = new Array[Array[Byte]](ng)
+    var i = 0
+    while (i < ng) {
+      md.reset()
+      var j = i
+      while (j < i + k) {
+        if (j > i) md.update(space)
+        md.update(toks(j).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        j += 1
+      }
+      digests(i) = md.digest()
+      i += 1
+    }
+    // sliding minimum via monotonic index deque: amortized O(1) per gram.
+    // Ties keep the EARLIER index (strict-less eviction) — irrelevant to
+    // output (equal value either way) but keeps the walk deterministic.
+    val seen = new java.util.LinkedHashSet[UTF8String]
+    val deque = new java.util.ArrayDeque[Int](w + 1)
+    var p = 0
+    while (p < ng) {
+      while (!deque.isEmpty && !less(digests(deque.peekLast()), digests(p)))
+        deque.pollLast()
+      deque.addLast(p)
+      val winStart = p - w + 1
+      if (winStart >= 0) {
+        while (deque.peekFirst() < winStart) deque.pollFirst()
+        seen.add(hex(digests(deque.peekFirst()))): Unit
+      }
+      p += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var n = 0
+    while (it.hasNext) { out(n) = it.next(); n += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** See [[TextExpressions.winnowFps]]. Reference algorithm:
+  * Schleimer, Wilkerson, Aiken — "Winnowing: Local Algorithms for Document
+  * Fingerprinting" (SIGMOD 2003); parity with the columnar pipeline is
+  * pinned in WinnowSpec.
+  */
+case class WinnowFps(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k > 0 && w > 0, s"WinnowFps: k=$k and w=$w must be positive")
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowFps.compute(input.asInstanceOf[UTF8String], k, w)
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.WinnowFps$$.MODULE$$.compute($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFps =
     copy(child = newChild)
 }
 

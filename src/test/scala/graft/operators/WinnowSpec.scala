@@ -159,17 +159,33 @@ class WinnowSpec extends SparkSpec {
     dropTables("wn_viral")
   }
 
-  test("plan: one exchange to the per-doc fingerprint set; bodies never shuffle") {
+  test("plan: the native fingerprint pass runs with ZERO exchanges") {
     val docs = (0L until 50L).map(i => (i, s"doc $i alpha beta gamma delta ${i % 5}"))
       .toDF("doc_id", "text")
     val fp = Winnow.fingerprints(docs)
     fp.collect()
-    // AQE's toString prints the Initial Plan after the Final — audit only
-    // the final section or every exchange counts twice
     val p = fp.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
-    val exchanges = "(?i)exchange [^\\n]*".r.findAllIn(p).mkString("\n")
-    assert("(?i)hashpartitioning".r.findAllIn(exchanges).length == 1,
-      s"expected exactly ONE hash exchange (the doc-id window):\n$p")
-    assert(!exchanges.contains("text#"), s"document bodies ride an exchange:\n$exchanges")
+    assert(!"(?i)exchange".r.findAllIn(p).hasNext,
+      s"per-document winnowing must not shuffle:\n$p")
+  }
+
+  test("native fingerprints match the columnar pipeline exactly") {
+    // unicode + ties + short docs + control-char edges, both parameter sets
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "répété répété répété répété répété répété répété"),  // identical grams → tie-heavy
+      (3L, "日本語 トークン 混在 テキスト の 例 です ね"),
+      (4L, "tiny"),
+      (5L, " ctrl lead trail mixed ws nbsp stays one token here"),
+      (6L, (0 until 200).map(i => s"w${i % 17}").mkString(" "))
+    ).toDF("doc_id", "text")
+    for ((k, w) <- Seq((3, 2), (5, 4), (1, 1))) {
+      val native = Winnow.fingerprints(docs, k, w).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      val columnar = Winnow.fingerprintsColumnar(docs, k, w).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(native == columnar, s"native/columnar diverge at k=$k w=$w: " +
+        s"only-native=${native -- columnar} only-columnar=${columnar -- native}")
+    }
   }
 }
