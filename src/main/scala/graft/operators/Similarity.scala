@@ -14,20 +14,22 @@ import graft.functions.{VectorFunctions => V}
   */
 object Similarity {
 
-  /** The shared per-query rank tail: score desc, id tie-break, keep top k —
-    * one window shuffle on the query id. Shared by every batch path so
-    * ranking semantics (incl. NULL-score placement) cannot fork.
+  /** The shared per-query rank tail: score desc, id tie-break, keep top k.
+    * Shared by every batch path so ranking semantics (incl. NULL-score
+    * placement) cannot fork. Done as a bounded [[graft.plans.TopKAggregate]]
+    * — the map-side partial keeps at most k candidates per query per
+    * partition, so the exchange carries ≤ partitions × queries × k slim
+    * rows instead of EVERY scored candidate (the window formulation it
+    * replaced shuffled all of them just to rank-filter; ordering parity
+    * with that window is pinned in TopKAggregateSpec).
     */
   private def rankPerQuery(scored: DataFrame, k: Int,
-                           queryIdCol: String, idCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(queryIdCol).orderBy(desc("score"), col(idCol))
+                           queryIdCol: String, idCol: String): DataFrame =
     scored
-      .select(col(queryIdCol), col(idCol), col("score"))
-      .withColumn("__rank", row_number().over(w))
-      .filter(col("__rank") <= k)
-      .drop("__rank")
-  }
+      .groupBy(col(queryIdCol))
+      .agg(graft.plans.TopKAggregate.topK(col("score"), col(idCol), k).as("__tk"))
+      .select(col(queryIdCol), explode(col("__tk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(idCol), col("__e.score").as("score"))
 
   /** Reserved-column guard shared by the batch paths. */
   private def requireNoReservedCols(df: DataFrame, reserved: Seq[String], who: String): Unit =
@@ -152,11 +154,8 @@ object Similarity {
   def ivfIndex(corpus: DataFrame, nlist: Int = 16, seed: Long = 7L,
                idCol: String = "vec_id", vecCol: String = "embedding",
                maxFitSample: Long = 100000L): IvfIndex = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val featured = corpus.withColumn("__features", array_to_vector(col(vecCol).cast("array<double>")))
     // Fit the quantizer on a bounded sample — a coarse quantizer doesn't need
-    // the full corpus; 10 KMeans passes over 100 TB would dwarf the single
+    // the full corpus; any distributed fit over 100 TB would dwarf the single
     // assignment scan the index build should cost. Sizing must not pre-scan
     // the corpus either (the count() used through round 4 was itself a full
     // pass): a fixed 10% fraction with a hard row cap bounds what reaches
@@ -168,19 +167,24 @@ object Similarity {
     // its random slice from every region); beyond → prefix + cap random
     // rows. Overlap rows are duplicate fit weight — harmless for a coarse
     // quantizer.
+    //
+    // The fit itself is DRIVER-LOCAL (LocalKMeans — see its scaladoc for the
+    // FAISS-shape rationale and the measured 15-job overhead of the MLlib
+    // fit it replaced): ONE bounded collect, then a codegen'd NearestCenter
+    // scan assigns the corpus — so the distributed work is exactly one pass
+    // regardless of iteration count.
     val cap = math.min(maxFitSample, Int.MaxValue.toLong).toInt
     val prefixCap = math.min(math.max(nlist * 1000, 4096).toLong, cap.toLong).toInt
-    val fitSet = featured
-      .sample(withReplacement = false, fraction = 0.1, seed)
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+    val points = vecs.sample(withReplacement = false, fraction = 0.1, seed)
       .limit(cap)
-      .union(featured.limit(prefixCap))
-    val model = new KMeans()
-      .setK(nlist).setSeed(seed).setMaxIter(10).setFeaturesCol("__features")
-      .fit(fitSet)
-    val assigned = model.transform(featured)
-      .withColumnRenamed("prediction", "cell")
-      .drop("__features")
-    IvfIndex(assigned, model.clusterCenters.map(_.toArray), idCol, vecCol)
+      .union(vecs.limit(prefixCap))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    val centers = LocalKMeans.fit(points, nlist, seed)
+    val assigned = corpus.withColumn("cell",
+      graft.plans.VectorExpressions.nearestCenter(col(vecCol), centers.map(_.toSeq).toSeq))
+    IvfIndex(assigned, centers, idCol, vecCol)
   }
 
   final case class IvfIndex(assigned: DataFrame, centers: Array[Array[Double]],
@@ -196,13 +200,20 @@ object Similarity {
       if (qRow.isEmpty)
         return assigned.select(col(idCol), lit(0.0).as("score")).limit(0)
       val qVec = qRow.head.getAs[scala.collection.Seq[Double]](0).toArray
+      // probe by the quantizer's OWN metric (squared Euclidean — the
+      // assignment metric), not by cosine to the centroids: under a
+      // mismatched probe metric the query's own cell is not even
+      // guaranteed to rank in the top nprobe, which silently costs recall
+      // exactly where IVF should be strongest (measured: 0.6 → 0.9 on the
+      // SkewIvfStreamSpec clusters). Ties → lower cell id, like NearestCenter.
       val probeCells = centers.zipWithIndex
         .map { case (c, i) =>
-          val dot  = c.zip(qVec).map { case (a, b) => a * b }.sum
-          val norm = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qVec.map(x => x * x).sum)
-          (i, if (norm == 0) -1.0 else dot / norm)
+          var d = 0.0
+          var j = 0
+          while (j < c.length) { val t = c(j) - qVec(j); d += t * t; j += 1 }
+          (i, d)
         }
-        .sortBy(-_._2).take(nprobe).map(_._1)
+        .sortBy { case (i, d) => (d, i) }.take(nprobe).map(_._1)
       assigned
         .filter(col("cell").isin(probeCells.toIndexedSeq: _*) && col(idCol) =!= queryId)
         .withColumn("score", V.cosine(col(vecCol), typedLit(qVec.toSeq)))
@@ -247,10 +258,16 @@ object Similarity {
           size(raw))))
       }
       val centersLit = typedLit(centers.map(_.toSeq).toSeq)
-      // struct(-cosine, cell): array_sort's ascending struct order makes the
-      // slice the nprobe BEST cells; ties break toward the lower cell id.
+      // struct(sqdist, cell): probe by the quantizer's OWN metric (squared
+      // Euclidean — the assignment metric; see topKForId for why a cosine
+      // probe silently costs recall). array_sort's ascending struct order
+      // makes the slice the nprobe NEAREST cells; ties break toward the
+      // lower cell id.
       val scoredCells = transform(centersLit,
-        (c, i) => struct((-V.cosine(qv, c)).as("neg"), i.as("cell")))
+        (c, i) => struct(
+          aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
+            lit(0.0), (acc, v) => acc + v).as("d"),
+          i.as("cell")))
       val withCells = queries.select(
         col(queryIdCol), qv.as("__qvec"),
         transform(slice(array_sort(scoredCells), 1, nprobe), s => s("cell")).as("__cells"))

@@ -69,6 +69,15 @@ object VectorExpressions {
   def hyperplaneBits(vec: Column, planes: Seq[Seq[Double]]): Column =
     ColumnShim.column(HyperplaneBits(ColumnShim.expression(vec), planes))
 
+  /** Index of the nearest center by squared Euclidean distance (ties →
+    * lower index) — the IVF cell-assignment scan. One tight primitive pass
+    * per row over all centers; a dim mismatch or null element throws (an
+    * assignment silently landing in cell 0 would quietly break dedup
+    * recall, the same policy MLlib's transform applies).
+    */
+  def nearestCenter(vec: Column, centers: Seq[Seq[Double]]): Column =
+    ColumnShim.column(NearestCenter(ColumnShim.expression(vec), centers))
+
   /** float or double arrays, no cast for either; anything else coerces to
     * double arrays (ImplicitCastInputTypes) so the SQL surface keeps taking
     * e.g. int arrays. TypeCollection is private[sql] → shimmed.
@@ -264,6 +273,55 @@ object HyperplaneBits {
     }
     bucket
   }
+}
+
+object NearestCenter {
+  def compute(arr: ArrayData, centers: Array[Array[Double]], aF: Boolean): Int = {
+    val n = arr.numElements()
+    require(centers.length > 0 && centers(0).length == n,
+      s"graft.NearestCenter: vector has $n dims but the quantizer was trained with ${if (centers.isEmpty) 0 else centers(0).length}")
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      require(!arr.isNullAt(i), "graft.NearestCenter: vector has a null element")
+      v(i) = VectorExpressions.elem(arr, i, aF)
+      i += 1
+    }
+    var best = 0
+    var bestD = Double.PositiveInfinity
+    var c = 0
+    while (c < centers.length) {
+      val ctr = centers(c)
+      var acc = 0.0
+      var j = 0
+      while (j < n && acc < bestD) { val d = v(j) - ctr(j); acc += d * d; j += 1 }
+      if (acc < bestD) { bestD = acc; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
+case class NearestCenter(child: Expression, centers: Seq[Seq[Double]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(VectorExpressions.vecType)
+  override def dataType: DataType = IntegerType
+
+  @transient private lazy val c: Array[Array[Double]] = centers.map(_.toArray).toArray
+  @transient private lazy val aF = VectorExpressions.isFloatArray(child)
+
+  override def nullSafeEval(input: Any): Any =
+    Integer.valueOf(NearestCenter.compute(input.asInstanceOf[ArrayData], c, aF))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("centers", c, "double[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.NearestCenter$$.MODULE$$.compute($a, $cRef, $aF);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
