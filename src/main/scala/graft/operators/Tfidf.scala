@@ -12,13 +12,16 @@ import org.apache.spark.sql.functions._
   *   idf(t)    = ln((N + 1) / (df(t) + 1)) + 1   (smoothed — no zero/∞)
   *   tfidf     = tf × idf
   *
-  * Scale shape: ONE tokenize → explode → ONE shuffle on (doc, term) for
-  * term counts, materialized once (the two consumers would otherwise each
-  * re-tokenize the corpus — see the checkpoint note below) → ONE shuffle
-  * on term for document frequencies → join back on term. The df relation
-  * is vocabulary-sized (≪ corpus; AQE broadcasts it when small); document
-  * bodies never move — only (doc, term, count) triples shuffle. N (corpus
-  * size) rides a scalar subquery, not a driver round-trip.
+  * Scale shape: term counting is per-document state, so the native
+  * [[graft.plans.TextExpressions.termCounts]] expression computes every
+  * (doc, term, n) triple INSIDE the scan — no token occurrence ever rides
+  * an exchange (the previous explode→groupBy shape shuffled the corpus's
+  * every token just to count it against its own document). The slim tf
+  * triples are materialized once (two consumers — see the checkpoint note
+  * below) → ONE shuffle on term for document frequencies → join back on
+  * term. The df relation is vocabulary-sized (≪ corpus; AQE broadcasts it
+  * when small); document bodies never move. N (corpus size) rides a
+  * scalar subquery, not a driver round-trip.
   *
   * Tokenization is the shared whitespace contract
   * ([[graft.functions.TextFunctions.tokens]]) so the DuckDB oracle
@@ -38,26 +41,19 @@ object Tfidf {
         s"Tfidf: input already has a '$c' column — rename it first"))
     val spark = docs.sparkSession
 
-    // per-doc token total rides each exploded row (grouped away as first()),
-    // so no second window/shuffle partitioned by doc is ever needed
-    val terms = docs
-      .select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), size(col("__toks")).as("__graft_ntok"),
-        explode(col("__toks")).as("term"))
-      .filter(col("term") =!= "")
-    // Materialize the (doc, term) aggregate ONCE (lazy local checkpoint).
-    // Both the vocabulary aggregate below and the final join consume `tf`,
-    // and in a pure plan Catalyst DUPLICATES the subtree for each consumer;
-    // physical exchange reuse then cannot rescue it because column pruning
-    // diverges between the copies (the df leg drops the count/first
-    // aggregate functions, so the exchange subtrees no longer canonicalize
-    // equal — verified against the AQE final plan: without this the corpus
-    // tokenizes TWICE, silently). The checkpoint stores only the slim
-    // (id, term, n, ntok) triples; the alternative is a second full corpus
-    // scan + regexp split, which dominates at scale. Plan-pinned in
-    // TfidfSpec: no tokenize node may appear in the consuming plan.
-    val tf = terms.groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("n"), first(col("__graft_ntok")).as("__graft_ntok"))
+    // Materialize the slim (id, term, n, ntok) triples ONCE (lazy local
+    // checkpoint). Both the vocabulary aggregate below and the final join
+    // consume `tf`, and in a pure plan Catalyst DUPLICATES the subtree per
+    // consumer — the corpus would tokenize-and-count TWICE, silently. The
+    // checkpoint stores only the triples; plan-pinned in TfidfSpec: no
+    // tokenize node may appear in the consuming plan.
+    val tf = docs
+      .select(col(idCol),
+        graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
+      .select(col(idCol), col("__tc.ntok").as("__graft_ntok"),
+        explode(col("__tc.entries")).as("__e"))
+      .select(col(idCol), col("__e.term").as("term"),
+        col("__e.n").cast("long").as("n"), col("__graft_ntok"))
       .localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // N as a scalar subquery — no collect, no recompute per row

@@ -110,6 +110,18 @@ object TextExpressions {
   def bpeishCount(text: Column): Column =
     ColumnShim.column(BpeishCount(ColumnShim.expression(text)))
 
+  /** `struct<ntok, entries array<struct<term, n>>>` — per-document term
+    * counts in ONE pass. Term counting is purely per-document state, so
+    * doing it as an expression inside the scan removes the (doc, term)
+    * aggregation exchange entirely: the corpus's every token occurrence
+    * used to ride that shuffle just to be counted against its own
+    * document. Entries surface in first-occurrence order (deterministic);
+    * empty-string tokens (the split artifact of blank text) are skipped,
+    * `ntok` counts the raw token array like `size(tokens(text))`.
+    */
+  def termCounts(text: Column): Column =
+    ColumnShim.column(TermCounts(ColumnShim.expression(text)))
+
   /** Distinct winnowed fingerprints (Schleimer/Wilkerson/Aiken) of the
     * whole document in ONE pass — native twin of the
     * `Winnow.fingerprintsColumnar` explode→window→aggregate pipeline. The
@@ -660,6 +672,53 @@ case class BpeishCount(child: Expression)
       s"${ev.value} = graft.plans.BpeishCount$$.MODULE$$.count($a);")
 
   override protected def withNewChildInternal(newChild: Expression): BpeishCount =
+    copy(child = newChild)
+}
+
+object TermCounts {
+  /** One scorer for the interpreted and generated paths. */
+  def compute(input: UTF8String): InternalRow = {
+    val toks = TextExpressions.Tok.tokens(input.toString)
+    val counts = new java.util.LinkedHashMap[String, Int](toks.length * 2)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.nonEmpty) counts.put(t, counts.getOrDefault(t, 0) + 1)
+      i += 1
+    }
+    val entries = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      entries(j) = InternalRow(UTF8String.fromString(e.getKey), e.getValue)
+      j += 1
+    }
+    InternalRow(toks.length, new GenericArrayData(entries))
+  }
+}
+
+/** See [[TextExpressions.termCounts]]. */
+case class TermCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = StructType(Seq(
+    StructField("ntok", IntegerType, nullable = false),
+    StructField("entries", ArrayType(StructType(Seq(
+      StructField("term", StringType, nullable = false),
+      StructField("n", IntegerType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TermCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.TermCounts$$.MODULE$$.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
     copy(child = newChild)
 }
 

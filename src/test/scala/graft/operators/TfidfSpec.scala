@@ -28,6 +28,27 @@ class TfidfSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("native termCounts matches the explode/groupBy formulation") {
+    val tricky = Seq(
+      (1L, "a b a  c d a"),           // NBSP is not \s — "c d" is ONE token
+      (2L, " edge   spaced  "),
+      (3L, "répé répé 日本語"),
+      (4L, ""), (5L, "   ")
+    ).toDF("doc_id", "text")
+    val native = tricky.select(col("doc_id"),
+        graft.plans.TextExpressions.termCounts(col("text")).as("tc"))
+      .select(col("doc_id"), col("tc.ntok").as("ntok"), explode(col("tc.entries")).as("e"))
+      .select(col("doc_id"), col("e.term"), col("e.n"), col("ntok"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getInt(3))).toSet
+    val columnar = tricky.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .select(col("doc_id"), size(col("t")).as("ntok"), explode(col("t")).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy("doc_id", "term", "ntok").agg(count(lit(1)).cast("int").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3), r.getInt(2))).toSet
+    assert(native == columnar, s"only-native=${native -- columnar} only-columnar=${columnar -- native}")
+  }
+
   test("topTerms ranks by tfidf desc with lexicographic tie-break") {
     val top = Tfidf.topTerms(docs, k = 1).orderBy("doc_id")
       .select("doc_id", "term", "rank").collect()
