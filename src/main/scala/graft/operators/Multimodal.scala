@@ -160,15 +160,34 @@ object Multimodal {
     out
   }
 
-  /** Real video CONTAINER metadata without a codec: walks the ISO-BMFF (MP4)
-    * box tree to `moov/mvhd` and returns the presentation duration in ms
-    * (timescale-normalized, version 0 and 1 headers). This is the honest
-    * ceiling for video in a JDK-only environment — frame decode needs an
-    * external codec ([[stubDecode]] stands in), but duration/track metadata
-    * is a deterministic header parse. Returns None for anything malformed —
-    * a corrupt sample must never kill the scan.
+  /** One parsed MP4 track: `kind` is the hdlr handler type (`vide`, `soun`,
+    * `text`, …); `durationMs` is the tkhd duration normalized by the MOVIE
+    * timescale (that is the spec's unit for tkhd); width/height are the
+    * tkhd 16.16 fixed-point presentation size (integer part) — non-zero
+    * only for visual tracks in practice.
     */
-  def probeMp4DurationMs(bytes: Array[Byte]): Option[Long] = {
+  final case class Mp4Track(kind: String, durationMs: Option[Long],
+                            width: Option[Int], height: Option[Int])
+
+  /** Parsed MP4 container metadata (no codec): presentation duration plus
+    * per-track kind/duration/dimensions.
+    */
+  final case class Mp4Meta(durationMs: Long, tracks: Seq[Mp4Track])
+
+  /** Real video CONTAINER metadata without a codec: walks the ISO-BMFF (MP4)
+    * box tree — `moov/mvhd` for the presentation duration and timescale,
+    * each `moov/trak` for its `tkhd` (duration, 16.16 fixed-point
+    * width/height) and `mdia/hdlr` (handler type: `vide`/`soun`/…). This is
+    * the honest ceiling for video in a JDK-only environment — frame decode
+    * needs an external codec ([[stubDecode]] stands in), but container
+    * metadata is a deterministic header parse (the same walk ffprobe does
+    * for these fields). Returns None for anything malformed — a corrupt
+    * sample must never kill the scan.
+    *
+    * Layout reference: ISO/IEC 14496-12 §8.2.2 (mvhd), §8.3.2 (tkhd),
+    * §8.4.3 (hdlr).
+    */
+  def probeMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
     if (bytes == null) return None
     def u32(off: Int): Long =
       ((bytes(off) & 0xffL) << 24) | ((bytes(off + 1) & 0xffL) << 16) |
@@ -176,40 +195,59 @@ object Multimodal {
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def boxType(off: Int): String =
       new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    try {
-      // top-level walk to moov
-      var off = 0
-      while (off + 8 <= bytes.length) {
-        val size = u32(off)
-        if (size < 8 || off + size > bytes.length) return None
-        if (boxType(off) == "moov") {
-          // child walk to mvhd
-          var c = off + 8
-          val end = off + size.toInt
-          while (c + 8 <= end) {
-            val csize = u32(c)
-            if (csize < 8 || c + csize > end) return None
-            if (boxType(c) == "mvhd") {
-              val body = c + 8
-              val version = bytes(body) & 0xff
-              // version 0: creation/modification u32 ×2, then timescale u32,
-              // duration u32; version 1: u64 ×2, timescale u32, duration u64
-              val (timescale, duration) =
-                if (version == 0) (u32(body + 12), u32(body + 16))
-                else if (version == 1) (u32(body + 20), u64(body + 24))
-                else return None
-              return if (timescale <= 0) None
-                     else Some(duration * 1000L / timescale)
-            }
-            c += csize.toInt
-          }
-          return None
+    // walk the children of [start, end), yielding (type, bodyStart, bodyEnd)
+    def children(start: Int, end: Int): Iterator[(String, Int, Int)] =
+      new Iterator[(String, Int, Int)] {
+        private var c = start
+        def hasNext: Boolean = c + 8 <= end && u32(c) >= 8 && c + u32(c) <= end
+        def next(): (String, Int, Int) = {
+          val t = (boxType(c), c + 8, c + u32(c).toInt); c += u32(c).toInt; t
         }
-        off += size.toInt
       }
-      None
+    try {
+      children(0, bytes.length).find(_._1 == "moov").flatMap { case (_, mBody, mEnd) =>
+        val boxes = children(mBody, mEnd).toSeq
+        boxes.find(_._1 == "mvhd").flatMap { case (_, body, _) =>
+          val version = bytes(body) & 0xff
+          // v0: creation/modification u32 ×2, timescale u32, duration u32;
+          // v1: u64 ×2, timescale u32, duration u64
+          val (timescale, duration) =
+            if (version == 0) (u32(body + 12), u32(body + 16))
+            else if (version == 1) (u32(body + 20), u64(body + 24))
+            else return None
+          if (timescale <= 0) None
+          else {
+            val tracks = boxes.filter(_._1 == "trak").flatMap { case (_, tBody, tEnd) =>
+              val kids = children(tBody, tEnd).toSeq
+              val kind = kids.find(_._1 == "mdia").flatMap { case (_, dBody, dEnd) =>
+                children(dBody, dEnd).find(_._1 == "hdlr").map { case (_, hBody, _) =>
+                  new String(bytes, hBody + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+                }
+              }
+              kids.find(_._1 == "tkhd").map { case (_, kBody, _) =>
+                val v = bytes(kBody) & 0xff
+                // tkhd v0: ver/flags, creation u32, modification u32, id u32,
+                // reserved u32, duration u32 … width/height 16.16 at +76/+80;
+                // v1 widens the three times/duration to u64 → +88/+92
+                val (dur, wOff) =
+                  if (v == 0) (u32(kBody + 20), kBody + 76)
+                  else (u64(kBody + 28), kBody + 88)
+                Mp4Track(kind.getOrElse("unkn"),
+                  Some(dur * 1000L / timescale),
+                  Some((u32(wOff) >> 16).toInt).filter(_ > 0),
+                  Some((u32(wOff + 4) >> 16).toInt).filter(_ > 0))
+              }
+            }
+            Some(Mp4Meta(duration * 1000L / timescale, tracks))
+          }
+        }
+      }
     } catch { case scala.util.control.NonFatal(_) => None }
   }
+
+  /** Presentation duration only — [[probeMp4]]'s header walk. */
+  def probeMp4DurationMs(bytes: Array[Byte]): Option[Long] =
+    probeMp4(bytes).map(_.durationMs)
 
   /** Deterministic decode stub for VIDEO frame payloads (images and audio
     * decode for real — [[decodeImage]], [[decodeAudio]]): a real
@@ -278,7 +316,16 @@ object Multimodal {
                   Some(a.durationMs), audioRmsFeatures(a, dim))
               case None => stub(None)
             }
-            case "video" => stub(probeMp4DurationMs(bytes)) // header parse is real, frames are not
+            case "video" => probeMp4(bytes) match {
+              // container metadata is real (duration + the video track's
+              // presentation size); frame features stay stubbed — no JDK codec
+              case Some(m) =>
+                val v = m.tracks.find(_.kind == "vide")
+                Extracted(id, kind, n, decoded = false,
+                  v.flatMap(_.width), v.flatMap(_.height), None, None,
+                  Some(m.durationMs), stubDecode(bytes, dim))
+              case None => stub(None)
+            }
             case _ => stub(None)
           }
         }

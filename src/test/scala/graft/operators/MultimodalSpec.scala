@@ -149,6 +149,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeMp4DurationMs(null).isEmpty)
   }
 
+  test("MP4 probe reads per-track kind, duration and 16.16 dimensions") {
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32be(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32be(0) ++ u32be(0) ++
+      u32be(1000) ++ u32be(3500)) // timescale 1000, duration 3500ms
+    // tkhd v0: ver/flags, creation, modification, id, reserved, duration,
+    // then 52 reserved/layer/matrix bytes, then 16.16 width/height
+    def tkhd(duration: Long, w: Int, h: Int) =
+      box("tkhd", Array[Byte](0, 0, 0, 0) ++ u32be(0) ++ u32be(0) ++ u32be(1) ++
+        u32be(0) ++ u32be(duration) ++ Array.fill(52)(0: Byte) ++
+        u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+    def hdlr(kind: String) =
+      box("hdlr", Array[Byte](0, 0, 0, 0) ++ u32be(0) ++ kind.getBytes("US-ASCII"))
+    val vtrak = box("trak", tkhd(3500, 640, 360) ++ box("mdia", hdlr("vide")))
+    val strak = box("trak", tkhd(3450, 0, 0) ++ box("mdia", hdlr("soun")))
+    val meta = Multimodal.probeMp4(box("moov", mvhd ++ vtrak ++ strak)).get
+    assert(meta.durationMs == 3500L)
+    assert(meta.tracks == Seq(
+      Multimodal.Mp4Track("vide", Some(3500L), Some(640), Some(360)),
+      Multimodal.Mp4Track("soun", Some(3450L), None, None)))
+    // extractFeatures surfaces the video track's presentation size
+    val rows = Seq(Row(30L, "video", box("moov", mvhd ++ vtrak),
+      Row(null, null, null, "video/mp4")))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), Multimodal.assetSchema)
+    val out = Multimodal.extractFeatures(df, dim = 2).collect().head
+    assert(!out.getAs[Boolean]("decoded") && out.getAs[Long]("duration_ms") == 3500L)
+    assert(out.getAs[Int]("width") == 640 && out.getAs[Int]("height") == 360)
+  }
+
   test("extractFeatures decodes audio for real and probes video duration") {
     val wav = pcm16Wav(Array.tabulate(1600)(i => if (i < 800) 16384 else 0), 8000f, 1)
     def box(tpe: String, body: Array[Byte]): Array[Byte] =
