@@ -29,6 +29,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_nfc(text)`           → string (Unicode NFC normalization, UAX#15)
   *  - `graft_normalize(text)`     → string (NFC → lower → whitespace collapse + trim)
   *  - `graft_compress_ratio(text)` → double (zlib deflate ratio — degenerate-text signal)
+  *  - `graft_bpeish_count(text)`  → int (BPE-ish token count, state-machine regex twin)
+  *  - `graft_winnow_fps(text, k, w)` → array<string> (winnowed md5 fingerprints; k, w literal ints)
+  *  - `graft_term_counts(text)`   → struct<ntok, entries array<struct<term, n>>>
+  *  - `graft_topk(score, id, k)`  → AGGREGATE: array<struct<score, id>> top-k by score desc, id asc ties (k literal int)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -125,8 +129,56 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_pii(text) takes exactly 1 argument")
         PiiStats(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_bpeish_count"),
+      new ExpressionInfo(classOf[BpeishCount].getName, "graft_bpeish_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_bpeish_count(text) takes exactly 1 argument")
+        BpeishCount(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow_fps"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_winnow_fps(text, k, w) takes exactly 3 arguments")
+        WinnowFps(children.head, litInt(children(1), "graft_winnow_fps", "k"),
+          litInt(children(2), "graft_winnow_fps", "w"))
+      }),
+    (
+      new FunctionIdentifier("graft_term_counts"),
+      new ExpressionInfo(classOf[TermCounts].getName, "graft_term_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_term_counts(text) takes exactly 1 argument")
+        TermCounts(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_topk"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "graft_topk(score, id, k) takes exactly 3 arguments")
+        // the analyzer wraps a bare AggregateFunction builder result in the
+        // AggregateExpression itself (the same contract Spark's built-in
+        // registry entries rely on)
+        TopKByScore(children.head, children(1), litInt(children(2), "graft_topk", "k"))
       })
   )
+
+  /** A literal/foldable integer argument (k, w, …) evaluated at analysis
+    * time — a non-foldable expression here would mean a different operator
+    * shape per row, which none of these functions can support.
+    */
+  private def litInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: '$arg' must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long if l == l.toInt => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: '$arg' must be a literal integer, got $other")
+    }
+  }
 
   /** Register into an already-running session (withExtensions only applies to
     * sessions built afterwards). Idempotent.

@@ -151,4 +151,48 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlOut == dslOut)
     assert(sqlOut(0) < sqlOut(1)) // repetitive compresses further
   }
+
+  test("graft_winnow_fps / graft_term_counts / graft_bpeish_count from SQL match the DSL") {
+    import spark.implicits._
+    Seq((1L, "alpha beta gamma delta epsilon zeta eta"), (2L, "CamelCase42 mixed, tokens!"))
+      .toDF("id", "t").createOrReplaceTempView("wf_docs")
+    val sqlFps = spark.sql("SELECT id, explode(graft_winnow_fps(t, 3, 2)) AS fp FROM wf_docs")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val dslFps = spark.table("wf_docs")
+      .select($"id", org.apache.spark.sql.functions.explode(
+        TextExpressions.winnowFps($"t", 3, 2)).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sqlFps == dslFps && sqlFps.nonEmpty)
+    val sqlTc = spark.sql(
+      "SELECT graft_term_counts(t).ntok, size(graft_term_counts(t).entries) FROM wf_docs WHERE id = 1")
+      .head()
+    assert(sqlTc.getInt(0) == 7 && sqlTc.getInt(1) == 7)
+    val sqlBpe = spark.sql("SELECT graft_bpeish_count(t) FROM wf_docs WHERE id = 2").head().getInt(0)
+    val dslBpe = spark.table("wf_docs").filter($"id" === 2)
+      .select(TextExpressions.bpeishCount($"t")).head().getInt(0)
+    assert(sqlBpe == dslBpe)
+    // literal-only k/w guard
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_winnow_fps(t, id, 2) FROM wf_docs").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
+  test("graft_topk aggregate from SQL matches the window formulation") {
+    import spark.implicits._
+    (0L until 200L).map(i => (i % 5, i, math.cos(i.toDouble)))
+      .toDF("q", "id", "score").createOrReplaceTempView("tk_rows")
+    val sqlOut = spark.sql(
+      """SELECT q, e.id, e.score
+         FROM (SELECT q, graft_topk(score, id, 3) AS tk FROM tk_rows GROUP BY q)
+         LATERAL VIEW explode(tk) AS e""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val winOut = spark.sql(
+      """SELECT q, id, score FROM (
+           SELECT q, id, score,
+                  row_number() OVER (PARTITION BY q ORDER BY score DESC, id) AS rk
+           FROM tk_rows) WHERE rk <= 3""")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(sqlOut == winOut && sqlOut.size == 15)
+  }
 }
