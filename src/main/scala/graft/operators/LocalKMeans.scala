@@ -43,6 +43,10 @@ object LocalKMeans {
       if (cost < bestCost) { bestCost = cost; best = centers }
       r += 1
     }
+    // NaN cost in EVERY restart (NaN/Inf coordinates poison sqDist) would
+    // otherwise fall through as null and NPE far from the bad row
+    require(best != null,
+      "LocalKMeans: fit cost was NaN for every restart — the sample contains NaN/Inf coordinates")
     best
   }
 

@@ -210,12 +210,18 @@ object Multimodal {
         boxes.find(_._1 == "mvhd").flatMap { case (_, body, _) =>
           val version = bytes(body) & 0xff
           // v0: creation/modification u32 ×2, timescale u32, duration u32;
-          // v1: u64 ×2, timescale u32, duration u64
+          // v1: u64 ×2, timescale u32, duration u64. All-ones duration is
+          // the spec's "unknown" sentinel (fragmented MP4s carry the real
+          // duration in mehd/sidx, which a header walk cannot total) —
+          // surfacing it as ~49.7 days (or negative, for v1) would be
+          // garbage metadata, so unknown-duration files probe as None.
           val (timescale, duration) =
             if (version == 0) (u32(body + 12), u32(body + 16))
             else if (version == 1) (u32(body + 20), u64(body + 24))
             else return None
-          if (timescale <= 0) None
+          val unknown = (version == 0 && duration == 0xffffffffL) ||
+            (version == 1 && duration == -1L)
+          if (timescale <= 0 || unknown) None
           else {
             val tracks = boxes.filter(_._1 == "trak").flatMap { case (_, tBody, tEnd) =>
               val kids = children(tBody, tEnd).toSeq
@@ -232,8 +238,9 @@ object Multimodal {
                 val (dur, wOff) =
                   if (v == 0) (u32(kBody + 20), kBody + 76)
                   else (u64(kBody + 28), kBody + 88)
+                val durUnknown = (v == 0 && dur == 0xffffffffL) || (v != 0 && dur == -1L)
                 Mp4Track(kind.getOrElse("unkn"),
-                  Some(dur * 1000L / timescale),
+                  if (durUnknown) None else Some(dur * 1000L / timescale),
                   Some((u32(wOff) >> 16).toInt).filter(_ > 0),
                   Some((u32(wOff + 4) >> 16).toInt).filter(_ > 0))
               }

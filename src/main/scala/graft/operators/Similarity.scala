@@ -108,8 +108,9 @@ object Similarity {
     * retrieval shape (N queries against the corpus per run, not one). Same
     * bucket-and-probe structure as [[lshTopK]], but the query side is a
     * frame: every query's probe buckets broadcast together, the corpus is
-    * scanned ONCE for all queries, and candidates rank per query in one
-    * window shuffle on `queryIdCol`. Cost ∝ corpus × (probed fraction) +
+    * scanned ONCE for all queries, and candidates rank per query through
+    * the bounded top-k aggregate (map-side discard — the exchange carries
+    * ≤ partitions × queries × k rows). Cost ∝ corpus × (probed fraction) +
     * candidates — independent of query count until the broadcast (queries ×
     * (nbits+1) probe rows) stops fitting, at which point shard the query
     * frame and union.
@@ -229,8 +230,10 @@ object Similarity {
       * construction), each query scores them and keeps the best `nprobe` —
       * then two broadcasts reach the corpus: narrow `(query, cell)` probe
       * pairs for the candidate equi-join, and each query VECTOR exactly
-      * once (not once per probe cell) for scoring. One window shuffle on
-      * `queryIdCol` ranks candidates. A corpus row lives in exactly one
+      * once (not once per probe cell) for scoring. The bounded top-k
+      * aggregate ranks candidates (map-side discard — only
+      * ≤ partitions × queries × k rows reach the exchange).
+      * A corpus row lives in exactly one
       * cell, so (query, doc) pairs are unique — no dedup stage needed.
       * When the query frame itself outgrows broadcast range, shard it and
       * union the results (the lshTopKBatch guidance).

@@ -782,10 +782,15 @@ object WinnowFps {
       i += 1
     }
     // sliding minimum via monotonic index deque: amortized O(1) per gram.
-    // Ties keep the EARLIER index (strict-less eviction) — irrelevant to
-    // output (equal value either way) but keeps the walk deterministic.
+    // Equal digests evict (non-strict eviction), so ties keep the LATER
+    // index — irrelevant to output (equal digests hex identically) but
+    // stated so nobody builds on the opposite invariant. The head usually
+    // survives many consecutive windows, so hex-encode only when it
+    // CHANGES (lastIdx memo) — the LinkedHashSet dedupes by value anyway;
+    // this just skips the per-window allocation.
     val seen = new java.util.LinkedHashSet[UTF8String]
     val deque = new java.util.ArrayDeque[Int](w + 1)
+    var lastIdx = -1
     var p = 0
     while (p < ng) {
       while (!deque.isEmpty && !less(digests(deque.peekLast()), digests(p)))
@@ -794,7 +799,11 @@ object WinnowFps {
       val winStart = p - w + 1
       if (winStart >= 0) {
         while (deque.peekFirst() < winStart) deque.pollFirst()
-        seen.add(hex(digests(deque.peekFirst()))): Unit
+        val head = deque.peekFirst()
+        if (head != lastIdx) {
+          seen.add(hex(digests(head))): Unit
+          lastIdx = head
+        }
       }
       p += 1
     }

@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -33,8 +33,11 @@ import org.apache.spark.sql.types._
 object TopKAggregate {
 
   /** `array<struct<score, id>>` of the top `k` (score desc, id asc) pairs
-    * of the group. `id` must be non-null (LongType; narrower integers cast
-    * up); a null score ranks after every non-null score.
+    * of the group. `id` must be a non-null NUMERIC column (stored as
+    * BIGINT; narrower integers implicit-cast up — every retrieval call
+    * site uses long vec_ids). Non-numeric id columns are not supported
+    * here; rank those with a window. A null score ranks after every
+    * non-null score.
     */
   def topK(score: Column, id: Column, k: Int): Column =
     ColumnShim.column(TopKByScore(
@@ -89,7 +92,7 @@ final class TopKBuffer(val k: Int) {
 case class TopKByScore(score: Expression, id: Expression, k: Int,
                        mutableAggBufferOffset: Int = 0,
                        inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[TopKBuffer] with ExpectsInputTypes {
+    extends TypedImperativeAggregate[TopKBuffer] with ImplicitCastInputTypes {
 
   require(k > 0, s"TopKByScore: k=$k must be positive")
 

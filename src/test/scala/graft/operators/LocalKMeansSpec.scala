@@ -30,12 +30,17 @@ class LocalKMeansSpec extends AnyFunSuite {
     got.foreach(c => assert(c.length == 2))
   }
 
-  test("guards: empty input, bad k, ragged dims") {
+  test("guards: empty input, bad k, ragged dims, NaN coordinates") {
     intercept[IllegalArgumentException] { LocalKMeans.fit(Array.empty, 3, 1L) }
     intercept[IllegalArgumentException] { LocalKMeans.fit(Array(Array(1.0)), 0, 1L) }
     intercept[IllegalArgumentException] {
       LocalKMeans.fit(Array(Array(1.0), Array(1.0, 2.0)), 1, 1L)
     }
+    // NaN poisons every restart's cost — must fail loudly, not return null
+    val e = intercept[IllegalArgumentException] {
+      LocalKMeans.fit(Array(Array(1.0, Double.NaN), Array(2.0, 3.0)), 1, 1L)
+    }
+    assert(e.getMessage.contains("NaN"))
   }
 
   test("fit assignment equals NearestCenter scan assignment (tie policy shared)") {

@@ -169,6 +169,14 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.tracks == Seq(
       Multimodal.Mp4Track("vide", Some(3500L), Some(640), Some(360)),
       Multimodal.Mp4Track("soun", Some(3450L), None, None)))
+    // the all-ones "duration unknown" sentinel (fragmented MP4s) must probe
+    // as None, not as ~49.7 days of garbage
+    val mvhdUnknown = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32be(0) ++ u32be(0) ++
+      u32be(1000) ++ u32be(0xffffffffL))
+    assert(Multimodal.probeMp4(box("moov", mvhdUnknown ++ vtrak)).isEmpty)
+    val vtrakUnknown = box("trak", tkhd(0xffffffffL, 640, 360) ++ box("mdia", hdlr("vide")))
+    val m2 = Multimodal.probeMp4(box("moov", mvhd ++ vtrakUnknown)).get
+    assert(m2.tracks == Seq(Multimodal.Mp4Track("vide", None, Some(640), Some(360))))
     // extractFeatures surfaces the video track's presentation size
     val rows = Seq(Row(30L, "video", box("moov", mvhd ++ vtrak),
       Row(null, null, null, "video/mp4")))

@@ -47,17 +47,16 @@ class SkewIvfStreamSpec extends SparkSpec {
     val approx = idx.topKForId(0L, 10, nprobe = 3).collect().map(_.getAs[Long]("vec_id")).toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.7, s"IVF recall $recall; exact=$exact approx=$approx")
-    // probing really restricts the scan: rows in the nprobe=2 nearest cells
-    // must be a strict subset of the corpus
+    // probing really restricts the scan: rows in the nprobe=3 nearest cells
+    // (by the operator's own metric — squared Euclidean to the centroids,
+    // mirroring topKForId's probe selection) must be a strict subset
     val qVec = idx.assigned.filter($"vec_id" === 0L)
       .select($"embedding".cast("array<double>")).head().getAs[scala.collection.Seq[Double]](0)
     val probeCells = idx.centers.zipWithIndex.map { case (c, i) =>
-      val dot  = c.zip(qVec).map { case (x, y) => x * y }.sum
-      val norm = math.sqrt(c.map(x => x * x).sum) * math.sqrt(qVec.map(x => x * x).sum)
-      (i, if (norm == 0) -1.0 else dot / norm)
-    }.sortBy(-_._2).take(2).map(_._1)
+      (i, c.zip(qVec).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }.sortBy { case (i, d) => (d, i) }.take(3).map(_._1)
     val probedRows = idx.assigned.filter($"cell".isin(probeCells.toIndexedSeq: _*)).count()
-    assert(probedRows < 200, s"nprobe=2 must scan a strict subset, scanned $probedRows")
+    assert(probedRows < 200, s"nprobe=3 must scan a strict subset, scanned $probedRows")
     assert(idx.assigned.groupBy("cell").count().count() > 1, "quantizer collapsed")
   }
 

@@ -70,6 +70,12 @@ class TopKAggregateSpec extends SparkSpec {
     assert(one == many)
   }
 
+  test("integer id columns implicit-cast up (the window formulation accepted them)") {
+    val rows = Seq((1L, 7, 0.9), (1L, 8, 0.5), (1L, 9, 0.7)).toDF("q", "id", "score")
+    val got = aggTopK(rows, 2).collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((7L, 0.9), (9L, 0.7)))
+  }
+
   test("null id raises; k guard fires") {
     val bad = Seq((1L, Option.empty[Long], 0.5)).toDF("q", "id", "score")
     val e = intercept[Exception] {
