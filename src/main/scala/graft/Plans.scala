@@ -48,9 +48,11 @@ object Plans {
       "q_line_filter"      -> "ONE exchange (reassembly groupBy doc_id); the line predicate evaluates inside the Generate/scan stage — no window, no join",
       "q_text_normalize"   -> "pure scan projection: UnicodeNormalize + lower + regexp inside the scan, zero shuffles beyond the output sort",
       "q_dedup_exact_inc"  -> "corpus side map-side only (bloom agg subquery + broadcast semi-join probe); BroadcastHashJoins for the candidate check; the ONLY full exchange is the new batch's window on its content hash",
-      "q_ann_batch"        -> "queries BROADCAST once, corpus scanned ONCE for all queries, ONE window exchange on query_id — cost independent of query count",
+      "q_ann_batch"        -> "queries BROADCAST once, corpus scanned ONCE for all queries, candidates discarded MAP-SIDE by the bounded top-k aggregate (ObjectHashAggregate partial keeps ≤ k per query per partition — the exchange carries the answer, not the candidates)",
       "q_pipeline_ingest"  -> "normalize fuses into the scan; the whole normalize→line-dedup→exact-dedup chain is ONE plan: line window exchange, reassembly exchange, then only (hash, min id) aggregates shuffle for the dedup — cleaned bodies never move again",
-      "q_ann_ivf"          -> "probe pairs + query vectors both BROADCAST to the corpus (each query vector ships ONCE, not once per probe cell); the cosine SCORING path takes the float arrays directly with no cast (the one remaining array<double> cast is MLlib's array_to_vector inside the cell-assignment projection); ONE window exchange on query_id",
+      "q_ann_ivf"          -> "probe pairs + query vectors both BROADCAST to the corpus (each query vector ships ONCE, not once per probe cell); cell assignment is ONE native NearestCenter node inside the scan (no MLlib, no array cast — the quantizer trained driver-local on the bounded sample); candidates discarded map-side by the bounded top-k aggregate",
+      "q_text_winnow"      -> "the ENTIRE fingerprint pass is one native WinnowFps node inside the scan (tokenize → md5 k-grams → sliding-min → distinct per document) — ZERO exchanges before the output sort; no k-gram ever becomes a row",
+      "q_text_tfidf"       -> "tf triples computed INSIDE the scan (native TermCounts — no token occurrence ever shuffles), checkpointed once; remaining exchanges are the vocabulary-sized df aggregate and the term join only",
       "q_dedup_semantic"   -> "candidates from the (cell, bucket) equi-join — never a cell cross-product; cosine scores in the join's output projection and the threshold filter runs BEFORE the dedup exchange, so only narrow (id_a, id_b, score) rows ever shuffle, vectors move only with their own corpus row",
       "q_text_bpe"         -> "pure scan projection: ONE native bpeishcount node (a state machine, not a regex) inside the scan, zero shuffles beyond the output sort"
     )
