@@ -722,6 +722,14 @@ object SparkEntry {
           Tables.load(s, dir, "documents").select("doc_id", "lang"),
           key = col("doc_id"), strata = col("lang"), n = 5)
         .orderBy("doc_id")),
+    "q_text_bm25" -> ((s, dir) =>
+      // BM25 ranked retrieval over the corpus for a fixed 3-term query
+      // (terms from the synthetic vocabulary). Per-term weights sum as
+      // DECIMAL(18,6) so the score is exact cross-engine; ordering is
+      // (score desc, doc_id) — total. k1/b are the classic 1.2/0.75.
+      operators.Tfidf.bm25(Tables.load(s, dir, "documents"),
+          Seq("join", "hash", "row"))
+        .select("doc_id", "score", "n_terms")),
     "q_text_tfidf" -> ((s, dir) =>
       // TF-IDF keyword extraction: top-3 terms per doc. Scored over the FULL
       // corpus (df/N are corpus-level), output restricted afterwards. One
@@ -1254,6 +1262,29 @@ object SparkEntry {
                 count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
                 count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
          FROM l GROUP BY doc_id ORDER BY doc_id""",
+    "q_text_bm25" ->
+      // identical BM25 algebra: Lucene-smoothed idf, k1=1.2 b=0.75, per-term
+      // weights cast to DECIMAL(18,6) before the sum (exact, order-free)
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, len(w) AS ntok, unnest(w) AS term FROM toks),
+         tf AS (
+           SELECT doc_id, term, count(*) AS n, any_value(ntok) AS ntok
+           FROM terms WHERE term IN ('join', 'hash', 'row') GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         stats AS (
+           SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM toks),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (n * (1.2 + 1.0))
+                       / (n + 1.2 * (1.0 - 0.75 + 0.75 * ntok / avgdl))
+                       AS DECIMAL(18,6)) AS w
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+         SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score, count(*) AS n_terms
+         FROM scored GROUP BY doc_id
+         ORDER BY score DESC, doc_id""",
     "q_text_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w

@@ -68,6 +68,58 @@ object Tfidf {
       .select(col(idCol), col("term"), col("n"), col("tf"), col("df"), col("tfidf"))
   }
 
+  /** BM25 ranked retrieval (Robertson/Spärck Jones; the Lucene-smoothed
+    * idf): score every document containing at least one of `queryTerms`,
+    *
+    *   idf(t)     = ln(1 + (N − df + 0.5) / (df + 0.5))
+    *   w(d, t)    = idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   score(d)   = Σ_t w(d, t)
+    *
+    * returning `(idCol, score, n_terms)` ordered by score desc (doc id
+    * ties). Scale shape: term counts come from the scan-side native
+    * TermCounts (zero exchanges — see [[tfidf]]), immediately filtered to
+    * the query's terms so only matching (doc, term) triples survive; df
+    * aggregates over ≤ |queryTerms| keys; N and avgdl ride scalar
+    * subqueries. Per-term weights are summed as DECIMAL(18,6) so the
+    * cross-engine oracle is exact regardless of FP summation order (the
+    * money-sum discipline).
+    */
+  def bm25(docs: DataFrame, queryTerms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "Tfidf.bm25: queryTerms must be non-empty")
+    require(queryTerms.forall(_.nonEmpty), "Tfidf.bm25: empty-string query term")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"Tfidf.bm25: k1=$k1 must be >= 0 and b=$b in [0,1]")
+    Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
+      s"Tfidf.bm25: input has no '$c' column"))
+    Seq("term", "n", "df", "score", "n_terms", "__graft_ntok").foreach(c =>
+      require(!docs.columns.contains(c),
+        s"Tfidf.bm25: input already has a '$c' column — rename it first"))
+    val live = docs.filter(col(textCol).isNotNull)
+    val tf = docs
+      .select(col(idCol),
+        graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
+      .select(col(idCol), col("__tc.ntok").as("__graft_ntok"),
+        explode(col("__tc.entries")).as("__e"))
+      .select(col(idCol), col("__e.term").as("term"),
+        col("__e.n").cast("long").as("n"), col("__graft_ntok"))
+      .filter(col("term").isin(queryTerms: _*))
+      .localCheckpoint(eager = false) // two consumers: df aggregate + the join
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val nDocs = ColumnShim.scalarSubquery(live.select(count(lit(1)).as("n")))
+    val avgdl = ColumnShim.scalarSubquery(live.select(
+      avg(size(graft.functions.TextFunctions.tokens(col(textCol)))).as("avgdl")))
+    val idf = log(lit(1.0) + (nDocs - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = idf * (col("n") * (lit(k1) + lit(1.0))) /
+      (col("n") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__graft_ntok") / avgdl))
+    tf.join(dfreq, "term")
+      .withColumn("__w", w.cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).cast("double").as("score"), count(lit(1)).as("n_terms"))
+      .orderBy(desc("score"), col(idCol))
+  }
+
   /** Top-`k` terms per document by tfidf (ties → lexicographic term order —
     * total, engine-portable ranking).
     */

@@ -28,6 +28,31 @@ class TfidfSpec extends SparkSpec {
     assert(out.toSeq == expected)
   }
 
+  test("bm25 matches a hand computation; guards fire") {
+    // corpus: doc1 "apple banana apple" (dl=3), doc2 "banana cherry" (dl=2),
+    // doc3 "cherry cherry cherry durian" (dl=4); N=3, avgdl=3
+    val out = Tfidf.bm25(docs, Seq("apple", "cherry"), k1 = 1.2, b = 0.75)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    def idf(df: Int) = math.log(1.0 + (3 - df + 0.5) / (df + 0.5))
+    def w(tf: Int, df: Int, dl: Int) = {
+      val raw = idf(df) * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / 3.0))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expected = Map(
+      1L -> (w(2, 1, 3), 1L),             // apple ×2, df(apple)=1
+      2L -> (w(1, 2, 2), 1L),             // cherry ×1, df(cherry)=2
+      3L -> (w(3, 2, 4), 1L))             // cherry ×3
+    assert(out.length == 3)
+    out.foreach { case (id, score, nTerms) =>
+      val (es, en) = expected(id)
+      assert(math.abs(score - es) < 1e-9 && nTerms == en, s"doc $id: got $score/$nTerms want $es/$en")
+    }
+    // ordering is score desc, id
+    assert(out.map(_._1).toSeq == out.sortBy(r => (-r._2, r._1)).map(_._1).toSeq)
+    intercept[IllegalArgumentException] { Tfidf.bm25(docs, Nil) }
+    intercept[IllegalArgumentException] { Tfidf.bm25(docs, Seq("a"), b = 1.5) }
+  }
+
   test("native termCounts matches the explode/groupBy formulation") {
     val tricky = Seq(
       (1L, "a b a  c d a"),           // NBSP is not \s — "c d" is ONE token
