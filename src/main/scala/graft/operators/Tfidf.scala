@@ -105,19 +105,79 @@ object Tfidf {
         col("__e.n").cast("long").as("n"), col("__graft_ntok"))
       .filter(col("term").isin(queryTerms: _*))
       .localCheckpoint(eager = false) // two consumers: df aggregate + the join
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     import org.apache.spark.sql.graftshim.ColumnShim
     val nDocs = ColumnShim.scalarSubquery(live.select(count(lit(1)).as("n")))
     val avgdl = ColumnShim.scalarSubquery(live.select(
       avg(size(graft.functions.TextFunctions.tokens(col(textCol)))).as("avgdl")))
+    scorePostings(tf, nDocs, avgdl, k1, b, idCol)
+  }
+
+  /** The shared BM25 scoring tail over `(idCol, term, n, __graft_ntok)`
+    * posting rows — one formula for the direct and indexed paths. */
+  private def scorePostings(posts: DataFrame,
+                            nDocs: org.apache.spark.sql.Column,
+                            avgdl: org.apache.spark.sql.Column,
+                            k1: Double, b: Double, idCol: String): DataFrame = {
+    val dfreq = posts.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (nDocs - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = idf * (col("n") * (lit(k1) + lit(1.0))) /
       (col("n") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__graft_ntok") / avgdl))
-    tf.join(dfreq, "term")
+    posts.join(dfreq, "term")
       .withColumn("__w", w.cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(sum(col("__w")).cast("double").as("score"), count(lit(1)).as("n_terms"))
       .orderBy(desc("score"), col(idCol))
+  }
+
+  /** Materialize the posting relation `(id, term, n, ntok)` bucketed by
+    * `term` — the retrieval sibling of the dedup family's band/fingerprint
+    * indexes: with postings pre-shuffled on disk by the probe key, a
+    * [[bm25Indexed]] query reads ONLY the query terms' buckets (bucket
+    * pruning on the `term` filter) and its df aggregate + posting join
+    * consume the stored partitioning with zero exchanges — the only
+    * shuffle a query pays is the final per-document score aggregate over
+    * slim scored rows. Corpus statistics (N, avgdl — corpus-wide by
+    * definition, so they must not be recomputed per query) are written
+    * alongside as `<table>_stats`.
+    */
+  def writePostingsIndex(docs: DataFrame, table: String, buckets: Int,
+                         idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
+      s"Tfidf.writePostingsIndex: input has no '$c' column"))
+    val posts = docs
+      .select(col(idCol).as("id"),
+        graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
+      .select(col("id"), col("__tc.ntok").as("ntok"), explode(col("__tc.entries")).as("__e"))
+      .select(col("id"), col("__e.term").as("term"), col("__e.n").cast("long").as("n"),
+        col("ntok"))
+    Bucketing.writeBucketed(posts, table, buckets, Seq("term"))
+    docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        avg(size(graft.functions.TextFunctions.tokens(col(textCol)))).as("avgdl"))
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table + "_stats")
+  }
+
+  /** BM25 over a stored postings index ([[writePostingsIndex]] layout):
+    * identical scores to [[bm25]] on the same corpus (spec-pinned), but
+    * the corpus is never re-tokenized and the index side never shuffles —
+    * the daily-retrieval shape.
+    */
+  def bm25Indexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                  queryTerms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "Tfidf.bm25Indexed: queryTerms must be non-empty")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"Tfidf.bm25Indexed: k1=$k1 must be >= 0 and b=$b in [0,1]")
+    val posts = Bucketing.table(spark, table)
+      .filter(col("term").isin(queryTerms: _*))
+      .withColumnRenamed("ntok", "__graft_ntok")
+    Seq("id", "term", "n", "__graft_ntok").foreach(c => require(posts.columns.contains(c),
+      s"Tfidf.bm25Indexed: postings index has no '${if (c == "__graft_ntok") "ntok" else c}' column (expect writePostingsIndex layout)"))
+    import org.apache.spark.sql.graftshim.ColumnShim
+    val stats = spark.table(table + "_stats")
+    val nDocs = ColumnShim.scalarSubquery(stats.select(col("n_docs")))
+    val avgdl = ColumnShim.scalarSubquery(stats.select(col("avgdl")))
+    scorePostings(posts, nDocs, avgdl, k1, b, "id")
   }
 
   /** Top-`k` terms per document by tfidf (ties → lexicographic term order —

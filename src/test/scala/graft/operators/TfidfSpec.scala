@@ -53,6 +53,37 @@ class TfidfSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Tfidf.bm25(docs, Seq("a"), b = 1.5) }
   }
 
+  test("bm25Indexed equals direct bm25; buckets prune and the index never shuffles on term") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+    val helper = new AdaptiveSparkPlanHelper {}
+    dropTables("tf_postings", "tf_postings_stats")
+    val corpus = (0L until 60L).map(i =>
+      (i, s"term${i % 7} filler common words term${i % 5} more filler term${i % 7}"))
+      .toDF("doc_id", "text")
+    Tfidf.writePostingsIndex(corpus, "tf_postings", 4)
+    val direct = Tfidf.bm25(corpus, Seq("term0", "term3"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    val indexed = Tfidf.bm25Indexed(spark, "tf_postings", Seq("term0", "term3"))
+    val got = indexed.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == direct && got.nonEmpty, s"indexed=$got direct=$direct")
+    // the index leg consumes the stored term partitioning: no term-keyed
+    // exchange may contain the postings scan (only the final per-doc
+    // aggregate shuffles, on id)
+    val offenders = helper.collectWithSubqueries(indexed.queryExecution.executedPlan) {
+      case s: ShuffleExchangeLike if s.outputPartitioning.toString.contains("term#") &&
+        s.toString.contains("tf_postings") => s
+    }
+    assert(offenders.isEmpty, s"postings re-shuffled on term:\n${offenders.mkString("\n")}")
+    // bucket pruning: the term filter selects a strict subset of buckets
+    val scanLine = indexed.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("SelectedBucketsCount")).getOrElse("")
+    val m = "SelectedBucketsCount: (\\d+) out of (\\d+)".r.findFirstMatchIn(scanLine)
+    assert(m.exists(g => g.group(1).toInt < g.group(2).toInt),
+      s"term filter must prune buckets: $scanLine")
+    dropTables("tf_postings", "tf_postings_stats")
+  }
+
   test("native termCounts matches the explode/groupBy formulation") {
     val tricky = Seq(
       (1L, "a b a  c d a"),           // NBSP is not \s — "c d" is ONE token
