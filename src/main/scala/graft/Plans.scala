@@ -53,6 +53,7 @@ object Plans {
       "q_ann_ivf"          -> "probe pairs + query vectors both BROADCAST to the corpus (each query vector ships ONCE, not once per probe cell); cell assignment is ONE native NearestCenter node inside the scan (no MLlib, no array cast — the quantizer trained driver-local on the bounded sample); candidates discarded map-side by the bounded top-k aggregate",
       "q_text_winnow"      -> "the ENTIRE fingerprint pass is one native WinnowFps node inside the scan (tokenize → md5 k-grams → sliding-min → distinct per document) — ZERO exchanges before the output sort; no k-gram ever becomes a row",
       "q_text_tfidf"       -> "tf triples computed INSIDE the scan (native TermCounts — no token occurrence ever shuffles), checkpointed once; remaining exchanges are the vocabulary-sized df aggregate and the term join only",
+      "q_text_bm25"        -> "postings from the scan-side TermCounts filtered to the query's terms BEFORE anything shuffles; N+avgdl ride ONE struct-typed scalar subquery (one corpus pass, no second tokenize); per-term weights sum as decimal — exchanges are the ≤|query|-key df aggregate, the term join, and the per-doc score aggregate",
       "q_dedup_semantic"   -> "candidates from the (cell, bucket) equi-join — never a cell cross-product; cosine scores in the join's output projection and the threshold filter runs BEFORE the dedup exchange, so only narrow (id_a, id_b, score) rows ever shuffle, vectors move only with their own corpus row",
       "q_text_bpe"         -> "pure scan projection: ONE native bpeishcount node (a state machine, not a regex) inside the scan, zero shuffles beyond the output sort"
     )

@@ -95,7 +95,6 @@ object Tfidf {
     Seq("term", "n", "df", "score", "n_terms", "__graft_ntok").foreach(c =>
       require(!docs.columns.contains(c),
         s"Tfidf.bm25: input already has a '$c' column — rename it first"))
-    val live = docs.filter(col(textCol).isNotNull)
     val tf = docs
       .select(col(idCol),
         graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
@@ -105,12 +104,25 @@ object Tfidf {
         col("__e.n").cast("long").as("n"), col("__graft_ntok"))
       .filter(col("term").isin(queryTerms: _*))
       .localCheckpoint(eager = false) // two consumers: df aggregate + the join
+    // N and avgdl in ONE corpus pass, shipped as ONE struct-typed scalar
+    // subquery: two separate subqueries would each rescan the corpus (they
+    // don't canonicalize equal, so ReuseSubquery can't merge them), and
+    // the ntok needed for avgdl is TermCounts' first field — no second
+    // tokenize (same value as size(tokens(text)), spec-pinned).
     import org.apache.spark.sql.graftshim.ColumnShim
-    val nDocs = ColumnShim.scalarSubquery(live.select(count(lit(1)).as("n")))
-    val avgdl = ColumnShim.scalarSubquery(live.select(
-      avg(size(graft.functions.TextFunctions.tokens(col(textCol)))).as("avgdl")))
-    scorePostings(tf, nDocs, avgdl, k1, b, idCol)
+    val stats = ColumnShim.scalarSubquery(corpusStats(docs, textCol))
+    scorePostings(tf, stats.getField("n_docs"), stats.getField("avgdl"), k1, b, idCol)
   }
+
+  /** One-row `struct<n_docs, avgdl>` over the live (non-null-text) corpus —
+    * one scan, shared by the direct path's scalar subquery and the index
+    * write. */
+  private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .agg(count(lit(1)).as("n_docs"),
+        avg(graft.plans.TextExpressions.termCounts(col(textCol)).getField("ntok"))
+          .as("avgdl"))
+      .select(struct(col("n_docs"), col("avgdl")).as("s"))
 
   /** The shared BM25 scoring tail over `(idCol, term, n, __graft_ntok)`
     * posting rows — one formula for the direct and indexed paths. */
@@ -151,9 +163,7 @@ object Tfidf {
       .select(col("id"), col("__e.term").as("term"), col("__e.n").cast("long").as("n"),
         col("ntok"))
     Bucketing.writeBucketed(posts, table, buckets, Seq("term"))
-    docs.filter(col(textCol).isNotNull)
-      .agg(count(lit(1)).as("n_docs"),
-        avg(size(graft.functions.TextFunctions.tokens(col(textCol)))).as("avgdl"))
+    corpusStats(docs, textCol).select(col("s.n_docs"), col("s.avgdl"))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table + "_stats")
   }
@@ -167,12 +177,16 @@ object Tfidf {
                   queryTerms: Seq[String],
                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(queryTerms.nonEmpty, "Tfidf.bm25Indexed: queryTerms must be non-empty")
+    require(queryTerms.forall(_.nonEmpty), "Tfidf.bm25Indexed: empty-string query term")
     require(k1 >= 0 && b >= 0 && b <= 1, s"Tfidf.bm25Indexed: k1=$k1 must be >= 0 and b=$b in [0,1]")
-    val posts = Bucketing.table(spark, table)
+    // layout check BEFORE any column is referenced — a malformed index gets
+    // the loud 'rebuild it' message, not an AnalysisException from the plan
+    val raw = Bucketing.table(spark, table)
+    Seq("id", "term", "n", "ntok").foreach(c => require(raw.columns.contains(c),
+      s"Tfidf.bm25Indexed: postings index has no '$c' column (expect writePostingsIndex layout)"))
+    val posts = raw
       .filter(col("term").isin(queryTerms: _*))
       .withColumnRenamed("ntok", "__graft_ntok")
-    Seq("id", "term", "n", "__graft_ntok").foreach(c => require(posts.columns.contains(c),
-      s"Tfidf.bm25Indexed: postings index has no '${if (c == "__graft_ntok") "ntok" else c}' column (expect writePostingsIndex layout)"))
     import org.apache.spark.sql.graftshim.ColumnShim
     val stats = spark.table(table + "_stats")
     val nDocs = ColumnShim.scalarSubquery(stats.select(col("n_docs")))
