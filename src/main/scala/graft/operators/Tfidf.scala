@@ -39,22 +39,13 @@ object Tfidf {
     Seq("term", "n", "tf", "df", "tfidf", "__graft_ntok").foreach(c =>
       require(!docs.columns.contains(c),
         s"Tfidf: input already has a '$c' column — rename it first"))
-    val spark = docs.sparkSession
-
     // Materialize the slim (id, term, n, ntok) triples ONCE (lazy local
     // checkpoint). Both the vocabulary aggregate below and the final join
     // consume `tf`, and in a pure plan Catalyst DUPLICATES the subtree per
     // consumer — the corpus would tokenize-and-count TWICE, silently. The
     // checkpoint stores only the triples; plan-pinned in TfidfSpec: no
     // tokenize node may appear in the consuming plan.
-    val tf = docs
-      .select(col(idCol),
-        graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
-      .select(col(idCol), col("__tc.ntok").as("__graft_ntok"),
-        explode(col("__tc.entries")).as("__e"))
-      .select(col(idCol), col("__e.term").as("term"),
-        col("__e.n").cast("long").as("n"), col("__graft_ntok"))
-      .localCheckpoint(eager = false)
+    val tf = postingRows(docs, idCol, textCol).localCheckpoint(eager = false)
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // N as a scalar subquery — no collect, no recompute per row
     val n = org.apache.spark.sql.graftshim.ColumnShim.scalarSubquery(
@@ -95,13 +86,7 @@ object Tfidf {
     Seq("term", "n", "df", "score", "n_terms", "__graft_ntok").foreach(c =>
       require(!docs.columns.contains(c),
         s"Tfidf.bm25: input already has a '$c' column — rename it first"))
-    val tf = docs
-      .select(col(idCol),
-        graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
-      .select(col(idCol), col("__tc.ntok").as("__graft_ntok"),
-        explode(col("__tc.entries")).as("__e"))
-      .select(col(idCol), col("__e.term").as("term"),
-        col("__e.n").cast("long").as("n"), col("__graft_ntok"))
+    val tf = postingRows(docs, idCol, textCol)
       .filter(col("term").isin(queryTerms: _*))
       .localCheckpoint(eager = false) // two consumers: df aggregate + the join
     // N and avgdl in ONE corpus pass, shipped as ONE struct-typed scalar
@@ -113,6 +98,19 @@ object Tfidf {
     val stats = ColumnShim.scalarSubquery(corpusStats(docs, textCol))
     scorePostings(tf, stats.getField("n_docs"), stats.getField("avgdl"), k1, b, idCol)
   }
+
+  /** `(idCol, term, n (long), __graft_ntok)` posting rows from the
+    * scan-side native TermCounts — the shared base of [[tfidf]], [[bm25]]
+    * and [[writePostingsIndex]]. Zero exchanges; NULL texts emit no rows.
+    */
+  private def postingRows(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
+      .select(col(idCol), col("__tc.ntok").as("__graft_ntok"),
+        explode(col("__tc.entries")).as("__e"))
+      .select(col(idCol), col("__e.term").as("term"),
+        col("__e.n").cast("long").as("n"), col("__graft_ntok"))
 
   /** One-row `struct<n_docs, avgdl>` over the live (non-null-text) corpus —
     * one scan, shared by the direct path's scalar subquery and the index
@@ -156,12 +154,9 @@ object Tfidf {
                          idCol: String = "doc_id", textCol: String = "text"): Unit = {
     Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
       s"Tfidf.writePostingsIndex: input has no '$c' column"))
-    val posts = docs
-      .select(col(idCol).as("id"),
-        graft.plans.TextExpressions.termCounts(col(textCol)).as("__tc"))
-      .select(col("id"), col("__tc.ntok").as("ntok"), explode(col("__tc.entries")).as("__e"))
-      .select(col("id"), col("__e.term").as("term"), col("__e.n").cast("long").as("n"),
-        col("ntok"))
+    val posts = postingRows(docs, idCol, textCol)
+      .select(col(idCol).as("id"), col("term"), col("n"),
+        col("__graft_ntok").as("ntok"))
     Bucketing.writeBucketed(posts, table, buckets, Seq("term"))
     corpusStats(docs, textCol).select(col("s.n_docs"), col("s.avgdl"))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
@@ -188,10 +183,9 @@ object Tfidf {
       .filter(col("term").isin(queryTerms: _*))
       .withColumnRenamed("ntok", "__graft_ntok")
     import org.apache.spark.sql.graftshim.ColumnShim
-    val stats = spark.table(table + "_stats")
-    val nDocs = ColumnShim.scalarSubquery(stats.select(col("n_docs")))
-    val avgdl = ColumnShim.scalarSubquery(stats.select(col("avgdl")))
-    scorePostings(posts, nDocs, avgdl, k1, b, "id")
+    val stats = ColumnShim.scalarSubquery(spark.table(table + "_stats")
+      .select(struct(col("n_docs"), col("avgdl")).as("s")))
+    scorePostings(posts, stats.getField("n_docs"), stats.getField("avgdl"), k1, b, "id")
   }
 
   /** Top-`k` terms per document by tfidf (ties → lexicographic term order —
