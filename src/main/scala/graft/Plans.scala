@@ -9,7 +9,7 @@ import java.nio.file.{Files, Paths}
 object Plans {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    val spark = Tables.session()
+    val spark = Tables.harnessSession()
 
     val audit = Seq(
       "q_filter_eq"        -> "filter must reach the scan as PushedFilters",

@@ -29,7 +29,7 @@ object SkewBench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/repo/testdata/sf1")
-    val spark = Tables.session()
+    val spark = Tables.harnessSession()
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
 
     def aggregate(joined: DataFrame): DataFrame = joined

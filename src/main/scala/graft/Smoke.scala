@@ -9,7 +9,7 @@ object Smoke {
     // the shared harness session (UTC timezone, UI off, tuned shuffle
     // partitions) — NOT a hand-rolled builder, which would silently drop the
     // UTC setting when run outside sbt's forked JVM options
-    val spark = Tables.session(master = "local[4]")
+    val spark = Tables.harnessSession(master = "local[4]")
     try {
       val n = SparkEntry.entry(spark).count()
       println(s"[smoke] entry rows=$n")

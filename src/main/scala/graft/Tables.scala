@@ -55,28 +55,43 @@ object Tables {
     })
   }
 
-  /** Spark session tuned for the local[32] harness; the same settings scale out
-    * unchanged (AQE re-plans partition counts on a real cluster).
+  /** Spark session with the library's baseline settings. Scan-split size is
+    * left at Spark's default (128 MB — right for real data) unless
+    * SPARK_GRAFT_MAX_PARTITION_BYTES overrides it; the bench/verify mains
+    * use [[harnessSession]], which adds the tiny-split tuning their
+    * 15-600 MB local inputs need. AQE re-plans partition counts on a real
+    * cluster, so the rest scales out unchanged.
     */
-  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"): SparkSession = {
-    val spark = SparkSession.builder()
+  def session(master: String = defaultMaster): SparkSession =
+    build(master, sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES"))
+
+  /** Session for the LOCAL bench/verify/plan mains ONLY. Scan-split size is
+    * matched to the HARNESS scale: inputs here are 15-600 MB per table, so
+    * the 128 MB default turns most scans into 1-4 tasks and leaves 28+ of
+    * the 32 cores idle on every scan-heavy query (measured at sf1: the ANN
+    * corpus scan ran single-task). 1 MB splits even the 6-8 MB
+    * text/embedding tables ~8 ways and the biggest local table ~140 ways.
+    * On real data this would explode task counts — library callers get
+    * [[session]], which keeps Spark's default. (Splitting also needs
+    * multi-row-group parquet; tools/gen_sf.py writes small row groups for
+    * the same reason.)
+    */
+  def harnessSession(master: String = defaultMaster): SparkSession =
+    build(master, Some(sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1048576")))
+
+  private def defaultMaster: String =
+    s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"
+
+  private def build(master: String, maxPartitionBytes: Option[String]): SparkSession = {
+    val builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.files.openCostInBytes", "131072")
-      // Scan-split size matched to the HARNESS scale: inputs here are
-      // 15-600 MB per table, so the 128 MB default turns most scans into
-      // 1-4 tasks and leaves 28+ of the 32 cores idle on every scan-heavy
-      // query (measured at sf1: the ANN corpus scan ran single-task). 1 MB
-      // splits even the 6-8 MB text/embedding tables ~8 ways and the
-      // biggest local table ~140 ways. On a real 100 TB cluster override
-      // back to 128 MB+ via the env knob — tiny splits there mean millions
-      // of tasks. (Splitting also needs multi-row-group parquet;
-      // tools/gen_sf.py writes small row groups for the same reason.)
-      .config("spark.sql.files.maxPartitionBytes",
-        sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1048576"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    val spark = maxPartitionBytes
+      .fold(builder)(b => builder.config("spark.sql.files.maxPartitionBytes", b))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

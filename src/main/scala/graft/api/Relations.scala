@@ -169,9 +169,16 @@ object Relations {
         .select(col("__graft_src"), col("__graft_tgt"))
       val targetKeyed = keyedForeign(foreign, r.targetForeignKey, r.name)
       // Path dedup happens on the NARROW (src, tgt) key pairs, BEFORE target
-      // rows attach — a through-table mapping the same pair twice must not
-      // double the nested rows (the reference's resolveField walks each path
-      // once). The previous shape deduped AFTER the fact with array_distinct
+      // rows attach. DELIBERATE DIVERGENCE from the reference: its
+      // resolveThroughRelation (relationResolver.ts) emits the target once
+      // PER through record, so a through table mapping the same (src, tgt)
+      // pair twice nests the target twice; we dedup by path pair, nesting it
+      // once. Set semantics are what the flat-join oracle twin (and any SQL
+      // user) expects, and they keep the exchange narrow; duplicate-preserving
+      // flatten would also force a per-through-row join fan-out upstream. (The
+      // pre-round-8 array_distinct shape diverged the same way, so this is a
+      // documented long-standing choice, not a regression.) The previous shape
+      // deduped AFTER the fact with array_distinct
       // over the flattened struct arrays, which (a) is O(n²) for non-atomic
       // element types — a 30k-customer fan-out took 47 s at sf1 on struct
       // pairwise compares — and (b) collapses genuinely distinct target rows

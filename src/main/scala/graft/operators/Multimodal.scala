@@ -195,14 +195,32 @@ object Multimodal {
     def u64(off: Int): Long = (u32(off) << 32) | u32(off + 4)
     def boxType(off: Int): String =
       new String(bytes, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
-    // walk the children of [start, end), yielding (type, bodyStart, bodyEnd)
+    // walk the children of [start, end), yielding (type, bodyStart, boxEnd).
+    // Handles all three ISO-BMFF size encodings (§4.2): the common u32
+    // compact size, size==1 (64-bit largesize follows the type — >4 GB
+    // boxes), and size==0 (box extends to the end of the enclosing box;
+    // legal only for the last box, which ending the walk there matches).
+    // A malformed header (size that under-runs its own header or over-runs
+    // the parent) terminates the walk rather than throwing.
     def children(start: Int, end: Int): Iterator[(String, Int, Int)] =
       new Iterator[(String, Int, Int)] {
         private var c = start
-        def hasNext: Boolean = c + 8 <= end && u32(c) >= 8 && c + u32(c) <= end
-        def next(): (String, Int, Int) = {
-          val t = (boxType(c), c + 8, c + u32(c).toInt); c += u32(c).toInt; t
+        private def peek: Option[(String, Int, Int)] = {
+          if (c + 8 > end) return None
+          val sz32 = u32(c)
+          if (sz32 == 0L) Some((boxType(c), c + 8, end))
+          else if (sz32 == 1L) {
+            if (c + 16 > end) None
+            else {
+              val sz = u64(c + 8)
+              if (sz < 16 || sz > (end - c).toLong) None
+              else Some((boxType(c), c + 16, c + sz.toInt))
+            }
+          } else if (sz32 < 8 || sz32 > (end - c).toLong) None
+          else Some((boxType(c), c + 8, c + sz32.toInt))
         }
+        def hasNext: Boolean = peek.isDefined
+        def next(): (String, Int, Int) = { val t = peek.get; c = t._3; t }
       }
     try {
       children(0, bytes.length).find(_._1 == "moov").flatMap { case (_, mBody, mEnd) =>

@@ -176,7 +176,11 @@ object Similarity {
     // regardless of iteration count.
     val cap = math.min(maxFitSample, Int.MaxValue.toLong).toInt
     val prefixCap = math.min(math.max(nlist * 1000, 4096).toLong, cap.toLong).toInt
+    // Null embeddings (or rows whose cast produced null) must not reach the
+    // collect: getSeq on a null cell NPEs at the driver with no context,
+    // before LocalKMeans's NaN/Inf guard can name the offending input.
     val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
     val points = vecs.sample(withReplacement = false, fraction = 0.1, seed)
       .limit(cap)
       .union(vecs.limit(prefixCap))

@@ -2,7 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnShim
@@ -98,6 +99,28 @@ case class TopKByScore(score: Expression, id: Expression, k: Int,
 
   override def children: Seq[Expression] = Seq(score, id)
   override def inputTypes = Seq(DoubleType, LongType)
+
+  // The implicit LongType cast above would happily take a STRING id and
+  // yield null at runtime — surfacing as the misleading "id expression
+  // evaluated to null" mid-job. Enforce the documented contract ("id must
+  // be integral; rank anything else with a window") at ANALYSIS time by
+  // unwrapping the analyzer-inserted cast and checking the source type.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    @annotation.tailrec def sourceType(e: Expression): DataType = e match {
+      case c: Cast => sourceType(c.child)
+      case other   => other.dataType
+    }
+    val idType = sourceType(id)
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _                                             => false
+    }
+    if (!integral)
+      TypeCheckResult.TypeCheckFailure(
+        s"graft.TopKByScore: id must be an integral column (stored as BIGINT), " +
+          s"got ${idType.catalogString}; rank non-integral ids with a window instead")
+    else super.checkInputDataTypes()
+  }
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = true),

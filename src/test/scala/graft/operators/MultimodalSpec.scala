@@ -149,6 +149,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.probeMp4DurationMs(null).isEmpty)
   }
 
+  test("MP4 probe handles largesize (size==1) and to-end-of-file (size==0) boxes") {
+    def u64be(v: Long): Array[Byte] = u32be(v >>> 32) ++ u32be(v & 0xffffffffL)
+    def box(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32be(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body
+    // 64-bit largesize encoding: compact size field == 1, real size after the type
+    def largeBox(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32be(1L) ++ tpe.getBytes("US-ASCII") ++ u64be(16L + body.length) ++ body
+    // size == 0: box extends to the end of the enclosing box / file
+    def tailBox(tpe: String, body: Array[Byte]): Array[Byte] =
+      u32be(0L) ++ tpe.getBytes("US-ASCII") ++ body
+    val mvhd0 = box("mvhd", Array[Byte](0, 0, 0, 0) ++ u32be(0) ++ u32be(0) ++
+      u32be(1000) ++ u32be(3500))
+    // a largesize mdat BEFORE moov must not terminate the top-level walk
+    val largeMdat = largeBox("mdat", Array.fill(24)(7: Byte))
+    assert(Multimodal.probeMp4DurationMs(largeMdat ++ box("moov", mvhd0)) == Some(3500L))
+    // moov itself encoded with largesize probes fine (body starts after the u64)
+    assert(Multimodal.probeMp4DurationMs(largeBox("moov", mvhd0)) == Some(3500L))
+    // moov as the spec's last-box size==0 encoding probes fine
+    val ftyp = box("ftyp", "isom0000".getBytes("US-ASCII"))
+    assert(Multimodal.probeMp4DurationMs(ftyp ++ tailBox("moov", mvhd0)) == Some(3500L))
+    // truncated largesize header (8 bytes only) degrades to None, not a throw
+    assert(Multimodal.probeMp4DurationMs(u32be(1L) ++ "mdat".getBytes("US-ASCII")).isEmpty)
+    // largesize smaller than its own 16-byte header is malformed → walk ends
+    assert(Multimodal.probeMp4DurationMs(
+      u32be(1L) ++ "mdat".getBytes("US-ASCII") ++ u64be(8L) ++ box("moov", mvhd0)).isEmpty)
+  }
+
   test("MP4 probe reads per-track kind, duration and 16.16 dimensions") {
     def box(tpe: String, body: Array[Byte]): Array[Byte] =
       u32be(8L + body.length) ++ tpe.getBytes("US-ASCII") ++ body

@@ -29,6 +29,20 @@ class SkewIvfStreamSpec extends SparkSpec {
     assert(top.getLong(0) == 7L && top.getLong(1) == 101L)
   }
 
+  test("IVF fit survives null embeddings in the sample window") {
+    // a null vec in the fit sample must not NPE at the driver before
+    // LocalKMeans's NaN/Inf guard can speak (advisory, round 8)
+    val rnd = new scala.util.Random(5)
+    val rows = (0L until 40L).map { i =>
+      (i, if (i % 7 == 3) null else Seq.fill(4)(rnd.nextGaussian().toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Similarity.ivfIndex(emb, nlist = 2)
+    assert(idx.centers.length == 2)
+    // null rows still flow through assignment (NearestCenter yields null cell)
+    assert(idx.assigned.count() == 40L)
+  }
+
   test("IVF top-k recalls brute-force neighbors scanning only probed cells") {
     val dim = 16
     val rnd = new scala.util.Random(123)

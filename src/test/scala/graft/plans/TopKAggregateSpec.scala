@@ -87,4 +87,20 @@ class TopKAggregateSpec extends SparkSpec {
       TopKByScore(ColumnShim.expression(lit(1.0)), ColumnShim.expression(lit(1L)), 0)
     }
   }
+
+  test("non-integral id fails at ANALYSIS, not with a null mid-job") {
+    // A string id would implicit-cast to LongType and eval to null at
+    // runtime — the documented contract is integral-only, enforced by
+    // checkInputDataTypes before any job launches.
+    val rows = Seq((1L, "a", 0.9), (1L, "b", 0.5)).toDF("q", "id", "score")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      rows.groupBy("q").agg(TopKAggregate.topK(col("score"), col("id"), 2)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("integral"), e.getMessage)
+    // double ids are equally rejected (silent truncation is not ranking)
+    val dbl = Seq((1L, 1.5, 0.9)).toDF("q", "id", "score")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      dbl.groupBy("q").agg(TopKAggregate.topK(col("score"), col("id"), 2)).collect()
+    }
+  }
 }
