@@ -730,6 +730,16 @@ object SparkEntry {
       operators.Tfidf.bm25(Tables.load(s, dir, "documents"),
           Seq("join", "hash", "row"))
         .select("doc_id", "score", "n_terms")),
+    "q_text_perplexity" -> ((s, dir) => {
+      // CCNet-style LM filtering: train a smoothed bigram LM on the even
+      // doc_ids (the "trusted reference" slice), score EVERY document's
+      // per-bigram perplexity under it. Log-probs sum as DECIMAL(18,6)
+      // (exact cross-engine); docs with <2 tokens have no perplexity and
+      // emit no row (operators/Perplexity.scala).
+      val docs = Tables.load(s, dir, "documents")
+      val lm = operators.Perplexity.train(docs.filter(col("doc_id") % 2 === 0))
+      operators.Perplexity.score(docs, lm)
+    }),
     "q_text_tfidf" -> ((s, dir) =>
       // TF-IDF keyword extraction: top-3 terms per doc. Scored over the FULL
       // corpus (df/N are corpus-level), output restricted afterwards. One
@@ -1285,6 +1295,48 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score, count(*) AS n_terms
          FROM scored GROUP BY doc_id
          ORDER BY score DESC, doc_id""",
+    "q_text_perplexity" ->
+      // Same LM algebra end-to-end: vocab = top-10000 train unigrams by
+      // (count desc, token asc), OOV → '<unk>', V = |vocab| + 1,
+      // P(w2|w1) = (c(w1,w2) + 0.1) / (c(w1,·) + 0.1·V), per-bigram ln P
+      // cast to DECIMAL(18,6) before the sum
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         train_toks AS (SELECT doc_id, w FROM toks WHERE doc_id % 2 = 0),
+         uni AS (
+           SELECT t AS w, count(*) AS n
+           FROM (SELECT unnest(w) AS t FROM train_toks) WHERE t <> '' GROUP BY t),
+         vocab AS (SELECT w FROM uni ORDER BY n DESC, w LIMIT 10000),
+         vsz AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+         train_idx AS (
+           SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+           FROM train_toks WHERE len(w) >= 2),
+         train_pairs AS (SELECT w[i] AS rw1, w[i + 1] AS rw2 FROM train_idx),
+         tp AS (
+           SELECT coalesce(v1.w, '<unk>') AS w1, coalesce(v2.w, '<unk>') AS w2
+           FROM train_pairs
+           LEFT JOIN vocab v1 ON rw1 = v1.w
+           LEFT JOIN vocab v2 ON rw2 = v2.w),
+         bg AS (SELECT w1, w2, count(*) AS n FROM tp GROUP BY w1, w2),
+         ctx AS (SELECT w1, sum(n) AS cn FROM bg GROUP BY w1),
+         score_idx AS (
+           SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+           FROM toks WHERE len(w) >= 2),
+         sp AS (SELECT doc_id, w[i] AS rw1, w[i + 1] AS rw2 FROM score_idx),
+         spm AS (
+           SELECT doc_id, coalesce(v1.w, '<unk>') AS w1, coalesce(v2.w, '<unk>') AS w2
+           FROM sp
+           LEFT JOIN vocab v1 ON rw1 = v1.w
+           LEFT JOIN vocab v2 ON rw2 = v2.w),
+         scored AS (
+           SELECT doc_id,
+                  CAST(ln((coalesce(bg.n, 0) + 0.1) / (coalesce(ctx.cn, 0) + 0.1 * v))
+                       AS DECIMAL(18,6)) AS logp
+           FROM spm LEFT JOIN bg USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN vsz)
+         SELECT doc_id, count(*) AS n_bigrams,
+                round(exp(-CAST(sum(logp) AS DOUBLE) / count(*)), 4) AS ppl
+         FROM scored GROUP BY doc_id ORDER BY doc_id""",
     "q_text_tfidf" ->
       """WITH toks AS (
            SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Bigram language-model perplexity filtering — the CCNet/Wikipedia-LM
+  * quality signal: train a small n-gram LM on a trusted reference slice,
+  * score every candidate document by its per-token perplexity under that
+  * model, and gate or bucket the corpus on the score (low perplexity ≈
+  * looks like the reference distribution). The published pipelines (CCNet,
+  * Gopher, Llama's pretraining filters) all carry a variant of this next
+  * to the heuristic quality score ([[graft.plans.TextExpressions]]) — the
+  * LM catches fluent-vs-gibberish distinctions that length/punctuation
+  * ratios cannot.
+  *
+  * Model: add-alpha-smoothed bigram LM over a capped vocabulary,
+  *
+  *   P(w2 | w1) = (c(w1, w2) + α) / (c(w1, ·) + α·V)
+  *   ppl(d)     = exp(− mean over d's bigrams of ln P(w2 | w1))
+  *
+  * with out-of-vocabulary tokens mapped to the `<unk>` symbol (the
+  * standard convention — a literal `<unk>` token in the data merges with
+  * it) and V = |vocab| + 1 counting that symbol.
+  *
+  * Scale shape (100 TB corpus, vocabulary-bounded model):
+  *  - Vocabulary selection is `orderBy(count).limit(V)` → Spark plans
+  *    TakeOrderedAndProject: each partition keeps its local top-V, only
+  *    V-sized partials reach the driver-side merge. The unigram count
+  *    beneath it aggregates with map-side partials, so the exchange
+  *    carries distinct-tokens-per-partition, never token occurrences.
+  *  - Bigram counting never shuffles an occurrence either: the vocab map
+  *    is a broadcast join and `groupBy(w1, w2).count` combines map-side,
+  *    so the one exchange carries ≤ partitions × bigram-types slim rows.
+  *  - Context counts c(w1, ·) derive from the bigram model by a second
+  *    aggregation over the MODEL (vocabulary-sized), not the corpus.
+  *  - Scoring broadcasts the model (a trained CCNet-style SLM is MBs —
+  *    bounded by bigram types, empirically ≪ V²; for a model too big to
+  *    broadcast, pre-aggregate per-document bigram counts and shuffle-join
+  *    on (w1, w2) instead) and sums log-probs with map-side partials, so
+  *    document bodies never ride any exchange.
+  *
+  * Per-bigram log-probs are rounded to DECIMAL(18,6) before the sum (the
+  * engine-parity money-sum discipline — exact, order-free), so the DuckDB
+  * oracle reproduces the score bit-for-bit.
+  */
+object Perplexity {
+
+  /** A trained bigram LM. `bigrams` = `(w1, w2, n)`, `contexts` =
+    * `(w1, cn)`, `vocab` = `(w)` (capped, `<unk>` NOT included — V counts
+    * it separately). All three are vocabulary-bounded relations.
+    */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
+                            vocab: DataFrame, alpha: Double)
+
+  val Unk = "<unk>"
+
+  /** Ordered token bigrams of `textCol` as `array<struct<w1, w2>>` —
+    * columnar (zip of the token array with its own tail), stays in the
+    * scan stage. Texts with fewer than two tokens yield an empty array.
+    */
+  def bigramsCol(textCol: Column): Column = {
+    val toks = TextFunctions.tokens(textCol)
+    val n = greatest(size(toks) - 1, lit(0))
+    zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
+  }
+
+  /** Train on `corpus` (typically the trusted reference slice): top
+    * `vocabSize` tokens by (count desc, token asc — total order), bigram
+    * and context counts over the vocab-mapped token stream.
+    */
+  def train(corpus: DataFrame, textCol: String = "text",
+            vocabSize: Int = 10000, alpha: Double = 0.1): BigramLm = {
+    require(vocabSize > 0, s"Perplexity.train: vocabSize=$vocabSize must be positive")
+    require(alpha > 0, s"Perplexity.train: alpha=$alpha must be positive (zero breaks smoothing)")
+    require(corpus.columns.contains(textCol),
+      s"Perplexity.train: input has no '$textCol' column")
+    val live = corpus.filter(col(textCol).isNotNull)
+    // Local checkpoint: the vocab relation feeds BOTH mapping joins below
+    // (and scoring later); in a pure plan Catalyst would duplicate the
+    // whole unigram-count + top-V subtree per consumer.
+    val vocab = live
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("__n"))
+      .orderBy(desc("__n"), col("w")).limit(vocabSize)
+      .select(col("w"))
+      .localCheckpoint(eager = false)
+    val pairs = live.select(explode(bigramsCol(col(textCol))).as("b"))
+      .select(col("b.w1").as("__rw1"), col("b.w2").as("__rw2"))
+    // Bigram model feeds the scoring join AND the context aggregate —
+    // checkpoint it too, or the corpus would bigram-count twice.
+    val bigrams = mapThroughVocab(pairs, vocab)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
+    val contexts = bigrams.groupBy("w1").agg(sum("n").as("cn"))
+    BigramLm(bigrams, contexts, vocab, alpha)
+  }
+
+  /** Per-document perplexity under `lm`: `(idCol, n_bigrams, ppl)` with
+    * `ppl` rounded to 4dp, ordered by id. Documents with fewer than two
+    * tokens (no bigrams) emit no row — they have no perplexity, and a
+    * curation gate should handle them by length instead.
+    */
+  def score(docs: DataFrame, lm: BigramLm,
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
+      s"Perplexity.score: input has no '$c' column"))
+    // V = |vocab| + 1 (the <unk> symbol) as a scalar subquery — the model
+    // relations are checkpointed, so this is a count over stored rows, not
+    // a corpus rescan; no driver round-trip.
+    val v = org.apache.spark.sql.graftshim.ColumnShim.scalarSubquery(
+      lm.vocab.agg((count(lit(1)) + lit(1)).cast("double").as("v")))
+    val pairs = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(bigramsCol(col(textCol))).as("b"))
+      .select(col(idCol), col("b.w1").as("__rw1"), col("b.w2").as("__rw2"))
+    mapThroughVocab(pairs, lm.vocab)
+      .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
+      .join(broadcast(lm.contexts), Seq("w1"), "left")
+      .withColumn("__logp",
+        log((coalesce(col("n"), lit(0L)) + lit(lm.alpha)) /
+            (coalesce(col("cn"), lit(0L)) + lit(lm.alpha) * v))
+          .cast("decimal(18,6)"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__logp")).as("__s"), count(lit(1)).as("n_bigrams"))
+      .withColumn("ppl",
+        round(exp(-col("__s").cast("double") / col("n_bigrams")), 4))
+      .select(col(idCol), col("n_bigrams"), col("ppl"))
+      .orderBy(col(idCol))
+  }
+
+  /** Map raw `(__rw1, __rw2)` pairs through the vocab (OOV → `<unk>`),
+    * preserving any leading columns. Broadcast joins — the vocab is capped
+    * by construction.
+    */
+  private def mapThroughVocab(pairs: DataFrame, vocab: DataFrame): DataFrame = {
+    val keep = pairs.columns.filterNot(Set("__rw1", "__rw2")).map(col).toSeq
+    val v1 = broadcast(vocab.select(col("w").as("__v1")))
+    val v2 = broadcast(vocab.select(col("w").as("__v2")))
+    pairs
+      .join(v1, col("__rw1") === col("__v1"), "left")
+      .join(v2, col("__rw2") === col("__v2"), "left")
+      .select(keep ++ Seq(
+        coalesce(col("__v1"), lit(Unk)).as("w1"),
+        coalesce(col("__v2"), lit(Unk)).as("w2")): _*)
+  }
+}
