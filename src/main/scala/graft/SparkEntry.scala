@@ -1049,6 +1049,21 @@ object SparkEntry {
         .select("query_id", "rank", "vec_id")
         .orderBy("query_id", "rank")
     }),
+    "q_ann_negatives" -> ((s, dir) => {
+      // Hard-negative mining (DPR/ANCE): every 100th vector anchors a
+      // search for its top-5 most-similar DIFFERENT-label vectors — the
+      // near-misses a contrastive loss trains on. Rank-only output (raw
+      // cosine floats don't compare across engines; ranks do).
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val anchors = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+      val w = Window.partitionBy("anchor_id").orderBy(desc("score"), col("vec_id"))
+      operators.Similarity.hardNegatives(emb, anchors, k = 5)
+        .withColumn("rank", row_number().over(w))
+        .select("anchor_id", "rank", "vec_id")
+        .orderBy("anchor_id", "rank")
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       // IVF batch retrieval oracle-checked at nprobe=nlist: probing EVERY
       // cell makes IVF exactly brute force (independent of where k-means
@@ -1593,6 +1608,17 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rank
                FROM s)
          SELECT query_id, rank, vec_id FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_ann_negatives" ->
+      // same mining algebra: label <> excludes the anchor itself (its own
+      // label matches), so no separate self-exclusion is needed
+      """WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+                    FROM embeddings WHERE vec_id % 100 = 0),
+         s AS (SELECT q.anchor_id, e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS s
+               FROM embeddings e JOIN q ON e.label <> q.ql),
+         r AS (SELECT anchor_id, vec_id,
+                      CAST(row_number() OVER (PARTITION BY anchor_id ORDER BY s DESC, vec_id) AS INTEGER) AS rank
+               FROM s)
+         SELECT anchor_id, rank, vec_id FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""",
     "q_ann_ivf" ->
       // nprobe=nlist ⇒ IVF ≡ brute force, so the exact-retrieval twin holds
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),

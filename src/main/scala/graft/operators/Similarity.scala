@@ -373,4 +373,75 @@ object Similarity {
       .select(col("id_b").as(idCol)).distinct()
     corpus.join(broadcast(drops), Seq(idCol), "left_anti")
   }
+
+  /** Hard-negative mining for contrastive embedding training — the
+    * DPR/ANCE recipe: for each anchor, the `k` corpus items MOST similar
+    * to it that carry a DIFFERENT label. Random negatives are trivially
+    * separable and teach the model nothing; the near-misses are what a
+    * contrastive loss needs, and mining them is an ANN search with a label
+    * exclusion — so this composes the exact batch scorer ([[bruteForceTopK]]
+    * shape) with the inequality pushed BELOW the top-k aggregate (filtering
+    * after ranking would under-fill k).
+    *
+    * Exact path: anchors broadcast (with vector + label), corpus scanned
+    * once, label-mismatch filtered and cosine-scored inside the scan stage,
+    * then the bounded top-k aggregate ranks per anchor — the one exchange
+    * carries ≤ partitions × anchors × k slim rows. Null-label corpus rows
+    * are never negatives and null-label anchors mine nothing (SQL
+    * three-valued `<>` semantics — the oracle agrees by construction).
+    *
+    * Returns `(anchorIdCol, idCol, score)` rank-ordered per anchor.
+    */
+  def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
+                    idCol: String = "vec_id", vecCol: String = "embedding",
+                    labelCol: String = "label",
+                    anchorIdCol: String = "anchor_id"): DataFrame = {
+    requireNoReservedCols(corpus, Seq(anchorIdCol, "__avec", "__albl", "score"),
+      "hardNegatives")
+    Seq(vecCol, labelCol).foreach(c => require(anchors.columns.contains(c),
+      s"hardNegatives: anchors have no '$c' column"))
+    require(anchors.columns.contains(anchorIdCol),
+      s"hardNegatives: anchors have no '$anchorIdCol' column")
+    val a = broadcast(anchors.select(col(anchorIdCol),
+      col(vecCol).as("__avec"), col(labelCol).as("__albl")))
+    rankPerQuery(
+      corpus
+        .join(a, col(labelCol) =!= col("__albl"))
+        .withColumn("score", V.cosine(col(vecCol), col("__avec"))),
+      k, anchorIdCol, idCol)
+  }
+
+  /** [[hardNegatives]] through the LSH bucket index — the scale path when
+    * the corpus side is too large for a per-anchor linear scan to be worth
+    * it: candidates come from bucket equi-joins (query's bucket ± one bit
+    * flip, like [[lshTopKBatch]]), so each anchor scores ~(nbits+1)/2^nbits
+    * of the corpus. Same narrow-rows discipline: score map-side, dedupe
+    * probe duplicates on (anchor, id) scalars only, rank through the
+    * bounded aggregate. Approximate — a hard negative in no probed bucket
+    * is missed (recall pinned in SimilaritySpec).
+    */
+  def hardNegativesLsh(corpus: DataFrame, anchors: DataFrame, k: Int, dim: Int,
+                       nbits: Int = 8, seed: Long = 7L,
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       labelCol: String = "label",
+                       anchorIdCol: String = "anchor_id"): DataFrame = {
+    requireNoReservedCols(corpus,
+      Seq(anchorIdCol, "__avec", "__albl", "bucket", "score"), "hardNegativesLsh")
+    Seq(vecCol, labelCol).foreach(c => require(anchors.columns.contains(c),
+      s"hardNegativesLsh: anchors have no '$c' column"))
+    val idx = bucketed(corpus, dim, nbits, seed, vecCol)
+    val q = broadcast(
+      bucketed(anchors.select(col(anchorIdCol), col(vecCol).as("__avec"),
+          col(labelCol).as("__albl")), dim, nbits, seed, "__avec")
+        .select(col(anchorIdCol), col("__avec"), col("__albl"),
+          explode(V.probeBuckets(col("bucket"), nbits)).as("bucket")))
+    rankPerQuery(
+      idx
+        .join(q, Seq("bucket"))
+        .filter(col(labelCol) =!= col("__albl"))
+        .select(col(anchorIdCol), col(idCol),
+          V.cosine(col(vecCol), col("__avec")).as("score"))
+        .dropDuplicates(anchorIdCol, idCol),
+      k, anchorIdCol, idCol)
+  }
 }

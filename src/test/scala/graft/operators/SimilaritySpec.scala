@@ -125,4 +125,50 @@ class SimilaritySpec extends SparkSpec {
     val recall = (bf & lsh).size.toDouble / bf.size
     assert(recall >= 0.6, s"batch LSH recall $recall below 0.6")
   }
+
+  // label = cluster id (vec_id % 4) — the natural contrastive setup on the
+  // synthetic clusters
+  private lazy val labeled = vecs.map { case (i, v) => (i, v, i % 4) }
+    .toDF("vec_id", "embedding", "label")
+
+  test("hard negatives exclude the anchor's label and match a local brute force") {
+    import org.apache.spark.sql.functions._
+    val anchors = labeled.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("anchor_id"), $"embedding", $"label")
+    val got = Similarity.hardNegatives(labeled, anchors, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val labelOf = vecs.map { case (i, _) => i -> i % 4 }.toMap
+    assert(got.forall { case (a, n) => labelOf(a) != labelOf(n) },
+      s"a mined negative shares its anchor's label: $got")
+    // local reference: exact cosine over the doubles, same tie-break
+    def cos(x: Seq[Float], y: Seq[Float]): Double = {
+      val (dot, nx, ny) = x.zip(y).foldLeft((0.0, 0.0, 0.0)) {
+        case ((d, a, b), (xi, yi)) => (d + xi.toDouble * yi, a + xi.toDouble * xi, b + yi.toDouble * yi)
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val byId = vecs.toMap
+    val expected = Seq(0L, 50L, 100L, 150L).flatMap { a =>
+      vecs.filter { case (i, _) => i % 4 != a % 4 }
+        .map { case (i, v) => (i, cos(byId(a), v)) }
+        .sortBy { case (i, s) => (-s, i) }.take(5)
+        .map { case (i, _) => (a, i) }
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
+  test("LSH hard negatives: nbits=1 equals exact; nbits=4 recalls well") {
+    import org.apache.spark.sql.functions._
+    val anchors = labeled.filter($"vec_id" % 50 === 0)
+      .select($"vec_id".as("anchor_id"), $"embedding", $"label")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Similarity.hardNegatives(labeled, anchors, k = 5))
+    assert(key(Similarity.hardNegativesLsh(labeled, anchors, k = 5, dim = dim,
+      nbits = 1)) == exact)
+    val lsh = key(Similarity.hardNegativesLsh(labeled, anchors, k = 5, dim = dim,
+      nbits = 4))
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH hard-negative recall $recall below 0.6")
+  }
 }
