@@ -56,8 +56,12 @@ object Perplexity {
   val Unk = "<unk>"
 
   /** Ordered token bigrams of `textCol` as `array<struct<w1, w2>>` —
-    * columnar (zip of the token array with its own tail), stays in the
-    * scan stage. Texts with fewer than two tokens yield an empty array.
+    * columnar (zip of the token array with its own tail). The PARITY TWIN
+    * of the native [[graft.plans.TextExpressions.bigramCounts]] hot path
+    * (zip_with/slice evaluate interpreted and explode every occurrence;
+    * the native expression counts inside codegen and explodes only
+    * distinct pairs — equality pinned in PerplexitySpec). Texts with
+    * fewer than two tokens yield an empty array.
     */
   def bigramsCol(textCol: Column): Column = {
     val toks = TextFunctions.tokens(textCol)
@@ -65,6 +69,18 @@ object Perplexity {
     zip_with(slice(toks, lit(1), n), slice(toks, lit(2), n),
       (a, b) => struct(a.as("w1"), b.as("w2")))
   }
+
+  /** `(leading cols…, __rw1, __rw2, __k)` weighted bigram rows from the
+    * native per-document counter — distinct pairs with multiplicities, so
+    * the downstream vocab/model joins see ~distinct-bigrams-per-doc rows
+    * instead of every occurrence.
+    */
+  private def bigramRows(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
+    df.select(keep :+
+        explode(graft.plans.TextExpressions.bigramCounts(col(textCol))
+          .getField("entries")).as("__b"): _*)
+      .select(keep ++ Seq(col("__b.w1").as("__rw1"), col("__b.w2").as("__rw2"),
+        col("__b.n").cast("long").as("__k")): _*)
 
   /** Train on `corpus` (typically the trusted reference slice): top
     * `vocabSize` tokens by (count desc, token asc — total order), bigram
@@ -79,20 +95,21 @@ object Perplexity {
     val live = corpus.filter(col(textCol).isNotNull)
     // Local checkpoint: the vocab relation feeds BOTH mapping joins below
     // (and scoring later); in a pure plan Catalyst would duplicate the
-    // whole unigram-count + top-V subtree per consumer.
+    // whole unigram-count + top-V subtree per consumer. Unigram counts come
+    // from the native TermCounts (distinct terms per doc reach the partial
+    // agg, not occurrences).
     val vocab = live
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .filter(col("w") =!= "")
-      .groupBy("w").agg(count(lit(1)).as("__n"))
+      .select(explode(graft.plans.TextExpressions.termCounts(col(textCol))
+        .getField("entries")).as("__t"))
+      .select(col("__t.term").as("w"), col("__t.n").cast("long").as("__k"))
+      .groupBy("w").agg(sum(col("__k")).as("__n"))
       .orderBy(desc("__n"), col("w")).limit(vocabSize)
       .select(col("w"))
       .localCheckpoint(eager = false)
-    val pairs = live.select(explode(bigramsCol(col(textCol))).as("b"))
-      .select(col("b.w1").as("__rw1"), col("b.w2").as("__rw2"))
     // Bigram model feeds the scoring join AND the context aggregate —
     // checkpoint it too, or the corpus would bigram-count twice.
-    val bigrams = mapThroughVocab(pairs, vocab)
-      .groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val bigrams = mapThroughVocab(bigramRows(live, textCol, Seq.empty), vocab)
+      .groupBy("w1", "w2").agg(sum(col("__k")).as("n"))
       .localCheckpoint(eager = false)
     val contexts = bigrams.groupBy("w1").agg(sum("n").as("cn"))
     BigramLm(bigrams, contexts, vocab, alpha)
@@ -112,9 +129,11 @@ object Perplexity {
     // a corpus rescan; no driver round-trip.
     val v = org.apache.spark.sql.graftshim.ColumnShim.scalarSubquery(
       lm.vocab.agg((count(lit(1)) + lit(1)).cast("double").as("v")))
-    val pairs = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), explode(bigramsCol(col(textCol))).as("b"))
-      .select(col(idCol), col("b.w1").as("__rw1"), col("b.w2").as("__rw2"))
+    val pairs = bigramRows(docs.filter(col(textCol).isNotNull), textCol,
+      Seq(col(idCol)))
+    // Weighted by the per-document pair multiplicity __k: k · round6(logp)
+    // is EXACTLY Σ_k round6(logp) (decimal × integer), so the score equals
+    // the per-occurrence formulation the DuckDB oracle computes.
     mapThroughVocab(pairs, lm.vocab)
       .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
       .join(broadcast(lm.contexts), Seq("w1"), "left")
@@ -123,7 +142,8 @@ object Perplexity {
             (coalesce(col("cn"), lit(0L)) + lit(lm.alpha) * v))
           .cast("decimal(18,6)"))
       .groupBy(col(idCol))
-      .agg(sum(col("__logp")).as("__s"), count(lit(1)).as("n_bigrams"))
+      .agg(sum(col("__logp") * col("__k")).as("__s"),
+        sum(col("__k")).as("n_bigrams"))
       .withColumn("ppl",
         round(exp(-col("__s").cast("double") / col("n_bigrams")), 4))
       .select(col(idCol), col("n_bigrams"), col("ppl"))

@@ -32,6 +32,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_bpeish_count(text)`  → int (BPE-ish token count, state-machine regex twin)
   *  - `graft_winnow_fps(text, k, w)` → array<string> (winnowed md5 fingerprints; k, w literal ints)
   *  - `graft_term_counts(text)`   → struct<ntok, entries array<struct<term, n>>>
+  *  - `graft_bigram_counts(text)` → struct<nbg, entries array<struct<w1, w2, n>>>
   *  - `graft_topk(score, id, k)`  → AGGREGATE: array<struct<score, id>> top-k by score desc, id asc ties (k literal int)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -151,6 +152,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_term_counts(text) takes exactly 1 argument")
         TermCounts(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_bigram_counts"),
+      new ExpressionInfo(classOf[BigramCounts].getName, "graft_bigram_counts"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_bigram_counts(text) takes exactly 1 argument")
+        BigramCounts(children.head)
       }),
     (
       new FunctionIdentifier("graft_topk"),

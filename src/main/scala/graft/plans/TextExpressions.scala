@@ -122,6 +122,23 @@ object TextExpressions {
   def termCounts(text: Column): Column =
     ColumnShim.column(TermCounts(ColumnShim.expression(text)))
 
+  /** Per-document BIGRAM counts in one scan-stage pass —
+    * `struct<nbg int, entries array<struct<w1, w2, n>>>` with `nbg` the
+    * total ordered-bigram count (= max(tokens − 1, 0)) and `entries` the
+    * distinct pairs with multiplicities. [[TermCounts]]'s sibling for the
+    * n-gram LM family ([[graft.operators.Perplexity]]): bigram extraction
+    * is pure per-document state, so the `zip_with(slice, slice)` columnar
+    * formulation — correct, and kept as the parity twin
+    * ([[graft.operators.Perplexity.bigramsCol]]) — pays interpreted
+    * higher-order-function evaluation per row and explodes every
+    * OCCURRENCE; this counts inside codegen and explodes only distinct
+    * pairs per document. Downstream weighting multiplies by `n`, which
+    * sums identically (k·round(p) ≡ Σ_k round(p) — exact, so the DuckDB
+    * per-occurrence oracle still matches bit-for-bit).
+    */
+  def bigramCounts(text: Column): Column =
+    ColumnShim.column(BigramCounts(ColumnShim.expression(text)))
+
   /** Distinct winnowed fingerprints (Schleimer/Wilkerson/Aiken) of the
     * whole document in ONE pass — native twin of the
     * `Winnow.fingerprintsColumnar` explode→window→aggregate pipeline. The
@@ -719,6 +736,65 @@ case class TermCounts(child: Expression)
       s"${ev.value} = graft.plans.TermCounts$$.MODULE$$.compute($a);")
 
   override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+}
+
+object BigramCounts {
+  /** One scorer for the interpreted and generated paths. LinkedHashMap →
+    * first-appearance entry order (deterministic; consumers aggregate, so
+    * order is cosmetic). The map key is "w1 w2": tokens come from a
+    * `\s+` split, so no token can contain a space — the single-space
+    * join is collision-free and the indexOf-split below recovers the
+    * pair exactly.
+    */
+  def compute(input: UTF8String): InternalRow = {
+    val toks = TextExpressions.Tok.tokens(input.toString)
+    val nbg = math.max(toks.length - 1, 0)
+    val counts = new java.util.LinkedHashMap[String, Int](nbg * 2)
+    var i = 0
+    while (i < toks.length - 1) {
+      val k = toks(i) + " " + toks(i + 1)
+      counts.put(k, counts.getOrDefault(k, 0) + 1)
+      i += 1
+    }
+    val entries = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      val sep = e.getKey.indexOf(' ')
+      entries(j) = InternalRow(
+        UTF8String.fromString(e.getKey.substring(0, sep)),
+        UTF8String.fromString(e.getKey.substring(sep + 1)),
+        e.getValue)
+      j += 1
+    }
+    InternalRow(nbg, new GenericArrayData(entries))
+  }
+}
+
+/** See [[TextExpressions.bigramCounts]]. */
+case class BigramCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = StructType(Seq(
+    StructField("nbg", IntegerType, nullable = false),
+    StructField("entries", ArrayType(StructType(Seq(
+      StructField("w1", StringType, nullable = false),
+      StructField("w2", StringType, nullable = false),
+      StructField("n", IntegerType, nullable = false))), containsNull = false),
+      nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    BigramCounts.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.BigramCounts$$.MODULE$$.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): BigramCounts =
     copy(child = newChild)
 }
 

@@ -69,6 +69,29 @@ class PerplexitySpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "model/vocab joins must broadcast:\n" + plan)
   }
 
+  test("native bigram counts equal the columnar zip_with twin per document") {
+    val docs = Seq(
+      (1L, "a b a b a"), (2L, "solo"), (3L, ""), (4L, "  x   y  z "),
+      (5L, "ü ü ß"), (6L, "a a a a a a"), (7L, "tab\tsep\nnewline mix")
+    ).toDF("doc_id", "text")
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val native = docs.select(col("doc_id"),
+        explode(graft.plans.TextExpressions.bigramCounts(col("text"))
+          .getField("entries")).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"), col("b.n").cast("long"))
+    val columnar = docs.select(col("doc_id"),
+        explode(Perplexity.bigramsCol(col("text"))).as("b"))
+      .groupBy(col("doc_id"), col("b.w1"), col("b.w2"))
+      .agg(count(lit(1)).as("n"))
+    assert(key(native.collect()) == key(columnar.collect()))
+    // nbg equals the occurrence total
+    val nbg = docs.select(col("doc_id"),
+        graft.plans.TextExpressions.bigramCounts(col("text")).getField("nbg").as("nbg"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(nbg == Map(1L -> 4, 2L -> 0, 3L -> 0, 4L -> 2, 5L -> 2, 6L -> 5, 7L -> 3))
+  }
+
   test("train rejects bad parameters and missing columns") {
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException](Perplexity.train(df, vocabSize = 0))

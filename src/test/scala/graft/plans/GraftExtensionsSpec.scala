@@ -167,6 +167,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_term_counts(t).ntok, size(graft_term_counts(t).entries) FROM wf_docs WHERE id = 1")
       .head()
     assert(sqlTc.getInt(0) == 7 && sqlTc.getInt(1) == 7)
+    val sqlBg = spark.sql(
+      "SELECT graft_bigram_counts(t).nbg, size(graft_bigram_counts(t).entries) FROM wf_docs WHERE id = 1")
+      .head()
+    assert(sqlBg.getInt(0) == 6 && sqlBg.getInt(1) == 6)
     val sqlBpe = spark.sql("SELECT graft_bpeish_count(t) FROM wf_docs WHERE id = 2").head().getInt(0)
     val dslBpe = spark.table("wf_docs").filter($"id" === 2)
       .select(TextExpressions.bpeishCount($"t")).head().getInt(0)

@@ -120,4 +120,23 @@ class NativeCorePropertySpec extends AnyFunSuite {
       assert(got == expect, s"iter=$iter text='$text'")
     }
   }
+
+  // ---- BigramCounts.compute vs naive pair counting ----
+
+  test("BigramCounts.compute equals naive bigram counting on 500 random docs") {
+    val rnd = new scala.util.Random(12L)
+    for (iter <- 0 until 500) {
+      val text = randomDoc(rnd)
+      val row = BigramCounts.compute(org.apache.spark.unsafe.types.UTF8String.fromString(text))
+      val arr = row.getArray(1)
+      val got = (0 until arr.numElements()).map { i =>
+        val e = arr.getStruct(i, 3)
+        (e.getUTF8String(0).toString, e.getUTF8String(1).toString) -> e.getInt(2)
+      }.toMap
+      val toks = text.replaceAll("^\\s+|\\s+$", "").split("\\s+")
+      assert(row.getInt(0) == math.max(toks.length - 1, 0), s"iter=$iter nbg text='$text'")
+      val expect = toks.zip(toks.drop(1)).groupBy(identity).view.mapValues(_.length).toMap
+      assert(got == expect, s"iter=$iter text='$text'")
+    }
+  }
 }
