@@ -55,7 +55,9 @@ object Plans {
       "q_text_tfidf"       -> "tf triples computed INSIDE the scan (native TermCounts — no token occurrence ever shuffles), checkpointed once; remaining exchanges are the vocabulary-sized df aggregate and the term join only",
       "q_text_bm25"        -> "postings from the scan-side TermCounts filtered to the query's terms BEFORE anything shuffles; N+avgdl ride ONE struct-typed scalar subquery (one corpus pass, no second tokenize); per-term weights sum as decimal — exchanges are the ≤|query|-key df aggregate, the term join, and the per-doc score aggregate",
       "q_dedup_semantic"   -> "candidates from the (cell, bucket) equi-join — never a cell cross-product; cosine scores in the join's output projection and the threshold filter runs BEFORE the dedup exchange, so only narrow (id_a, id_b, score) rows ever shuffle, vectors move only with their own corpus row",
-      "q_text_bpe"         -> "pure scan projection: ONE native bpeishcount node (a state machine, not a regex) inside the scan, zero shuffles beyond the output sort"
+      "q_text_bpe"         -> "pure scan projection: ONE native bpeishcount node (a state machine, not a regex) inside the scan, zero shuffles beyond the output sort",
+      "q_text_perplexity"  -> "bigram pairs come from ONE native BigramCounts node per scan (distinct pairs per document explode, never occurrences); every vocab/model join is a BroadcastHashJoin; the only full exchanges are vocabulary-sized aggregates and the per-document score aggregate — document bodies never ride any exchange",
+      "q_ann_negatives"    -> "anchors broadcast ONCE with vector + label; the label exclusion sits in the join condition BELOW the bounded top-k aggregate (k always fills), candidates discarded map-side — the exchange carries ≤ partitions × anchors × k rows"
     )
 
     val sb = new StringBuilder

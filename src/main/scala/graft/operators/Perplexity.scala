@@ -24,21 +24,26 @@ import graft.functions.TextFunctions
   * it) and V = |vocab| + 1 counting that symbol.
   *
   * Scale shape (100 TB corpus, vocabulary-bounded model):
+  *  - Bigram pairs come from the native scan-stage
+  *    [[graft.plans.TextExpressions.bigramCounts]] — distinct pairs per
+  *    document with multiplicities, never occurrences; document bodies
+  *    never ride any exchange.
   *  - Vocabulary selection is `orderBy(count).limit(V)` → Spark plans
   *    TakeOrderedAndProject: each partition keeps its local top-V, only
-  *    V-sized partials reach the driver-side merge. The unigram count
-  *    beneath it aggregates with map-side partials, so the exchange
-  *    carries distinct-tokens-per-partition, never token occurrences.
-  *  - Bigram counting never shuffles an occurrence either: the vocab map
-  *    is a broadcast join and `groupBy(w1, w2).count` combines map-side,
-  *    so the one exchange carries ≤ partitions × bigram-types slim rows.
+  *    V-sized partials reach the driver-side merge — then the capped
+  *    result is COLLECTED (≤ V strings by construction — the same
+  *    bounded-collect contract as [[LocalKMeans]]) and the OOV→`<unk>`
+  *    map evaluates as a native `InSet` inside the scan. The broadcast-
+  *    join formulation this replaced paid four broadcast exchange
+  *    materializations per train+score just to test set membership.
+  *  - Bigram counting's one exchange carries ≤ partitions × bigram-types
+  *    slim rows (map-side partial aggregation).
   *  - Context counts c(w1, ·) derive from the bigram model by a second
   *    aggregation over the MODEL (vocabulary-sized), not the corpus.
   *  - Scoring broadcasts the model (a trained CCNet-style SLM is MBs —
   *    bounded by bigram types, empirically ≪ V²; for a model too big to
   *    broadcast, pre-aggregate per-document bigram counts and shuffle-join
-  *    on (w1, w2) instead) and sums log-probs with map-side partials, so
-  *    document bodies never ride any exchange.
+  *    on (w1, w2) instead) and sums log-probs with map-side partials.
   *
   * Per-bigram log-probs are rounded to DECIMAL(18,6) before the sum (the
   * engine-parity money-sum discipline — exact, order-free), so the DuckDB
@@ -46,12 +51,15 @@ import graft.functions.TextFunctions
   */
 object Perplexity {
 
-  /** A trained bigram LM. `bigrams` = `(w1, w2, n)`, `contexts` =
-    * `(w1, cn)`, `vocab` = `(w)` (capped, `<unk>` NOT included — V counts
-    * it separately). All three are vocabulary-bounded relations.
+  /** A trained bigram LM. `bigrams` = `(w1, w2, n)` and `contexts` =
+    * `(w1, cn)` are vocabulary-bounded relations (broadcast at scoring);
+    * `vocab` is the capped word set itself (`<unk>` NOT included — V
+    * counts it separately, so `v = vocab.size + 1`).
     */
   final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
-                            vocab: DataFrame, alpha: Double)
+                            vocab: Set[String], alpha: Double) {
+    def v: Double = vocab.size + 1.0
+  }
 
   val Unk = "<unk>"
 
@@ -70,17 +78,22 @@ object Perplexity {
       (a, b) => struct(a.as("w1"), b.as("w2")))
   }
 
-  /** `(leading cols…, __rw1, __rw2, __k)` weighted bigram rows from the
-    * native per-document counter — distinct pairs with multiplicities, so
-    * the downstream vocab/model joins see ~distinct-bigrams-per-doc rows
-    * instead of every occurrence.
+  /** `(leading cols…, w1, w2, __k)` vocab-mapped weighted bigram rows from
+    * the native per-document counter — distinct pairs with multiplicities,
+    * OOV already folded to `<unk>` by a scan-stage `InSet` membership test.
     */
-  private def bigramRows(df: DataFrame, textCol: String, keep: Seq[Column]): DataFrame =
+  private def bigramRows(df: DataFrame, textCol: String, keep: Seq[Column],
+                         vocab: Set[String]): DataFrame = {
+    def mapped(c: Column): Column =
+      if (vocab.isEmpty) lit(Unk) // empty-IN is malformed in Spark; all tokens are OOV
+      else when(c.isInCollection(vocab), c).otherwise(lit(Unk))
     df.select(keep :+
         explode(graft.plans.TextExpressions.bigramCounts(col(textCol))
           .getField("entries")).as("__b"): _*)
-      .select(keep ++ Seq(col("__b.w1").as("__rw1"), col("__b.w2").as("__rw2"),
+      .select(keep ++ Seq(mapped(col("__b.w1")).as("w1"),
+        mapped(col("__b.w2")).as("w2"),
         col("__b.n").cast("long").as("__k")): _*)
+  }
 
   /** Train on `corpus` (typically the trusted reference slice): top
     * `vocabSize` tokens by (count desc, token asc — total order), bigram
@@ -93,11 +106,9 @@ object Perplexity {
     require(corpus.columns.contains(textCol),
       s"Perplexity.train: input has no '$textCol' column")
     val live = corpus.filter(col(textCol).isNotNull)
-    // Local checkpoint: the vocab relation feeds BOTH mapping joins below
-    // (and scoring later); in a pure plan Catalyst would duplicate the
-    // whole unigram-count + top-V subtree per consumer. Unigram counts come
-    // from the native TermCounts (distinct terms per doc reach the partial
-    // agg, not occurrences).
+    // Unigram counts from the native TermCounts (distinct terms per doc
+    // reach the partial agg, not occurrences); top-V runs distributed
+    // (TakeOrderedAndProject), and only the ≤ V winners are collected.
     val vocab = live
       .select(explode(graft.plans.TextExpressions.termCounts(col(textCol))
         .getField("entries")).as("__t"))
@@ -105,10 +116,10 @@ object Perplexity {
       .groupBy("w").agg(sum(col("__k")).as("__n"))
       .orderBy(desc("__n"), col("w")).limit(vocabSize)
       .select(col("w"))
-      .localCheckpoint(eager = false)
+      .collect().map(_.getString(0)).toSet
     // Bigram model feeds the scoring join AND the context aggregate —
-    // checkpoint it too, or the corpus would bigram-count twice.
-    val bigrams = mapThroughVocab(bigramRows(live, textCol, Seq.empty), vocab)
+    // checkpoint it, or the corpus would bigram-count twice.
+    val bigrams = bigramRows(live, textCol, Seq.empty, vocab)
       .groupBy("w1", "w2").agg(sum(col("__k")).as("n"))
       .localCheckpoint(eager = false)
     val contexts = bigrams.groupBy("w1").agg(sum("n").as("cn"))
@@ -124,22 +135,17 @@ object Perplexity {
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
       s"Perplexity.score: input has no '$c' column"))
-    // V = |vocab| + 1 (the <unk> symbol) as a scalar subquery — the model
-    // relations are checkpointed, so this is a count over stored rows, not
-    // a corpus rescan; no driver round-trip.
-    val v = org.apache.spark.sql.graftshim.ColumnShim.scalarSubquery(
-      lm.vocab.agg((count(lit(1)) + lit(1)).cast("double").as("v")))
     val pairs = bigramRows(docs.filter(col(textCol).isNotNull), textCol,
-      Seq(col(idCol)))
+      Seq(col(idCol)), lm.vocab)
     // Weighted by the per-document pair multiplicity __k: k · round6(logp)
     // is EXACTLY Σ_k round6(logp) (decimal × integer), so the score equals
     // the per-occurrence formulation the DuckDB oracle computes.
-    mapThroughVocab(pairs, lm.vocab)
+    pairs
       .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
       .join(broadcast(lm.contexts), Seq("w1"), "left")
       .withColumn("__logp",
         log((coalesce(col("n"), lit(0L)) + lit(lm.alpha)) /
-            (coalesce(col("cn"), lit(0L)) + lit(lm.alpha) * v))
+            (coalesce(col("cn"), lit(0L)) + lit(lm.alpha) * lit(lm.v)))
           .cast("decimal(18,6)"))
       .groupBy(col(idCol))
       .agg(sum(col("__logp") * col("__k")).as("__s"),
@@ -148,21 +154,5 @@ object Perplexity {
         round(exp(-col("__s").cast("double") / col("n_bigrams")), 4))
       .select(col(idCol), col("n_bigrams"), col("ppl"))
       .orderBy(col(idCol))
-  }
-
-  /** Map raw `(__rw1, __rw2)` pairs through the vocab (OOV → `<unk>`),
-    * preserving any leading columns. Broadcast joins — the vocab is capped
-    * by construction.
-    */
-  private def mapThroughVocab(pairs: DataFrame, vocab: DataFrame): DataFrame = {
-    val keep = pairs.columns.filterNot(Set("__rw1", "__rw2")).map(col).toSeq
-    val v1 = broadcast(vocab.select(col("w").as("__v1")))
-    val v2 = broadcast(vocab.select(col("w").as("__v2")))
-    pairs
-      .join(v1, col("__rw1") === col("__v1"), "left")
-      .join(v2, col("__rw2") === col("__v2"), "left")
-      .select(keep ++ Seq(
-        coalesce(col("__v1"), lit(Unk)).as("w1"),
-        coalesce(col("__v2"), lit(Unk)).as("w2")): _*)
   }
 }
