@@ -55,17 +55,19 @@ object Tables {
     })
   }
 
-  /** Spark session with the library's baseline settings. Scan-split size is
-    * left at Spark's default (128 MB — right for real data) unless
-    * SPARK_GRAFT_MAX_PARTITION_BYTES overrides it; the bench/verify mains
-    * use [[harnessSession]], which adds the tiny-split tuning their
-    * 15-600 MB local inputs need. AQE re-plans partition counts on a real
-    * cluster, so the rest scales out unchanged.
+  /** Spark session with the library's baseline settings. Scan-split knobs
+    * are left at Spark's defaults (128 MB splits, 4 MB open cost — right
+    * for real data) unless SPARK_GRAFT_MAX_PARTITION_BYTES overrides; the
+    * local bench/plan mains use [[harnessSession]], which adds the
+    * tiny-split tuning their 15-600 MB local inputs need (Verify builds
+    * its own minimal session — correctness is split-size-independent).
+    * AQE re-plans partition counts on a real cluster, so the rest scales
+    * out unchanged.
     */
   def session(master: String = defaultMaster): SparkSession =
     build(master, sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES"))
 
-  /** Session for the LOCAL bench/verify/plan mains ONLY. Scan-split size is
+  /** Session for the LOCAL bench/plan mains ONLY. Scan-split size is
     * matched to the HARNESS scale: inputs here are 15-600 MB per table, so
     * the 128 MB default turns most scans into 1-4 tasks and leaves 28+ of
     * the 32 cores idle on every scan-heavy query (measured at sf1: the ANN
@@ -83,16 +85,21 @@ object Tables {
     s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"
 
   private def build(master: String, maxPartitionBytes: Option[String]): SparkSession = {
-    val builder = SparkSession.builder()
+    var builder = SparkSession.builder()
       .master(master)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.openCostInBytes", "131072")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = maxPartitionBytes
-      .fold(builder)(b => builder.config("spark.sql.files.maxPartitionBytes", b))
-      .getOrCreate()
+    // Both scan-split knobs are HARNESS tuning (small local inputs):
+    // library sessions keep Spark's defaults (128 MB splits, 4 MB open
+    // cost) — right for real data.
+    maxPartitionBytes.foreach { b =>
+      builder = builder
+        .config("spark.sql.files.maxPartitionBytes", b)
+        .config("spark.sql.files.openCostInBytes", "131072")
+    }
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -59,6 +59,13 @@ object Perplexity {
   final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
                             vocab: Set[String], alpha: Double) {
     def v: Double = vocab.size + 1.0
+
+    /** Release the model's localCheckpoint blocks. Long-lived sessions
+      * training many LMs (per-domain, per-round) should call this when a
+      * model retires — the ContextCleaner frees the blocks on GC anyway,
+      * but under storage-memory pressure "eventually" is too late.
+      */
+    def unpersist(): Unit = { bigrams.unpersist(): Unit }
   }
 
   val Unk = "<unk>"

@@ -427,7 +427,7 @@ object Similarity {
                        anchorIdCol: String = "anchor_id"): DataFrame = {
     requireNoReservedCols(corpus,
       Seq(anchorIdCol, "__avec", "__albl", "bucket", "score"), "hardNegativesLsh")
-    Seq(vecCol, labelCol).foreach(c => require(anchors.columns.contains(c),
+    Seq(vecCol, labelCol, anchorIdCol).foreach(c => require(anchors.columns.contains(c),
       s"hardNegativesLsh: anchors have no '$c' column"))
     val idx = bucketed(corpus, dim, nbits, seed, vecCol)
     val q = broadcast(

@@ -103,22 +103,29 @@ case class TopKByScore(score: Expression, id: Expression, k: Int,
   // The implicit LongType cast above would happily take a STRING id and
   // yield null at runtime — surfacing as the misleading "id expression
   // evaluated to null" mid-job. Enforce the documented contract ("id must
-  // be integral; rank anything else with a window") at ANALYSIS time by
-  // unwrapping the analyzer-inserted cast and checking the source type.
+  // be an exact integer; rank anything else with a window") at ANALYSIS
+  // time by unwrapping casts (the analyzer's implicit one, and any
+  // user-written chain on top) back to the source type. Accepted sources:
+  // the integral family plus scale-0 decimals — BIGINT routinely arrives
+  // as decimal(p,0) via JDBC/parquet and converts losslessly (overflow
+  // still nulls like any long overflow would). Fractional, string, and
+  // other null-on-failure conversions are rejected.
   override def checkInputDataTypes(): TypeCheckResult = {
     @annotation.tailrec def sourceType(e: Expression): DataType = e match {
       case c: Cast => sourceType(c.child)
       case other   => other.dataType
     }
     val idType = sourceType(id)
-    val integral = idType match {
+    val exactInteger = idType match {
       case ByteType | ShortType | IntegerType | LongType => true
+      case d: DecimalType if d.scale == 0                => true
       case _                                             => false
     }
-    if (!integral)
+    if (!exactInteger)
       TypeCheckResult.TypeCheckFailure(
-        s"graft.TopKByScore: id must be an integral column (stored as BIGINT), " +
-          s"got ${idType.catalogString}; rank non-integral ids with a window instead")
+        s"graft.TopKByScore: id must be an exact-integer column (integral or " +
+          s"decimal(p,0), stored as BIGINT), got ${idType.catalogString}; " +
+          "rank non-integer ids with a window instead")
     else super.checkInputDataTypes()
   }
   override def nullable: Boolean = false

@@ -178,7 +178,11 @@ private[sources] class MarkdownScanBuilder(fullSchema: StructType, pattern: Stri
     // private[spark]) so executor-side FileSystem access sees the session's
     // filesystem settings, not bare defaults.
     val hconf = session.sessionState.newHadoopConf()
-    new MarkdownScan(required, pattern,
+    // Qualify NOW (scheme + absolute base) so slug derivation on executors
+    // anchors unambiguously — file paths arrive Hadoop-qualified, and a
+    // relative base could first-match inside a parent segment that happens
+    // to repeat the base name (same discipline as StaticSources.load).
+    new MarkdownScan(required, StaticSources.qualifyPattern(pattern, hconf),
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(target),
       org.apache.spark.network.util.JavaUtils.byteStringAsBytes(openCost),
       hconf.asScala.map(e => (e.getKey, e.getValue)).toArray)
@@ -199,9 +203,13 @@ private[sources] class MarkdownScan(required: StructType, pattern: String,
   override def description(): String =
     s"graft-markdown $pattern, ReadSchema: ${required.simpleString}"
 
-  /** First-fit-decreasing bin packing against max(targetBytes, largest
-    * file): tasks get balanced byte shares and tiny files coalesce instead
-    * of fanning into per-file tasks.
+  /** Sequential greedy bin packing over size-DESC files against
+    * max(targetBytes, largest file) — the same one-pass O(n) scheme as
+    * Spark's own `FilePartition.getFilePartitions` (first-fit over all
+    * open bins is O(files × bins): quadratic planning at the
+    * million-tiny-files scale this connector exists for). Tasks get
+    * balanced byte shares and tiny files coalesce instead of fanning into
+    * per-file tasks.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = new Configuration(false)
@@ -211,14 +219,17 @@ private[sources] class MarkdownScan(required: StructType, pattern: String,
     if (files.isEmpty) return Array.empty
     def cost(f: MarkdownFile): Long = f.length + openCost
     val cap = math.max(targetBytes, files.map(cost).max)
-    val bins = scala.collection.mutable.ArrayBuffer.empty[(scala.collection.mutable.ArrayBuffer[MarkdownFile], Long)]
+    val bins = scala.collection.mutable.ArrayBuffer.empty[InputPartition]
+    val current = scala.collection.mutable.ArrayBuffer.empty[MarkdownFile]
+    var used = 0L
     files.sortBy(f => (-cost(f), f.path)).foreach { f =>
-      bins.indexWhere(_._2 + cost(f) <= cap) match {
-        case -1 => bins += ((scala.collection.mutable.ArrayBuffer(f), cost(f)))
-        case i  => val (b, used) = bins(i); b += f; bins(i) = (b, used + cost(f))
+      if (used + cost(f) > cap && current.nonEmpty) {
+        bins += MarkdownPartition(current.toArray); current.clear(); used = 0L
       }
+      current += f; used += cost(f)
     }
-    bins.map(b => MarkdownPartition(b._1.toArray): InputPartition).toArray
+    if (current.nonEmpty) bins += MarkdownPartition(current.toArray)
+    bins.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -242,10 +253,11 @@ private[sources] class MarkdownPartitionReader(files: Array[MarkdownFile],
     confKVs.foreach { case (k, v) => c.set(k, v) }
     c
   }
-  // Body materialization is decided ONCE from the pruned schema: when
-  // neither `body` nor any attribute is required (count(*), slug-only
-  // peeks), the per-row work is just the front-matter split.
-  private val needsBody = required.fieldNames.contains("body")
+  // `slug` derives from the PATH alone, so a projection needing nothing
+  // else (count(*), slug-only peeks) must not read file bytes at all —
+  // on the tree this connector exists for, a row count or slug listing
+  // is then metadata-only.
+  private val pathOnly = required.fieldNames.forall(_ == "slug")
   private var i = -1
   private var current: InternalRow = _
 
@@ -253,13 +265,15 @@ private[sources] class MarkdownPartitionReader(files: Array[MarkdownFile],
     i += 1
     if (i >= files.length) return false
     val f = files(i)
-    val content = MarkdownSourceV2.readFully(new Path(f.path), f.length, conf)
-    val (attrs, body) = FrontMatter.parse(content)
+    val (attrs, body) =
+      if (pathOnly) (Map.empty[String, Any], "")
+      else FrontMatter.parse(
+        MarkdownSourceV2.readFully(new Path(f.path), f.length, conf))
     val slug = StaticSources.slugFromPath(pattern, f.path)
     val values: Array[Any] = required.fields.map { field =>
       field.name match {
         case "slug" => UTF8String.fromString(slug)
-        case "body" => if (needsBody) UTF8String.fromString(body) else null
+        case "body" => UTF8String.fromString(body)
         case n      => toCatalyst(attrs.get(n).orNull, field.dataType)
       }
     }

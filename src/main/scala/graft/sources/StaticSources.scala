@@ -31,6 +31,23 @@ object StaticSources {
     "json"     -> (raw => MiniJson.parse(raw))
   )
 
+  /** Fully qualify a glob pattern (scheme + absolute base) so slug
+    * derivation anchors at an unambiguous position: file paths arrive
+    * Hadoop-qualified (`file:/...`), and matching a RELATIVE base inside
+    * them can hit a parent segment that merely repeats the base name.
+    * Shared by [[load]] and the `graft-markdown` DSv2 connector.
+    */
+  def qualifyPattern(pattern: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val prefix = pattern.takeWhile(_ != '*')
+    val suffix = pattern.drop(prefix.length)
+    val base   = new org.apache.hadoop.fs.Path(if (prefix.isEmpty) "." else prefix)
+    val fs     = base.getFileSystem(conf)
+    var qBase  = fs.makeQualified(base).toString
+    // Path() drops trailing slashes; restore the segment boundary
+    if (prefix.endsWith("/") && !qBase.endsWith("/")) qBase += "/"
+    qBase + suffix
+  }
+
   /** Slug from file path relative to the glob's base dir, `/` encoded as `--`
     * (reference: src/SourceConfigResolver.ts:175-190).
     */
@@ -101,16 +118,8 @@ object StaticSources {
     // `_metadata.file_path` arrives qualified, and an absolute anchor removes
     // any ambiguity about WHERE the glob base occurs inside the path (a cwd
     // or parent segment that happens to repeat the base name).
-    val qualifiedPattern = {
-      val prefix = pattern.takeWhile(_ != '*')
-      val suffix = pattern.drop(prefix.length)
-      val base   = new org.apache.hadoop.fs.Path(if (prefix.isEmpty) "." else prefix)
-      val fs     = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      var qBase  = fs.makeQualified(base).toString
-      // Path() drops trailing slashes; restore the segment boundary
-      if (prefix.endsWith("/") && !qBase.endsWith("/")) qBase += "/"
-      qBase + suffix
-    }
+    val qualifiedPattern =
+      qualifyPattern(pattern, spark.sparkContext.hadoopConfiguration)
     val files: Dataset[(String, String)] = spark.read
       .option("wholetext", "true")
       .text(pattern)

@@ -102,5 +102,16 @@ class TopKAggregateSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       dbl.groupBy("q").agg(TopKAggregate.topK(col("score"), col("id"), 2)).collect()
     }
+    // scale-0 decimals (BIGINT via JDBC/parquet) convert losslessly — accepted
+    val dec = Seq((1L, BigDecimal(7), 0.9), (1L, BigDecimal(8), 0.5))
+      .toDF("q", "id", "score")
+      .withColumn("id", col("id").cast("decimal(10,0)"))
+    val got = aggTopK(dec, 1).collect().map(_.getLong(1)).toSeq
+    assert(got == Seq(7L))
+    // fractional decimals are not exact integers — rejected
+    intercept[org.apache.spark.sql.AnalysisException] {
+      dec.withColumn("id", col("id").cast("decimal(10,2)"))
+        .groupBy("q").agg(TopKAggregate.topK(col("score"), col("id"), 2)).collect()
+    }
   }
 }

@@ -103,4 +103,34 @@ class MarkdownSourceV2Spec extends SparkSpec {
   test("count(*) works with the empty projection") {
     assert(read().count() == 2L)
   }
+
+  test("slug derivation anchors at the qualified base, not a lookalike parent") {
+    // a parent directory that merely repeats the glob base must not shift
+    // the slug anchor (the StaticSources qualification discipline)
+    val d = Files.createTempDirectory("graft-dsv2q")
+    write(d, "content/posts/content/posts/deep.md", "---\ntitle: Deep\n---\nBody\n")
+    val slugs = spark.read.format("graft-markdown")
+      .load(s"$d/content/posts/*/*/*.md")
+      .select("slug").collect().map(_.getString(0)).toSet
+    assert(slugs == Set("content--posts--deep"), s"got $slugs")
+  }
+
+  test("path-only projections (slug, count) never read file bytes") {
+    // reader-level pin with a NONEXISTENT file: a slug-only (or empty)
+    // projection must emit its row purely from the path, while any
+    // content-needing projection must fail trying to open the file.
+    // (A permission-bits fixture can't test this — specs run as root.)
+    val files = Array(MarkdownFile("/nonexistent-graft/x.md", 10))
+    def reader(fields: StructField*) = new MarkdownPartitionReader(
+      files, StructType(fields), "/nonexistent-graft/*.md", Array.empty)
+    val slugOnly = reader(StructField("slug", StringType))
+    assert(slugOnly.next())
+    assert(slugOnly.get().getUTF8String(0).toString == "x")
+    assert(!slugOnly.next())
+    val empty = reader() // count(*) projection
+    assert(empty.next() && empty.get().numFields == 0 && !empty.next())
+    val needsContent = reader(StructField("slug", StringType),
+      StructField("title", StringType))
+    intercept[Exception](needsContent.next())
+  }
 }
