@@ -994,6 +994,24 @@ object SparkEntry {
       operators.Similarity.bucketed(Tables.load(s, dir, "embeddings"), dim = 64)
         .select("vec_id", "bucket")
         .orderBy("vec_id").limit(500)),
+    "q_embed_quantize" -> ((s, dir) =>
+      // Int8 embedding quantization audit: per-vector scale, code sum,
+      // nonzero count and max reconstruction error — the whole encode is
+      // one native scan-stage expression (operators/Quantize.scala).
+      operators.Quantize.reconstructionStats(
+        Tables.load(s, dir, "embeddings").select("vec_id", "embedding"))),
+    "q_embed_assign" -> ((s, dir) => {
+      // Cluster assignment against FIXED formula centroids — oracle-checks
+      // the native NearestCenter primitive (IVF's assignment scan) itself:
+      // squared-Euclidean argmin, ties to the lower cell, sequential
+      // per-dimension sum order shared with the DuckDB twin.
+      val centers = (0 until 8).map(j =>
+        (0 until 64).map(d => (((j * 31 + d * 7) % 13) - 6) / 6.0))
+      Tables.load(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.plans.VectorExpressions.nearestCenter(col("embedding"), centers).as("cell"))
+        .orderBy("vec_id")
+    }),
     "q_embed_centroid" -> ((s, dir) => {
       // Per-label embedding profile: per-row vector reductions (native
       // one-pass fold expressions, bit-identical to the HOF formulation)
@@ -1641,6 +1659,44 @@ object SparkEntry {
            ON a.vec_id < b.vec_id
           AND list_cosine_similarity(a.embedding, b.embedding) >= 0.999
          ORDER BY id_a, id_b""",
+    "q_embed_quantize" ->
+      // same algebra: scale = max|x|/127, codes = round(x/scale) (DuckDB's
+      // round is half-away like Spark's), reconstruction via codes·scale
+      """WITH d AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS x
+           FROM embeddings WHERE embedding IS NOT NULL),
+         q AS (
+           SELECT vec_id, x, list_max(list_transform(x, v -> abs(v))) / 127.0 AS scale
+           FROM d),
+         c AS (
+           SELECT vec_id, x, scale,
+                  CASE WHEN scale = 0 THEN list_transform(x, v -> 0)
+                       ELSE list_transform(x, v -> CAST(round(v / scale) AS INTEGER)) END AS codes
+           FROM q)
+         SELECT vec_id,
+                round(scale, 6) AS scale_r,
+                CAST(list_aggregate(codes, 'sum') AS BIGINT) AS sum_codes,
+                CAST(len(list_filter(codes, v -> v <> 0)) AS INTEGER) AS nz,
+                round(list_max(list_transform(range(1, len(x) + 1),
+                      i -> abs(codes[i] * scale - x[i]))), 6) AS max_err_r
+         FROM c ORDER BY vec_id""",
+    "q_embed_assign" ->
+      // same formula centroids, same sequential squared-Euclidean sum,
+      // ties to the lower cell via the (d2, j) window order
+      """WITH cent AS (
+           SELECT j, list_transform(range(0, 64), d -> (((j * 31 + d * 7) % 13) - 6) / 6.0) AS c
+           FROM range(0, 8) t(j)),
+         dist AS (
+           SELECT e.vec_id, cent.j,
+                  list_aggregate(list_transform(range(1, 65),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])), 'sum') AS d2
+           FROM embeddings e CROSS JOIN cent),
+         r AS (
+           SELECT vec_id, j,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+           FROM dist)
+         SELECT vec_id, CAST(j AS INTEGER) AS cell FROM r WHERE rn = 1 ORDER BY vec_id""",
     "q_embed_centroid" ->
       // identical per-row arithmetic (sequential double sum over the list,
       // /len, sqrt) then DECIMAL cross-row totals — see the Spark twin's

@@ -33,6 +33,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_winnow_fps(text, k, w)` → array<string> (winnowed md5 fingerprints; k, w literal ints)
   *  - `graft_term_counts(text)`   → struct<ntok, entries array<struct<term, n>>>
   *  - `graft_bigram_counts(text)` → struct<nbg, entries array<struct<w1, w2, n>>>
+  *  - `graft_quantize8(vec)`      → struct<scale double, codes array<tinyint>> (int8 SQ)
   *  - `graft_topk(score, id, k)`  → AGGREGATE: array<struct<score, id>> top-k by score desc, id asc ties (k literal int)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -159,6 +160,13 @@ object GraftExtensions {
       (children: Seq[Expression]) => {
         require(children.size == 1, "graft_bigram_counts(text) takes exactly 1 argument")
         BigramCounts(children.head)
+      }),
+    (
+      new FunctionIdentifier("graft_quantize8"),
+      new ExpressionInfo(classOf[Int8Quantize].getName, "graft_quantize8"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_quantize8(vec) takes exactly 1 argument")
+        Int8Quantize(children.head)
       }),
     (
       new FunctionIdentifier("graft_topk"),

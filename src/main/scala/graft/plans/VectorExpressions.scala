@@ -78,6 +78,19 @@ object VectorExpressions {
   def nearestCenter(vec: Column, centers: Seq[Seq[Double]]): Column =
     ColumnShim.column(NearestCenter(ColumnShim.expression(vec), centers))
 
+  /** Symmetric per-vector int8 scalar quantization in ONE pass:
+    * `struct<scale double, codes array<tinyint>>` with
+    * `scale = max|x| / 127` and `codes[i] = round(x[i] / scale)` (half
+    * away from zero — the rounding BOTH Spark's `round` and DuckDB/C
+    * `round` apply, so the columnar twin and the SQL oracle match
+    * bit-for-bit; `math.round`'s floor(x+0.5) would diverge on negative
+    * ties). A zero vector quantizes to scale 0 with all-zero codes; a
+    * null element throws like [[nearestCenter]] (a silently-zeroed
+    * dimension would corrupt every downstream distance).
+    */
+  def quantize8(vec: Column): Column =
+    ColumnShim.column(Int8Quantize(ColumnShim.expression(vec)))
+
   /** float or double arrays, no cast for either; anything else coerces to
     * double arrays (ImplicitCastInputTypes) so the SQL surface keeps taking
     * e.g. int arrays. TypeCollection is private[sql] → shimmed.
@@ -341,6 +354,58 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
     nullSafeCodeGen(ctx, ev, a =>
       s"${ev.value} = graft.plans.HyperplaneBits$$.MODULE$$.compute($a, $pRef, $aF);")
   }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Int8Quantize {
+  /** One scorer for both paths. Half-away-from-zero rounding (ties at
+    * ±k.5 round AWAY), matching BigDecimal HALF_UP (Spark round) and C
+    * round (DuckDB). |x/scale| ≤ 127 by construction of scale, so no
+    * clamp is needed: the max element maps to exactly ±127.
+    */
+  def compute(a: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i), "graft.Int8Quantize: null element in vector")
+      val x = math.abs(VectorExpressions.elem(a, i, isFloat))
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    val codes = new Array[Byte](n)
+    if (scale != 0.0) {
+      i = 0
+      while (i < n) {
+        val y = VectorExpressions.elem(a, i, isFloat) / scale
+        codes(i) = (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes))
+  }
+}
+
+case class Int8Quantize(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(VectorExpressions.vecType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("codes", ArrayType(ByteType, containsNull = false), nullable = false)))
+
+  @transient private lazy val aF = VectorExpressions.isFloatArray(child)
+
+  override def nullSafeEval(input: Any): Any =
+    Int8Quantize.compute(input.asInstanceOf[ArrayData], aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Int8Quantize$$.MODULE$$.compute($a, $aF);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

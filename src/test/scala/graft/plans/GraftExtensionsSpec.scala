@@ -171,6 +171,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       "SELECT graft_bigram_counts(t).nbg, size(graft_bigram_counts(t).entries) FROM wf_docs WHERE id = 1")
       .head()
     assert(sqlBg.getInt(0) == 6 && sqlBg.getInt(1) == 6)
+    Seq((1L, Seq(2.0f, -1.0f, 0.5f))).toDF("id", "v").createOrReplaceTempView("qv")
+    val sqlQ = spark.sql("SELECT graft_quantize8(v).scale, graft_quantize8(v).codes FROM qv").head()
+    assert(sqlQ.getDouble(0) == 2.0 / 127.0 &&
+      sqlQ.getSeq[Byte](1) == Seq[Byte](127, -64, 32))
     val sqlBpe = spark.sql("SELECT graft_bpeish_count(t) FROM wf_docs WHERE id = 2").head().getInt(0)
     val dslBpe = spark.table("wf_docs").filter($"id" === 2)
       .select(TextExpressions.bpeishCount($"t")).head().getInt(0)
