@@ -57,7 +57,9 @@ object Plans {
       "q_dedup_semantic"   -> "candidates from the (cell, bucket) equi-join — never a cell cross-product; cosine scores in the join's output projection and the threshold filter runs BEFORE the dedup exchange, so only narrow (id_a, id_b, score) rows ever shuffle, vectors move only with their own corpus row",
       "q_text_bpe"         -> "pure scan projection: ONE native bpeishcount node (a state machine, not a regex) inside the scan, zero shuffles beyond the output sort",
       "q_text_perplexity"  -> "bigram pairs come from ONE native BigramCounts node per scan (distinct pairs per document explode, never occurrences); every vocab/model join is a BroadcastHashJoin; the only full exchanges are vocabulary-sized aggregates and the per-document score aggregate — document bodies never ride any exchange",
-      "q_ann_negatives"    -> "anchors broadcast ONCE with vector + label; the label exclusion sits in the join condition BELOW the bounded top-k aggregate (k always fills), candidates discarded map-side — the exchange carries ≤ partitions × anchors × k rows"
+      "q_ann_negatives"    -> "anchors broadcast ONCE with vector + label; the label exclusion sits in the join condition BELOW the bounded top-k aggregate (k always fills), candidates discarded map-side — the exchange carries ≤ partitions × anchors × k rows",
+      "q_embed_quantize"   -> "pure scan projection: ONE native Int8Quantize node (scale + codes in a single pass) inside the scan, zero shuffles beyond the output sort",
+      "q_embed_assign"     -> "pure scan projection: ONE native NearestCenter node (all centroids in one pass, centers shipped as a plan literal) inside the scan, zero shuffles beyond the output sort"
     )
 
     val sb = new StringBuilder
