@@ -69,8 +69,15 @@ object Plans {
 
     audit.foreach { case (name, property) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
+      // Truncate per LINE before the overall budget: a plan literal (e.g.
+      // q_embed_assign's 8×64 centroid array) is one huge line that would
+      // otherwise eat the whole take() and cut off the Exchange/Sort nodes
+      // the must-hold property is about.
       val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode)
+          org.apache.spark.sql.execution.FormattedMode)
+        .linesIterator
+        .map(l => if (l.length > 300) l.take(300) + " …" else l)
+        .mkString("\n")
       sb.append(s"## $name\n\n**Must hold:** $property\n\n```\n")
       sb.append(plan.take(6000))
       sb.append("\n```\n\n")

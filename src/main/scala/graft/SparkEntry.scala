@@ -1007,7 +1007,10 @@ object SparkEntry {
       // per-dimension sum order shared with the DuckDB twin.
       val centers = (0 until 8).map(j =>
         (0 until 64).map(d => (((j * 31 + d * 7) % 13) - 6) / 6.0))
+      // null-embedding guard pinned on BOTH sides: Spark's nullSafeEval
+      // would emit a NULL cell where DuckDB's NULLS-LAST window emits 0
       Tables.load(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
         .select(col("vec_id"),
           graft.plans.VectorExpressions.nearestCenter(col("embedding"), centers).as("cell"))
         .orderBy("vec_id")
@@ -1691,7 +1694,8 @@ object SparkEntry {
                   list_aggregate(list_transform(range(1, 65),
                     i -> (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
                        * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])), 'sum') AS d2
-           FROM embeddings e CROSS JOIN cent),
+           FROM embeddings e CROSS JOIN cent
+           WHERE e.embedding IS NOT NULL),
          r AS (
            SELECT vec_id, j,
                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn

@@ -362,8 +362,17 @@ case class HyperplaneBits(child: Expression, planes: Seq[Seq[Double]])
 object Int8Quantize {
   /** One scorer for both paths. Half-away-from-zero rounding (ties at
     * ±k.5 round AWAY), matching BigDecimal HALF_UP (Spark round) and C
-    * round (DuckDB). |x/scale| ≤ 127 by construction of scale, so no
-    * clamp is needed: the max element maps to exactly ±127.
+    * round (DuckDB) EXACTLY: the fractional part is compared to 0.5
+    * directly — `floor(y + 0.5)` would round UP across a tie for the
+    * largest double below k.5 (the FP addition lands on k+1.0), where
+    * both reference rounds return k. `|y| - floor(|y|)` is exact in
+    * IEEE754 (the fractional bits of a double survive subtracting its
+    * integer part), so the comparison has no error of its own.
+    * |x/scale| ≤ 127 by construction of scale, so no clamp is needed:
+    * the max element maps to exactly ±127. NaN/Infinity elements are
+    * rejected like nulls — the columnar twin would NaN-poison the scale
+    * and the SQL oracle hard-errors casting round(nan), so "throw
+    * loudly" is the only behavior all three paths can share.
     */
   def compute(a: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
     val n = a.numElements()
@@ -372,6 +381,8 @@ object Int8Quantize {
     while (i < n) {
       require(!a.isNullAt(i), "graft.Int8Quantize: null element in vector")
       val x = math.abs(VectorExpressions.elem(a, i, isFloat))
+      require(!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x),
+        "graft.Int8Quantize: non-finite element in vector")
       if (x > maxAbs) maxAbs = x
       i += 1
     }
@@ -381,7 +392,10 @@ object Int8Quantize {
       i = 0
       while (i < n) {
         val y = VectorExpressions.elem(a, i, isFloat) / scale
-        codes(i) = (if (y >= 0) math.floor(y + 0.5) else math.ceil(y - 0.5)).toByte
+        val ay = math.abs(y)
+        val f = math.floor(ay)
+        val r = if (ay - f >= 0.5) f + 1.0 else f
+        codes(i) = (if (y >= 0) r else -r).toByte
         i += 1
       }
     }

@@ -65,6 +65,31 @@ class QuantizeSpec extends SparkSpec {
     assert(ints.getDouble(4) <= ints.getDouble(1) / 2 + 1e-9)
   }
 
+  test("tie-adjacent doubles round like BigDecimal/DuckDB, not floor(y+0.5)") {
+    // 0.49999999999999994 is the largest double below 0.5: floor(y + 0.5)
+    // computes floor(1.0) = 1 (the FP addition crosses the tie), while
+    // BigDecimal HALF_UP (Spark round) and C round (DuckDB) both give 0.
+    // scale = 127/127 = 1 exactly, so y = x verbatim.
+    val v = Seq((1L, Seq(127.0, 0.49999999999999994, -0.49999999999999994, 0.5, -0.5)))
+    val row = v.toDF("vec_id", "embedding")
+      .select(graft.plans.VectorExpressions.quantize8(col("embedding")).as("q"),
+        Quantize.quantize8Columnar(col("embedding")).as("t"))
+      .head()
+    val native = row.getStruct(0).getSeq[Byte](1)
+    val twin = row.getStruct(1).getSeq[Byte](1)
+    assert(native == Seq[Byte](127, 0, 0, 1, -1), s"native got $native")
+    assert(native == twin, s"twin diverged: $twin")
+  }
+
+  test("NaN and Infinity elements throw loudly (oracle would hard-error)") {
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity, Float.NegativeInfinity)) {
+      val df = Seq((1L, Seq(1.0f, bad))).toDF("vec_id", "embedding")
+      val e = intercept[Exception](
+        df.select(graft.plans.VectorExpressions.quantize8(col("embedding"))).collect())
+      assert(e.getMessage != null)
+    }
+  }
+
   test("null element throws loudly; guards fire") {
     val bad = Seq((1L, Seq[java.lang.Float](1.0f, null))).toDF("vec_id", "embedding")
     val e = intercept[Exception](
