@@ -775,6 +775,23 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
         .orderBy("c_mktsegment")
     }),
+    "q_url_canonical" -> ((s, dir) => {
+      // URL-keyed dedup of crawl snapshots — the step BEFORE content dedup:
+      // every doc gets a planted URL wearing the full decoration kit
+      // (uppercase scheme/host, default :443 port, utm/fbclid tracking
+      // params); canonicalization must collapse the 500 decorated URLs to
+      // the 3×7×5 = 105 real pages, keeping min doc_id per page. Pure
+      // scan-stage string algebra + one small aggregate.
+      val url = concat(lit("HTTPS://Site"), (col("doc_id") % 3).cast("string"),
+        lit(".Example.COM:443/Path/"), (col("doc_id") % 7).cast("string"),
+        lit("?utm_source=x&id="), (col("doc_id") % 5).cast("string"),
+        lit("&fbclid=c"), col("doc_id").cast("string"))
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), functions.TextFunctions.normalizeUrl(url).as("canon_url"))
+        .groupBy("canon_url")
+        .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper"))
+        .orderBy("canon_url")
+    }),
     "q_url_domains" -> ((s, dir) => {
       // Per-domain corpus stats after a blocklist gate — the CommonCrawl
       // curation step. URLs are planted (every 4th doc cites one of five
@@ -1403,6 +1420,35 @@ object SparkEntry {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_url_canonical" ->
+      // identical canonicalization algebra (backref syntax \1 here vs $1
+      // in Spark — each engine's own replacement grammar, same patterns)
+      """WITH u AS (
+           SELECT doc_id,
+                  'HTTPS://Site' || CAST(doc_id % 3 AS VARCHAR) ||
+                  '.Example.COM:443/Path/' || CAST(doc_id % 7 AS VARCHAR) ||
+                  '?utm_source=x&id=' || CAST(doc_id % 5 AS VARCHAR) ||
+                  '&fbclid=c' || CAST(doc_id AS VARCHAR) AS url
+           FROM documents),
+         parts AS (
+           SELECT doc_id, url,
+                  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', 0) AS head
+           FROM (SELECT doc_id, regexp_replace(url, '#.*$', '') AS url FROM u)),
+         canon AS (
+           SELECT doc_id,
+                  regexp_replace(regexp_replace(lower(head), '^(http://[^/?#:]+):80$', '\1'),
+                                 '^(https://[^/?#:]+):443$', '\1')
+                  || regexp_extract(substr(url, len(head) + 1), '^[^?]*', 0)
+                  || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS canon_url
+           FROM (
+             SELECT doc_id, url, head,
+                    array_to_string(list_filter(
+                      string_split(regexp_extract(substr(url, len(head) + 1), '^[^?]*\?(.*)$', 1), '&'),
+                      p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)=')
+                           AND p <> ''), '&') AS q2
+             FROM parts))
+         SELECT canon_url, count(*) AS n_docs, min(doc_id) AS keeper
+         FROM canon GROUP BY canon_url ORDER BY canon_url""",
     "q_url_domains" ->
       """WITH aug AS (
            SELECT doc_id,

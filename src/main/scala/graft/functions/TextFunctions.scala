@@ -159,6 +159,54 @@ object TextFunctions {
   def urlDomains(text: Column): Column =
     transform(regexp_extract_all(text, lit(urlDomainPattern), lit(1)), d => lower(d))
 
+  /** Tracking query parameters every crawl pipeline strips before URL-keyed
+    * dedup: analytics decorations that make the same page infinite distinct
+    * URLs. Shared list so the DuckDB oracle filters identically.
+    */
+  val trackingParamPattern: String =
+    "^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_cid|mc_eid|ref|ref_src)="
+
+  /** Canonical form of a URL — the key for URL-level dedup of crawl
+    * snapshots (the step BEFORE content dedup in the CommonCrawl-style
+    * pipelines: the same page re-crawled under tracking decorations must
+    * collapse without ever comparing bodies):
+    *
+    *  - fragment dropped (client-side only),
+    *  - scheme + authority lowercased (DNS is case-insensitive; the PATH
+    *    keeps its case — path case-sensitivity is server-defined),
+    *  - default ports stripped (`http…:80`, `https…:443`),
+    *  - tracking parameters removed ([[trackingParamPattern]]), remaining
+    *    parameters kept IN ORDER (reordering is a semantic change for
+    *    some endpoints; order-stable crawlers emit stable keys anyway),
+    *  - a now-empty query loses its `?`.
+    *
+    * Pure regexp/array column algebra, Java/RE2-shared pattern syntax so
+    * the oracle recomputes the identical canonical string (replacement
+    * backrefs differ per engine — `$1` here, `\\1` in the DuckDB twin —
+    * but that's each engine's own code, not shared pattern semantics).
+    */
+  def normalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // scheme://authority prefix; empty when the string isn't URL-shaped
+    val head = regexp_extract(noFrag, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    val rest = substring_index_tail(noFrag, head)
+    val headCanon = regexp_replace(
+      regexp_replace(lower(head), "^(http://[^/?#:]+):80$", "$1"),
+      "^(https://[^/?#:]+):443$", "$1")
+    val path = regexp_extract(rest, "^[^?]*", 0)
+    val query = regexp_extract(rest, "^[^?]*\\?(.*)$", 1)
+    val kept = filter(split(query, "&"),
+      p => !p.rlike(trackingParamPattern) && p =!= "")
+    val q2 = array_join(kept, "&")
+    when(head === "", url) // not URL-shaped: pass through untouched
+      .otherwise(concat(headCanon, path,
+        when(q2 === "", lit("")).otherwise(concat(lit("?"), q2))))
+  }
+
+  /** `expr.substring(len(prefix)+1 …)` — the tail after a known prefix. */
+  private def substring_index_tail(s: Column, prefix: Column): Column =
+    s.substr(length(prefix) + 1, lit(Int.MaxValue))
+
   /** Keep only documents whose extracted domains are ALL outside
     * `blockedDomains` — the blocklist gate (a doc citing one bad domain
     * drops entirely, the conservative curation policy). A blocked domain

@@ -280,4 +280,25 @@ class TextFunctionsSpec extends SparkSpec {
       TextFunctions.domainGateCondition($"text", Seq())
     }
   }
+  test("normalizeUrl: case, ports, fragments, tracking params — and what survives") {
+    def n(u: String): String = Seq(Tuple1(u)).toDF("u")
+      .select(TextFunctions.normalizeUrl($"u")).head().getString(0)
+    // the full decoration kit collapses
+    assert(n("HTTPS://Site1.Example.COM:443/Path/2?utm_source=x&id=3&fbclid=c9#frag")
+      == "https://site1.example.com/Path/2?id=3")
+    // http default port; PATH case preserved (server-defined)
+    assert(n("HTTP://Host.COM:80/CaseSensitive") == "http://host.com/CaseSensitive")
+    // non-default port survives
+    assert(n("http://host.com:8080/a") == "http://host.com:8080/a")
+    // all params tracking -> the ? goes too
+    assert(n("https://h.com/p?utm_source=a&utm_medium=b") == "https://h.com/p")
+    // non-tracking params keep their ORDER
+    assert(n("https://h.com/p?b=2&a=1") == "https://h.com/p?b=2&a=1")
+    // utm-lookalike VALUE is not a param key
+    assert(n("https://h.com/p?q=utm_source%3Dx") == "https://h.com/p?q=utm_source%3Dx")
+    // not URL-shaped: untouched
+    assert(n("not a url #tag") == "not a url #tag")
+    // bare authority, no path
+    assert(n("https://H.com") == "https://h.com")
+  }
 }
