@@ -740,6 +740,30 @@ object SparkEntry {
       val lm = operators.Perplexity.train(docs.filter(col("doc_id") % 2 === 0))
       operators.Perplexity.score(docs, lm)
     }),
+    "q_pipeline_curate" -> ((s, dir) => {
+      // The CCNet curation composition in ONE plan: train the bigram LM on
+      // the trusted slice → score every document's perplexity → rank per
+      // language (percent_rank, (ppl, doc_id) total order) → bucket into
+      // head/middle/tail thirds → keep head+middle. The published recipe:
+      // perplexity-bucket the crawl against a reference LM, drop the tail.
+      // Docs with <2 tokens have no perplexity and are for the length gate
+      // (q_quality_gate), not this one.
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val lm = operators.Perplexity.train(docs.filter(col("doc_id") % 2 === 0))
+      val scored = operators.Perplexity.score(docs, lm)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val pr = percent_rank().over(
+        Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id")))
+      scored.withColumn("__pr", pr)
+        .withColumn("bucket",
+          when(col("__pr") <= lit(1.0 / 3.0), "head")
+            .when(col("__pr") <= lit(2.0 / 3.0), "middle")
+            .otherwise("tail"))
+        .filter(col("__pr") <= lit(2.0 / 3.0))
+        .select("doc_id", "lang", "n_bigrams", "ppl", "bucket")
+        .orderBy("doc_id")
+    }),
     "q_text_tfidf" -> ((s, dir) =>
       // TF-IDF keyword extraction: top-3 terms per doc. Scored over the FULL
       // corpus (df/N are corpus-level), output restricted afterwards. One
@@ -775,6 +799,24 @@ object SparkEntry {
           sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
         .orderBy("c_mktsegment")
     }),
+    "q_corpus_card" -> ((s, dir) =>
+      // The corpus DATASHEET in one plan — per-language doc counts, token
+      // totals, mean quality (decimal money-sum, order-free), exact median
+      // length, and the exact-dup signal (distinct md5 vs rows), all in a
+      // SINGLE scan + one partial-aggregating exchange. The per-dataset
+      // documentation table every training-data release publishes.
+      Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(functions.TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          round(sum(functions.TextFunctions.qualityScore(col("text"))
+              .cast("decimal(18,6)")).cast("double") / count(col("text")), 4)
+            .as("avg_quality"),
+          round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+        .orderBy("lang")),
     "q_url_canonical" -> ((s, dir) => {
       // URL-keyed dedup of crawl snapshots — the step BEFORE content dedup:
       // every doc gets a planted URL wearing the full decoration kit
@@ -1348,6 +1390,57 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score, count(*) AS n_terms
          FROM scored GROUP BY doc_id
          ORDER BY score DESC, doc_id""",
+    "q_pipeline_curate" ->
+      // the full perplexity CTE (q_text_perplexity's) extended by the
+      // per-language percent_rank bucketing — identical LM algebra
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         train_toks AS (SELECT doc_id, w FROM toks WHERE doc_id % 2 = 0),
+         uni AS (
+           SELECT t AS w, count(*) AS n
+           FROM (SELECT unnest(w) AS t FROM train_toks) WHERE t <> '' GROUP BY t),
+         vocab AS (SELECT w FROM uni ORDER BY n DESC, w LIMIT 10000),
+         vsz AS (SELECT CAST(count(*) + 1 AS DOUBLE) AS v FROM vocab),
+         train_idx AS (
+           SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+           FROM train_toks WHERE len(w) >= 2),
+         train_pairs AS (SELECT w[i] AS rw1, w[i + 1] AS rw2 FROM train_idx),
+         tp AS (
+           SELECT coalesce(v1.w, '<unk>') AS w1, coalesce(v2.w, '<unk>') AS w2
+           FROM train_pairs
+           LEFT JOIN vocab v1 ON rw1 = v1.w
+           LEFT JOIN vocab v2 ON rw2 = v2.w),
+         bg AS (SELECT w1, w2, count(*) AS n FROM tp GROUP BY w1, w2),
+         ctx AS (SELECT w1, sum(n) AS cn FROM bg GROUP BY w1),
+         score_idx AS (
+           SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+           FROM toks WHERE len(w) >= 2),
+         sp AS (SELECT doc_id, w[i] AS rw1, w[i + 1] AS rw2 FROM score_idx),
+         spm AS (
+           SELECT doc_id, coalesce(v1.w, '<unk>') AS w1, coalesce(v2.w, '<unk>') AS w2
+           FROM sp
+           LEFT JOIN vocab v1 ON rw1 = v1.w
+           LEFT JOIN vocab v2 ON rw2 = v2.w),
+         scored AS (
+           SELECT doc_id,
+                  CAST(ln((coalesce(bg.n, 0) + 0.1) / (coalesce(ctx.cn, 0) + 0.1 * v))
+                       AS DECIMAL(18,6)) AS logp
+           FROM spm LEFT JOIN bg USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN vsz),
+         scored2 AS (
+           SELECT doc_id, count(*) AS n_bigrams,
+                  round(exp(-CAST(sum(logp) AS DOUBLE) / count(*)), 4) AS ppl
+           FROM scored GROUP BY doc_id),
+         withlang AS (
+           SELECT s.doc_id, d.lang, s.n_bigrams, s.ppl
+           FROM scored2 s JOIN documents d USING (doc_id)),
+         ranked AS (
+           SELECT *, percent_rank() OVER (PARTITION BY lang ORDER BY ppl, doc_id) AS pr
+           FROM withlang)
+         SELECT doc_id, lang, n_bigrams, ppl,
+                CASE WHEN pr <= 1.0/3.0 THEN 'head'
+                     WHEN pr <= 2.0/3.0 THEN 'middle' ELSE 'tail' END AS bucket
+         FROM ranked WHERE pr <= 2.0/3.0 ORDER BY doc_id""",
     "q_text_perplexity" ->
       // Same LM algebra end-to-end: vocab = top-10000 train unigrams by
       // (count desc, token asc), OOV → '<unk>', V = |vocab| + 1,
@@ -1420,6 +1513,24 @@ object SparkEntry {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
          FROM orders JOIN customer ON o_custkey = c_custkey
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_corpus_card" ->
+      // same tokenizer, same quality formula (q_text_quality's), decimal
+      // quality sum, quantile_cont median, md5 distinct — one GROUP BY
+      """WITH t AS (
+           SELECT lang, text, n_chars,
+                  len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ntok,
+                  round(LEAST(CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                                    x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                              / len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) * 5.0, 1.0) * 0.5
+                      + LEAST(CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
+                      4) AS quality
+           FROM documents)
+         SELECT lang, count(*) AS n_docs,
+                CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(text), 4) AS avg_quality,
+                round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+                count(DISTINCT md5(text)) AS n_unique
+         FROM t GROUP BY lang ORDER BY lang""",
     "q_url_canonical" ->
       // identical canonicalization algebra (backref syntax \1 here vs $1
       // in Spark — each engine's own replacement grammar, same patterns)
