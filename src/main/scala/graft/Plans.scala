@@ -59,7 +59,9 @@ object Plans {
       "q_text_perplexity"  -> "bigram pairs come from ONE native BigramCounts node per scan (distinct pairs per document explode, never occurrences); every vocab/model join is a BroadcastHashJoin; the only full exchanges are vocabulary-sized aggregates and the per-document score aggregate — document bodies never ride any exchange",
       "q_ann_negatives"    -> "anchors broadcast ONCE with vector + label; the label exclusion sits in the join condition BELOW the bounded top-k aggregate (k always fills), candidates discarded map-side — the exchange carries ≤ partitions × anchors × k rows",
       "q_embed_quantize"   -> "pure scan projection: ONE native Int8Quantize node (scale + codes in a single pass) inside the scan, zero shuffles beyond the output sort",
-      "q_embed_assign"     -> "pure scan projection: ONE native NearestCenter node (all centroids in one pass, centers shipped as a plan literal) inside the scan, zero shuffles beyond the output sort"
+      "q_embed_assign"     -> "pure scan projection: ONE native NearestCenter node (all centroids in one pass, centers shipped as a plan literal) inside the scan, zero shuffles beyond the output sort",
+      "q_corpus_card"      -> "ONE scan, ONE partial-aggregating exchange on lang: token counts, decimal quality sums, percentile buffer and distinct-md5 all combine map-side in the same aggregate",
+      "q_pipeline_curate"  -> "perplexity scoring plan (native BigramCounts, broadcast model) feeding ONE lang-partitioned window exchange for percent_rank — the bucket gate never re-scans the corpus"
     )
 
     val sb = new StringBuilder
