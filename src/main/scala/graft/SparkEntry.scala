@@ -785,6 +785,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("lang", "bucket_lo")
     }),
+    "q_zorder_key" -> ((s, dir) =>
+      // Z-order clustering key (operators/Layout.scala): Morton-interleave
+      // two 8-bit dimensions into the single sort key writeZOrdered clusters
+      // on, so range predicates on EITHER column min/max-skip row groups.
+      // Pure integer bit algebra from shiftleft/shiftright built-ins —
+      // whole-stage codegen, zero shuffles beyond the output sort, and
+      // engine-portable (the oracle evaluates the same bit formula).
+      Tables.load(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 256).as("xb"), (col("l_suppkey") % 256).as("yb"))
+        .withColumn("zkey", operators.Layout.zOrderKey(col("xb"), col("yb"), 8))
+        .filter(col("l_orderkey") < 1000)
+        .orderBy("l_orderkey", "l_linenumber")),
     "q_join_salted" -> ((s, dir) => {
       // Salted skew join (operators/Skew.scala): the large side gets a
       // random salt, the small side replicates across salts — hot keys
@@ -1508,6 +1521,15 @@ object SparkEntry {
     "q_hist_chars" ->
       """SELECT lang, (n_chars // 50) * 50 AS bucket_lo, count(*) AS n_docs
          FROM documents GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo""",
+    "q_zorder_key" -> {
+      // same Morton bit formula, expanded term-by-term (8 bits per dim)
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"((((l_partkey % 256) >> $i) & 1) << ${2 * i})",
+        s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})"))
+      s"""SELECT l_orderkey, l_linenumber, l_partkey % 256 AS xb, l_suppkey % 256 AS yb,
+                (${terms.mkString(" | ")}) AS zkey
+         FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber"""
+    },
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price

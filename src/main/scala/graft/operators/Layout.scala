@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
 
 /** Data-layout control for scan-time pruning — the storage companion to
   * [[Bucketing]] (which co-locates JOINS; this prunes SCANS).
@@ -33,10 +34,76 @@ object Layout {
     require(sortCols.nonEmpty, "Layout.writeSorted: at least one sort column required")
     sortCols.foreach(c => require(df.columns.contains(c),
       s"Layout.writeSorted: input has no '$c' column"))
-    import org.apache.spark.sql.functions.col
     val cols = sortCols.map(col)
     val w = df.repartitionByRange(cols: _*)
       .sortWithinPartitions(cols: _*)
+      .write.mode(SaveMode.Overwrite)
+    rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b.toString))
+      .parquet(path)
+  }
+
+  /** Morton (Z-order) interleave of two non-negative bucket ids, `bits` bits
+    * each: bit i of `a` lands at output bit 2i, bit i of `b` at 2i+1. Built
+    * entirely from `shiftright`/`shiftleft`/bitwise built-ins, so it stays
+    * inside whole-stage codegen — no UDF, no custom expression needed for
+    * pure integer algebra. Engine-portable (the DuckDB oracle evaluates the
+    * same bit formula), which is what lets `q_zorder_key` hash-check it.
+    */
+  def zOrderKey(a: Column, b: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, s"Layout.zOrderKey: bits must be in [1, 31], got $bits")
+    val al = a.cast("long"); val bl = b.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(al, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(bl, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Equi-width bucket id in [0, 2^bits) for `v` given the column's global
+    * [min, max] — integer arithmetic only, so Spark and the oracle agree
+    * bit-for-bit. Values at max land in the top bucket (the +1 span).
+    */
+  private def equiWidthBucket(v: Column, min: Long, max: Long, bits: Int): Column = {
+    val span = max - min + 1
+    ((v.cast("long") - lit(min)) * lit(1L << bits) / lit(span)).cast("long")
+  }
+
+  /** Write `df` Z-order-clustered on two integer columns — the layout for
+    * tables filtered on EITHER or BOTH of two dimensions. `writeSorted`'s
+    * lexicographic order prunes only its leading column: a filter on the
+    * second column alone skips nothing, because every row group spans that
+    * column's full range. The Morton curve interleaves the two columns'
+    * bucket bits, so consecutive key ranges are LOCALIZED in both
+    * dimensions at once — each row group covers a small tile of the
+    * (colA, colB) plane and a range predicate on either column min/max-
+    * skips the tiles it cannot touch (the Delta/Iceberg OPTIMIZE ZORDER
+    * recipe, re-expressed as a plain range-shuffle + sort).
+    *
+    * Scale shape: ONE bounded stats job (global min/max of the two
+    * columns — two longs to the driver), then bucket assignment and key
+    * interleave evaluate inside the scan projection, and the only exchange
+    * is `repartitionByRange` on the key — exactly `writeSorted`'s cost.
+    * The key is dropped before writing (a projection after the sort keeps
+    * the row order); readers see the original schema, just better laid out.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    bits: Int = 8, rowGroupBytes: Option[Long] = None): Unit = {
+    Seq(colA, colB).foreach(c => require(df.columns.contains(c),
+      s"Layout.writeZOrdered: input has no '$c' column"))
+    require(!df.columns.contains("__graft_z"),
+      "Layout.writeZOrdered: input already has a '__graft_z' column — rename it first")
+    require(bits >= 1 && bits <= 31, s"Layout.writeZOrdered: bits must be in [1, 31], got $bits")
+    val stats = df.agg(
+      min(col(colA).cast("long")), max(col(colA).cast("long")),
+      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
+    require(!stats.anyNull, s"Layout.writeZOrdered: '$colA'/'$colB' are all-NULL or empty input")
+    val (aMin, aMax) = (stats.getLong(0), stats.getLong(1))
+    val (bMin, bMax) = (stats.getLong(2), stats.getLong(3))
+    val zed = df.withColumn("__graft_z",
+      zOrderKey(equiWidthBucket(col(colA), aMin, aMax, bits),
+                equiWidthBucket(col(colB), bMin, bMax, bits), bits))
+    val w = zed.repartitionByRange(col("__graft_z"))
+      .sortWithinPartitions(col("__graft_z"))
+      .drop("__graft_z")
       .write.mode(SaveMode.Overwrite)
     rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b.toString))
       .parquet(path)

@@ -46,6 +46,56 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(sortedScanned >= 1000)
   }
 
+  test("zOrderKey matches a bit-twiddling local reference") {
+    def local(a: Long, b: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(11)
+    val cases = Seq((0L, 0L), (255L, 255L), (1L, 0L), (0L, 1L)) ++
+      Seq.fill(200)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+    val got = cases.toDF("a", "b")
+      .select(col("a"), col("b"), Layout.zOrderKey(col("a"), col("b"), 8).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == local(r.getLong(0), r.getLong(1), 8),
+        s"morton(${r.getLong(0)}, ${r.getLong(1)}) = ${r.getLong(2)}")
+    }
+  }
+
+  test("z-ordered layout prunes on BOTH dimensions; linear sort only on its leading one") {
+    val n = 200000
+    val rnd = new scala.util.Random(7)
+    // two independent uniform keys: lexicographic sort on x leaves y
+    // shuffled inside every row group, so a y-filter can never skip
+    val data = (0 until n).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+      .toDF("x", "y")
+    val base = java.nio.file.Files.createTempDirectory("graft_zorder_spec").toString
+    Layout.writeSorted(data, s"$base/byx", Seq("x"), rowGroupBytes = Some(65536L))
+    Layout.writeZOrdered(data, s"$base/z", "x", "y", bits = 8, rowGroupBytes = Some(65536L))
+
+    def readCount(path: String, filter: org.apache.spark.sql.Column): (Long, Long) = {
+      val q = spark.read.parquet(path).filter(filter)
+      val scanned = scanOutputRows(q)
+      (q.count(), scanned)
+    }
+    // y-only slab, 1/16 of the space: invisible to the x-sort, a narrow
+    // band of Morton tiles for the z-order
+    val yOnly = col("y") < 4096
+    val (rowsByX, scanByX) = readCount(s"$base/byx", yOnly)
+    val (rowsByZ, scanByZ) = readCount(s"$base/z", yOnly)
+    assert(rowsByX == rowsByZ) // same answer either way
+    assert(scanByX > (n * 9L) / 10,
+      s"x-sorted layout scanned $scanByX of $n on a y filter — expected ~no pruning")
+    assert(scanByZ < n / 3L,
+      s"z-ordered layout scanned $scanByZ of $n on a y filter — tiles not localized")
+    // box predicate on both dimensions: the z-order tiles it down further
+    val box = col("x") < 16384 && col("y") < 16384
+    val (rowsBox, scanBox) = readCount(s"$base/z", box)
+    assert(rowsBox > 0 && scanBox < n / 4L,
+      s"z-ordered layout scanned $scanBox of $n on a 1/16-area box")
+  }
+
   test("guards: missing sort column") {
     val df = Seq((1L, "x")).toDF("k", "v")
     val dir = java.nio.file.Files.createTempDirectory("graft_layout_guard").toString
