@@ -336,6 +336,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("event_cnt"),
              sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
         .orderBy("hour", "event_type")),
+    "q_events_resample" -> ((s, dir) =>
+      // Regular-grid resample with gap fill + LOCF (operators/Resample
+      // .scala): per event_type hourly buckets, missing hours materialized
+      // with n=0/NULL sum and the last observed sum carried forward. One
+      // (type, bucket) shuffle; the grid explode and LOCF window are
+      // bucket-table-sized.
+      operators.Resample.resample(Tables.load(s, dir, "events"),
+          "ts", Seq("event_type"), "value", 3600L)
+        .orderBy("event_type", "bucket")),
     "q_asof_join" -> ((s, dir) => {
       // As-of temporal join: each event gets the latest order placed at-or-
       // before it by the same user. Orders pre-aggregate to unique
@@ -507,6 +516,27 @@ object SparkEntry {
                 COUNT(*) AS event_cnt,
                 CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
          FROM events GROUP BY 1, 2 ORDER BY hour, event_type""",
+    "q_events_resample" ->
+      // same epoch-floor grid; LOCF via IGNORE NULLS running last_value;
+      // n_events coalesced to 0 on gap rows exactly like the operator
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                   FROM b GROUP BY event_type),
+         grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket
+                  FROM spans),
+         j AS (SELECT g.event_type, g.bucket,
+                      coalesce(b.n_events, 0) AS n_events, b.sum_value
+               FROM grid g LEFT JOIN b USING (event_type, bucket))
+         SELECT event_type, bucket, n_events, sum_value,
+                last_value(sum_value IGNORE NULLS) OVER (
+                  PARTITION BY event_type ORDER BY bucket
+                  ROWS UNBOUNDED PRECEDING) AS filled_value
+         FROM j ORDER BY event_type, bucket""",
     "q_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                     FROM orders GROUP BY o_custkey, o_orderdate)
@@ -774,6 +804,14 @@ object SparkEntry {
         .filter(col("doc_id") < 50)
         .select("doc_id", "term", "n", "tf", "df", "tfidf", "rank")
         .orderBy("doc_id", "rank")),
+    "q_vocab_coverage" -> ((s, dir) =>
+      // Tokenizer-vocab coverage curve (operators/Vocab.scala): top-100
+      // terms by corpus frequency with running token share — how vocab
+      // sizes get chosen. Native scan-side term counting, ONE term-keyed
+      // shuffle, then everything is vocabulary-sized (partial top-k, k-row
+      // window, total via scalar subquery over the materialized freq).
+      operators.Vocab.coverage(Tables.load(s, dir, "documents"), k = 100)
+        .orderBy("rank")),
     "q_hist_chars" -> ((s, dir) => {
       // Histogram: doc-length distribution per language, 50-char buckets —
       // the standard corpus-profiling aggregate (exact integer bucketing,
@@ -1518,6 +1556,22 @@ object SparkEntry {
            FROM scored)
          SELECT doc_id, term, n, tf_r AS tf, df, tfidf, rank
          FROM ranked WHERE rank <= 3 AND doc_id < 50 ORDER BY doc_id, rank""",
+    "q_vocab_coverage" ->
+      // same tokenizer; rank/cum over (n desc, term) — the total order both
+      // engines agree on; cum_n cast back to BIGINT (DuckDB sums to HUGEINT)
+      """WITH toks AS (
+           SELECT regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT unnest(w) AS term FROM toks),
+         freq AS (SELECT term, count(*) AS n FROM terms WHERE term <> '' GROUP BY term),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM freq),
+         ranked AS (
+           SELECT term, n,
+                  CAST(row_number() OVER (ORDER BY n DESC, term) AS INTEGER) AS rank,
+                  CAST(sum(n) OVER (ORDER BY n DESC, term ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n
+           FROM freq)
+         SELECT rank, term, n, cum_n, round(CAST(cum_n AS DOUBLE) / t, 6) AS cum_frac
+         FROM ranked CROSS JOIN tot WHERE rank <= 100 ORDER BY rank""",
     "q_hist_chars" ->
       """SELECT lang, (n_chars // 50) * 50 AS bucket_lo, count(*) AS n_docs
          FROM documents GROUP BY lang, bucket_lo ORDER BY lang, bucket_lo""",
