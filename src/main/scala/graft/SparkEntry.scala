@@ -345,6 +345,22 @@ object SparkEntry {
       operators.Resample.resample(Tables.load(s, dir, "events"),
           "ts", Seq("event_type"), "value", 3600L)
         .orderBy("event_type", "bucket")),
+    "q_events_rolling" -> ((s, dir) => {
+      // Rolling 3-bucket window over the gap-filled grid — the moving-
+      // average shape that only works on a REGULAR grid (gaps would silently
+      // shrink the window otherwise; that's why it composes with resample).
+      // Decimal window sums keep the oracle exact; one extra per-key window
+      // over the bucket table, no new corpus pass.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-2, 0)
+      operators.Resample.resample(Tables.load(s, dir, "events"),
+          "ts", Seq("event_type"), "value", 3600L)
+        .withColumn("rolling_events", sum(col("n_events")).over(w))
+        .withColumn("rolling_sum",
+          sum(col("sum_value").cast("decimal(18,6)")).over(w).cast("double"))
+        .select("event_type", "bucket", "n_events", "rolling_events", "rolling_sum")
+        .orderBy("event_type", "bucket")
+    }),
     "q_asof_join" -> ((s, dir) => {
       // As-of temporal join: each event gets the latest order placed at-or-
       // before it by the same user. Orders pre-aggregate to unique
@@ -537,6 +553,28 @@ object SparkEntry {
                   PARTITION BY event_type ORDER BY bucket
                   ROWS UNBOUNDED PRECEDING) AS filled_value
          FROM j ORDER BY event_type, bucket""",
+    "q_events_rolling" ->
+      // resample grid as above, then the same 3-row window with decimal sums
+      """WITH b AS (
+           SELECT event_type,
+                  CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS bucket,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM events GROUP BY 1, 2),
+         spans AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                   FROM b GROUP BY event_type),
+         grid AS (SELECT event_type, unnest(generate_series(lo, hi, 3600)) AS bucket
+                  FROM spans),
+         j AS (SELECT g.event_type, g.bucket,
+                      coalesce(b.n_events, 0) AS n_events, b.sum_value
+               FROM grid g LEFT JOIN b USING (event_type, bucket))
+         SELECT event_type, bucket, n_events,
+                CAST(sum(n_events) OVER w AS BIGINT) AS rolling_events,
+                CAST(sum(CAST(sum_value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS rolling_sum
+         FROM j
+         WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+         ORDER BY event_type, bucket""",
     "q_asof_join" ->
       """WITH o AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
                     FROM orders GROUP BY o_custkey, o_orderdate)

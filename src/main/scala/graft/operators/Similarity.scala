@@ -290,6 +290,49 @@ object Similarity {
     }
   }
 
+  /** Persist an [[IvfIndex]]: the cell-assigned corpus as a parquet table
+    * bucketed by `cell` (probe joins and within-cell scans consume the
+    * stored layout) plus the centroids as `<table>_centroids` — the ANN
+    * sibling of [[Tfidf.writePostingsIndex]]. The point at scale: the
+    * quantizer fit and the full-corpus assignment scan are paid ONCE at
+    * build time; every later query batch ([[loadIvfIndex]] →
+    * `topKBatch`) and every [[semDupesOnIndex]] run reads the stored
+    * assignment and never re-touches an embedding it doesn't probe.
+    */
+  def writeIvfIndex(index: IvfIndex, table: String, buckets: Int): Unit = {
+    require(buckets > 0, s"Similarity.writeIvfIndex: bucket count must be positive, got $buckets")
+    val spark = index.assigned.sparkSession
+    Bucketing.writeBucketed(index.assigned, table, buckets, Seq("cell"))
+    import spark.implicits._
+    index.centers.toIndexedSeq.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "center")
+      .coalesce(1)
+      .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
+      .saveAsTable(table + "_centroids")
+  }
+
+  /** Reopen a stored IVF index ([[writeIvfIndex]] layout). The centroid
+    * collect is nlist-bounded (small by construction); the assigned corpus
+    * comes back through the bucketing-aware scan. Malformed layouts fail
+    * with the loud rebuild message, not an AnalysisException mid-plan.
+    */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, table: String,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): IvfIndex = {
+    val assigned = Bucketing.table(spark, table)
+    Seq(idCol, vecCol, "cell").foreach(c => require(assigned.columns.contains(c),
+      s"Similarity.loadIvfIndex: index table has no '$c' column (expect writeIvfIndex layout)"))
+    val cRows = spark.table(table + "_centroids")
+      .orderBy("cell")
+      .select(col("cell").cast("int"), col("center").cast("array<double>"))
+      .collect()
+    require(cRows.nonEmpty, s"Similarity.loadIvfIndex: '${table}_centroids' is empty — rebuild the index")
+    require(cRows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
+      s"Similarity.loadIvfIndex: '${table}_centroids' cell ids are not dense 0..n-1 — rebuild the index")
+    val centers = cRows.map(_.getSeq[Double](1).toArray)
+    IvfIndex(assigned, centers, idCol, vecCol)
+  }
+
   /** All-pairs embedding near-duplicates above a cosine threshold, candidates
     * from shared LSH buckets (multiprobe over 1-bit flips so near-identical
     * vectors split by one hyperplane still pair up). Bucket equi-join only.

@@ -133,4 +133,31 @@ class SkewIvfStreamSpec extends SparkSpec {
     val e = intercept[Exception] { idx.topKBatch(badQ, k = 3).collect() }
     assert(e.getMessage.contains("dims"), e.getMessage)
   }
+
+  test("stored IVF index round-trips: loaded probe equals the in-memory one") {
+    import org.apache.spark.sql.functions._
+    dropTables("ivf_idx", "ivf_idx_centroids")
+    try {
+      val dim = 8
+      val rnd = new scala.util.Random(99)
+      val emb = (0L until 120L).map(i => (i, Array.fill(dim)(rnd.nextGaussian().toFloat).toSeq))
+        .toDF("vec_id", "embedding")
+      val queries = emb.filter($"vec_id" % 30 === 0)
+        .select($"vec_id".as("query_id"), $"embedding")
+      val built = Similarity.ivfIndex(emb, nlist = 4)
+      Similarity.writeIvfIndex(built, "ivf_idx", buckets = 4)
+      val loaded = Similarity.loadIvfIndex(spark, "ivf_idx")
+      assert(loaded.centers.map(_.toSeq).toSeq == built.centers.map(_.toSeq).toSeq)
+      def out(i: Similarity.IvfIndex) =
+        i.topKBatch(queries, k = 3, nprobe = 2, excludeSelf = true).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+      assert(out(loaded) == out(built))
+      // a table missing the layout fails with the rebuild message
+      Seq((1L, 2L)).toDF("a", "b").write.mode("overwrite").saveAsTable("ivf_idx_centroids")
+      spark.sql("DROP TABLE ivf_idx")
+      Seq((1L, 2L)).toDF("vec_id", "b").write.saveAsTable("ivf_idx")
+      val err = intercept[IllegalArgumentException] { Similarity.loadIvfIndex(spark, "ivf_idx") }
+      assert(err.getMessage.contains("writeIvfIndex layout"), err.getMessage)
+    } finally dropTables("ivf_idx", "ivf_idx_centroids")
+  }
 }
