@@ -740,6 +740,40 @@ object SparkEntry {
           round(col("r.dup_bigram_frac"), 4).as("dup_bigram_frac"),
           round(col("r.top_word_frac"), 4).as("top_word_frac"))
         .orderBy("doc_id")),
+    "q_quality_gopher" -> ((s, dir) => {
+      // The published Gopher (MassiveText §A1.1) rule set as one scan-stage
+      // pass: word count, mean word length, symbol ratio, alpha-word
+      // fraction, distinct stop words, bullet/ellipsis line shapes, and the
+      // combined gate. The synthetic corpus has no lines/symbols, so the
+      // rule-triggering structure is PLANTED by doc_id arithmetic (the
+      // q_pii_redact pattern), identically in the oracle: every 7th doc
+      // becomes a bullet list, every 11th ends each line with an ellipsis,
+      // every 13th gains a symbol-only line. Gate thresholds adapt two
+      // knobs to the tiny corpus (minWords 25, ≥1 stop word — the 31-word
+      // vocabulary rarely has 2 distinct); the rest are the paper's.
+      val t = functions.TextFunctions
+      val lines = regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", "$1\n")
+      val planted =
+        when(col("doc_id") % 7 === 0,
+            concat(lit("- "), replace(lines, lit("\n"), lit("\n- "))))
+          .when(col("doc_id") % 11 === 0,
+            concat(replace(lines, lit("\n"), lit("...\n")), lit("...")))
+          .when(col("doc_id") % 13 === 0,
+            concat(lines, lit("\n## ## ## ## ## ## ## ##")))
+          .otherwise(lines)
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), t.gopherStats(planted).as("g"))
+        .select(col("doc_id"),
+          col("g.n_tokens").as("n_tokens"),
+          round(col("g.mean_word_len"), 4).as("mean_word_len"),
+          round(col("g.symbol_ratio"), 4).as("symbol_ratio"),
+          round(col("g.alpha_word_frac"), 4).as("alpha_word_frac"),
+          col("g.n_stop_distinct").as("n_stop_distinct"),
+          round(col("g.bullet_line_frac"), 4).as("bullet_line_frac"),
+          round(col("g.ellipsis_line_frac"), 4).as("ellipsis_line_frac"),
+          t.gopherPass(col("g"), minWords = 25, minStopwords = 1).as("pass"))
+        .orderBy("doc_id")
+    }),
     "q_quality_gate" -> ((s, dir) =>
       // Per-language quality-percentile gate: keep the top half by score.
       // Rank-based percent_rank → the kept SET is deterministic under ties.
@@ -1784,8 +1818,56 @@ object SparkEntry {
                       ELSE CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) END, 4) AS dup_bigram_frac,
                 round(CAST(len(list_filter(w, x -> x = list_aggregate(w, 'mode'))) AS DOUBLE) / len(w), 4) AS top_word_frac
          FROM b ORDER BY doc_id""",
+    "q_quality_gopher" ->
+      // identical planting, tokenization, symbol counting (non-overlapping
+      // "..." = regexp_extract_all semantics), line split (string_split
+      // keeps trailing empties), and raw-value gate
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN '- ' || replace(t, chr(10), chr(10) || '- ')
+                  WHEN doc_id % 11 = 0 THEN replace(t, chr(10), '...' || chr(10)) || '...'
+                  WHEN doc_id % 13 = 0 THEN t || chr(10) || '## ## ## ## ## ## ## ##'
+                  ELSE t END AS text
+           FROM (SELECT doc_id,
+                        regexp_replace(text, '(\S+\s+\S+)\s+', '\1' || chr(10), 'g') AS t
+                 FROM documents)),
+         tok AS (
+           SELECT doc_id, text,
+                  regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w,
+                  string_split(text, chr(10)) AS ln
+           FROM aug),
+         st AS (
+           SELECT doc_id,
+             len(w) AS n_tokens,
+             CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) / len(w) AS mean_word_len,
+             CAST(length(text) - length(replace(text, '#', ''))
+                  + len(regexp_extract_all(text, '\.\.\.'))
+                  + length(text) - length(replace(text, '…', '')) AS DOUBLE) / len(w) AS symbol_ratio,
+             CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(w) AS alpha_word_frac,
+             len(list_distinct(list_filter(w,
+               x -> x IN ('the','be','to','of','and','that','have','with')))) AS n_stop_distinct,
+             CAST(len(list_filter(ln, l -> l LIKE '- %' OR l LIKE '* %' OR l LIKE '•%')) AS DOUBLE)
+               / len(ln) AS bullet_line_frac,
+             CAST(len(list_filter(ln, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE)
+               / len(ln) AS ellipsis_line_frac
+           FROM tok)
+         SELECT doc_id, n_tokens,
+                round(mean_word_len, 4) AS mean_word_len,
+                round(symbol_ratio, 4) AS symbol_ratio,
+                round(alpha_word_frac, 4) AS alpha_word_frac,
+                n_stop_distinct,
+                round(bullet_line_frac, 4) AS bullet_line_frac,
+                round(ellipsis_line_frac, 4) AS ellipsis_line_frac,
+                (n_tokens BETWEEN 25 AND 100000
+                 AND mean_word_len BETWEEN 3.0 AND 10.0
+                 AND symbol_ratio <= 0.1
+                 AND alpha_word_frac >= 0.8
+                 AND n_stop_distinct >= 1
+                 AND bullet_line_frac <= 0.9
+                 AND ellipsis_line_frac <= 0.3) AS pass
+         FROM st ORDER BY doc_id""",
     "q_quality_gate" ->
-      """WITH q AS (
+"""WITH q AS (
            SELECT doc_id, lang,
                   round(LEAST(CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
                                     x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)

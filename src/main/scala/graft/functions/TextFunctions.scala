@@ -64,6 +64,46 @@ object TextFunctions {
     round(size(filter(toks, t => t.isin(stopwords: _*))).cast("double") / size(toks), 4)
   }
 
+  /** The 8 stop words of the Gopher rule "contains at least 2 of: the, be,
+    * to, of, and, that, have, with" (Rae et al. 2021, §A1.1).
+    */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher (MassiveText §A1.1) document-quality rule signals as a RAW
+    * struct — `struct(n_tokens, mean_word_len, symbol_ratio,
+    * alpha_word_frac, n_stop_distinct, bullet_line_frac,
+    * ellipsis_line_frac)`. Native single-pass expression; alias it in one
+    * select and extract/round fields in a SECOND select (the
+    * [[repetitionStats]] pattern) so the document tokenizes once per row.
+    */
+  def gopherStats(text: Column): Column =
+    graft.plans.TextExpressions.gopherStats(text)
+
+  /** The Gopher quality GATE over a [[gopherStats]] struct — defaults are
+    * the paper's published thresholds: 50 ≤ words ≤ 100k, mean word length
+    * in [3,10], symbol-to-word ratio ≤ 0.1, ≥ 80% of words alphabetic,
+    * ≥ 2 distinct stop words, ≤ 90% bullet-started lines, ≤ 30%
+    * ellipsis-ended lines. Gate on the RAW struct (thresholds compare
+    * exact IEEE divisions — identical cross-engine), never on rounded
+    * display fields.
+    */
+  def gopherPass(stats: Column,
+                 minWords: Int = 50, maxWords: Int = 100000,
+                 minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                 maxSymbolRatio: Double = 0.1,
+                 minAlphaFrac: Double = 0.8,
+                 minStopwords: Int = 2,
+                 maxBulletFrac: Double = 0.9,
+                 maxEllipsisFrac: Double = 0.3): Column =
+    stats.getField("n_tokens").between(minWords, maxWords) &&
+      stats.getField("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+      stats.getField("symbol_ratio") <= maxSymbolRatio &&
+      stats.getField("alpha_word_frac") >= minAlphaFrac &&
+      stats.getField("n_stop_distinct") >= minStopwords &&
+      stats.getField("bullet_line_frac") <= maxBulletFrac &&
+      stats.getField("ellipsis_line_frac") <= maxEllipsisFrac
+
   /** Gopher-style repetition signals:
     * `struct(n_tokens, dup_word_frac, dup_bigram_frac, top_word_frac)` —
     * excess-duplication heuristics (duplicate words/bigrams, single-word

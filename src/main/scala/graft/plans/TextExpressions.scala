@@ -76,6 +76,15 @@ object TextExpressions {
   def repetitionStats(text: Column): Column =
     ColumnShim.column(RepetitionStats(ColumnShim.expression(text)))
 
+  /** struct<n_tokens, mean_word_len, symbol_ratio, alpha_word_frac,
+    * n_stop_distinct, bullet_line_frac, ellipsis_line_frac> — the Gopher
+    * (MassiveText, Rae et al. 2021 §A1.1) document-quality rule signals in
+    * ONE pass over tokens + lines (fracs unrounded; callers round).
+    */
+  def gopherStats(text: Column,
+                  stopwords: Seq[String] = graft.functions.TextFunctions.gopherStopwords): Column =
+    ColumnShim.column(GopherStats(ColumnShim.expression(text), stopwords))
+
   /** Unicode normalization (UAX#15) — Spark ships no built-in for it, and a
     * UDF would box every row. `form` ∈ NFC | NFD | NFKC | NFKD.
     */
@@ -497,6 +506,97 @@ case class RepetitionStats(child: Expression)
   }
 
   override protected def withNewChildInternal(newChild: Expression): RepetitionStats =
+    copy(child = newChild)
+}
+
+/** Gopher (MassiveText) document-quality rule signals — the published filter
+  * set a pretraining pipeline applies before expensive scoring: word count,
+  * mean word length, #/ellipsis symbol ratio, fraction of words with an
+  * alphabetic character, distinct stop words present, and the line-shape
+  * rules (bullet-start / ellipsis-end fractions). One pass over the tokens
+  * plus one over the lines; every division matches the DuckDB oracle
+  * (`count.toDouble / total`, total ≥ 1 by construction — splitting ""
+  * yields [""] for tokens and [""] for lines). Counting parity traps pinned
+  * here: "..." counts non-overlapping left-to-right (what
+  * `regexp_extract_all` does), lines split keeps trailing empties (DuckDB
+  * `string_split` semantics — Java needs `split(s, -1)`), and character
+  * counts are codepoints, not UTF-16 units.
+  */
+case class GopherStats(child: Expression, stopwords: Seq[String])
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", IntegerType, nullable = false),
+    StructField("mean_word_len", DoubleType, nullable = false),
+    StructField("symbol_ratio", DoubleType, nullable = false),
+    StructField("alpha_word_frac", DoubleType, nullable = false),
+    StructField("n_stop_distinct", IntegerType, nullable = false),
+    StructField("bullet_line_frac", DoubleType, nullable = false),
+    StructField("ellipsis_line_frac", DoubleType, nullable = false)))
+
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](stopwords.size * 2)
+    stopwords.foreach(s.add)
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val str = input.asInstanceOf[UTF8String].toString
+    val tokens = TextExpressions.Tok.tokens(str)
+    val n = tokens.length
+    var chars = 0
+    var alpha = 0
+    val stopsSeen = new java.util.HashSet[String](stopwords.size * 2)
+    var i = 0
+    while (i < n) {
+      val t = tokens(i)
+      chars += t.codePointCount(0, t.length)
+      var hasAlpha = false
+      var j = 0
+      while (!hasAlpha && j < t.length) {
+        val c = t.charAt(j)
+        if ((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alpha += 1
+      if (stopSet.contains(t)) stopsSeen.add(t)
+      i += 1
+    }
+    // symbols: '#' codepoints + non-overlapping "..." runs + '…' codepoints
+    var symbols = 0
+    var k = 0
+    while (k < str.length) {
+      val c = str.charAt(k)
+      if (c == '#' || c == '…') { symbols += 1; k += 1 }
+      else if (c == '.' && k + 2 < str.length &&
+               str.charAt(k + 1) == '.' && str.charAt(k + 2) == '.') {
+        symbols += 1; k += 3
+      } else k += 1
+    }
+    // line-shape rules over '\n' splits, trailing empties KEPT
+    val lines = str.split("\n", -1)
+    var bullets = 0
+    var ellipses = 0
+    var l = 0
+    while (l < lines.length) {
+      val ln = lines(l)
+      if (ln.startsWith("- ") || ln.startsWith("* ") || ln.startsWith("•")) bullets += 1
+      if (ln.endsWith("...") || ln.endsWith("…")) ellipses += 1
+      l += 1
+    }
+    val nD = n.toDouble
+    InternalRow(n,
+      chars.toDouble / nD,
+      symbols.toDouble / nD,
+      alpha.toDouble / nD,
+      stopsSeen.size,
+      bullets.toDouble / lines.length,
+      ellipses.toDouble / lines.length)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
     copy(child = newChild)
 }
 
