@@ -45,8 +45,15 @@ object Bench {
     // footers (the count-star shortcut), which would leave the data pages
     // cold and bias the first timed query per table. The noop write also
     // primes the sink/codegen path.
-    Tables.names
-      .foreach(t => Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save())
+    // Per-table protection: an unreadable table must cost only its own
+    // queries' warmth, never the whole bench run (round 10's BENCH was
+    // rc=1 with zero timings because this loop had no try/catch).
+    Tables.names.foreach { t =>
+      try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup skip '$t': ${e.getMessage}")
+      }
+    }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     // Interleaved sampling: all queries, Samples passes over the whole list.

@@ -40,19 +40,34 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     prune()
     loadCache.getOrElseUpdate((spark, dir, name), {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark only reads as long;
-      // the conf is session-global (no per-read option exists) but is only
-      // flipped when the table that needs it loads.
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) (Spark reads
+      // it only as long, and only with this conf — which must be set BEFORE
+      // the read because a NANOS footer fails schema resolution without it;
+      // it is a no-op for MICROS files) and TIMESTAMP(MICROS) (native read).
+      // Branch on the resolved type so either vintage of testdata works.
       if (name == "events") spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      if (name == "events")
-        // integer `div`, NOT `/`: Spark's `/` is double division, and epoch
-        // nanos (~2^60) lose sub-256ns precision as doubles — a floor after
-        // that can land one microsecond low and shift events across
-        // window/session boundaries.
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      else df
+      if (name == "events") normalizeEventsTs(df) else df
     })
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType across testdata
+    * vintages (works for batch and streaming frames alike):
+    *  - LongType (TIMESTAMP(NANOS) read under nanosAsLong): integer `div`,
+    *    NOT `/` — Spark's `/` is double division, and epoch nanos (~2^60)
+    *    lose sub-256ns precision as doubles; a floor after that can land one
+    *    microsecond low and shift events across window/session boundaries.
+    *  - TimestampNTZType (native TIMESTAMP(MICROS) read): cast — under the
+    *    UTC session TZ this is value-identical to the nanos path's output,
+    *    so downstream windows, unix_* calls, and result parquet stay
+    *    byte-stable across vintages.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
   }
 
   /** Spark session with the library's baseline settings. Scan-split knobs
@@ -114,46 +129,61 @@ object Tables {
 
   private def buildCatalog(spark: SparkSession, dir: String): Catalog = {
     def t(n: String) = load(spark, dir, n)
-    val lineitem = t("lineitem")
-      .withColumn("slug", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
-    new Catalog(Seq(
-      SourceDef("region", t("region"), slugField = "r_regionkey", broadcastHint = true,
+    // Per-table isolation: one unreadable table (env drift, a corrupt file)
+    // must only fail queries that actually touch it — never the whole
+    // catalog. A failed SourceDef is dropped; queries over it then throw
+    // Catalog's "Source not found" while every other source keeps working.
+    // (Round 10 lost 32 queries to a single events schema change because
+    // this construction was all-or-nothing.)
+    def safe(name: String)(mk: => SourceDef): Option[SourceDef] =
+      try Some(mk)
+      catch { case e: Throwable =>
+        System.err.println(s"[graft] catalog: table '$name' unavailable, skipping: ${e.getMessage}")
+        None
+      }
+    val defs = (Seq(
+      safe("lineitem") {
+        val lineitem = t("lineitem")
+          .withColumn("slug", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+        SourceDef("lineitem", lineitem, slugField = "slug",
+          relations = Map(
+            "part" -> BelongsTo("part", "part", "l_partkey", "p_partkey"),
+            "supplier" -> BelongsTo("supplier", "supplier", "l_suppkey", "s_suppkey"),
+            "order" -> BelongsTo("order", "orders", "l_orderkey", "o_orderkey")))
+      }) ++ Seq(
+      safe("region")(SourceDef("region", t("region"), slugField = "r_regionkey", broadcastHint = true,
         relations = Map(
           "nations" -> HasMany("nations", "nation", "r_regionkey", "n_regionkey"),
           "customers" -> HasManyThrough("customers", "customer", "nation",
             sourceLocalKey = "r_regionkey", throughForeignKey = "n_regionkey",
-            throughLocalKey = "n_nationkey", targetForeignKey = "c_nationkey"))),
-      SourceDef("nation", t("nation"), slugField = "n_nationkey", broadcastHint = true,
+            throughLocalKey = "n_nationkey", targetForeignKey = "c_nationkey")))),
+      safe("nation")(SourceDef("nation", t("nation"), slugField = "n_nationkey", broadcastHint = true,
         relations = Map(
-          "region" -> BelongsTo("region", "region", "n_regionkey", "r_regionkey"))),
-      SourceDef("customer", t("customer"), slugField = "c_custkey", broadcastHint = true,
+          "region" -> BelongsTo("region", "region", "n_regionkey", "r_regionkey")))),
+      safe("customer")(SourceDef("customer", t("customer"), slugField = "c_custkey", broadcastHint = true,
         relations = Map(
           "nation" -> HasOne("nation", "nation", "c_nationkey", "n_nationkey"),
           "orders" -> HasMany("orders", "orders", "c_custkey", "o_custkey"),
           "region" -> HasOneThrough("region", "region", "nation",
             sourceLocalKey = "c_nationkey", throughForeignKey = "n_nationkey",
-            throughLocalKey = "n_regionkey", targetForeignKey = "r_regionkey"))),
-      SourceDef("supplier", t("supplier"), slugField = "s_suppkey", broadcastHint = true,
+            throughLocalKey = "n_regionkey", targetForeignKey = "r_regionkey")))),
+      safe("supplier")(SourceDef("supplier", t("supplier"), slugField = "s_suppkey", broadcastHint = true,
         relations = Map(
           "nation" -> HasOne("nation", "nation", "s_nationkey", "n_nationkey"),
           "region" -> HasOneThrough("region", "region", "nation",
             sourceLocalKey = "s_nationkey", throughForeignKey = "n_nationkey",
-            throughLocalKey = "n_regionkey", targetForeignKey = "r_regionkey"))),
-      SourceDef("part", t("part"), slugField = "p_partkey", broadcastHint = true,
+            throughLocalKey = "n_regionkey", targetForeignKey = "r_regionkey")))),
+      safe("part")(SourceDef("part", t("part"), slugField = "p_partkey", broadcastHint = true,
         relations = Map(
-          "lineitems" -> HasMany("lineitems", "lineitem", "p_partkey", "l_partkey"))),
-      SourceDef("orders", t("orders"), slugField = "o_orderkey",
+          "lineitems" -> HasMany("lineitems", "lineitem", "p_partkey", "l_partkey")))),
+      safe("orders")(SourceDef("orders", t("orders"), slugField = "o_orderkey",
         relations = Map(
           "customer" -> BelongsTo("customer", "customer", "o_custkey", "c_custkey"),
-          "lineitems" -> HasMany("lineitems", "lineitem", "o_orderkey", "l_orderkey"))),
-      SourceDef("lineitem", lineitem, slugField = "slug",
-        relations = Map(
-          "part" -> BelongsTo("part", "part", "l_partkey", "p_partkey"),
-          "supplier" -> BelongsTo("supplier", "supplier", "l_suppkey", "s_suppkey"),
-          "order" -> BelongsTo("order", "orders", "l_orderkey", "o_orderkey"))),
-      SourceDef("events", t("events"), slugField = "event_id"),
-      SourceDef("documents", t("documents"), slugField = "doc_id"),
-      SourceDef("embeddings", t("embeddings"), slugField = "vec_id")
-    ))
+          "lineitems" -> HasMany("lineitems", "lineitem", "o_orderkey", "l_orderkey")))),
+      safe("events")(SourceDef("events", t("events"), slugField = "event_id")),
+      safe("documents")(SourceDef("documents", t("documents"), slugField = "doc_id")),
+      safe("embeddings")(SourceDef("embeddings", t("embeddings"), slugField = "vec_id"))
+    )).flatten
+    new Catalog(defs)
   }
 }

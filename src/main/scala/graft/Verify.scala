@@ -15,13 +15,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName).take(500)
       }
     }
+    // Failure marker: a query that throws must surface as an explicit err
+    // row in the driver's correctness artifact, not silently vanish from
+    // the output dir (round 10 shrank 92→60 rows with nothing flagging it).
+    Files.writeString(Paths.get(s"$outDir/_failures.json"),
+      graft.sources.MiniYaml.toJson(failures.toMap))
     // Shared JSON renderer (escapes backslash, quote, and ALL control chars —
     // a tab or CR in builder-authored SQL would otherwise make the driver's
     // json.load fail and silently zero the round's correctness).

@@ -74,17 +74,14 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    // the raw parquet stores ts as TIMESTAMP(NANOS) → read as long + convert,
-    // exactly like Tables.load
+    // ts vintage handling (nanos-as-long vs native micros) exactly like
+    // Tables.load — the shared normalizeEventsTs branch
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
-    val stream = spark.readStream
+    val stream = graft.Tables.normalizeEventsTs(spark.readStream
       .schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      // integer div like Tables.load — `/` is double division and epoch
-      // nanos (~2^60) lose sub-256ns precision as doubles
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir.toString))
     val q = EventStreams.hourlyAgg(stream, watermark = "10 years") // keep all windows for the compare
       .writeStream.format("memory").queryName("file_hourly").outputMode("complete").start()
     try {
