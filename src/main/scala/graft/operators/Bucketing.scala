@@ -32,10 +32,27 @@ object Bucketing {
     require(keys.nonEmpty, "Bucketing: at least one bucket key required")
     keys.foreach(k => require(df.columns.contains(k),
       s"Bucketing: input has no '$k' column"))
+    clearTable(df.sparkSession, table)
     val w = df.write.format("parquet").mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
       .saveAsTable(table)
+  }
+
+  /** Make Overwrite mean overwrite ACROSS processes: drop the table if the
+    * session knows it, then delete its orphaned warehouse location if one
+    * survives from a previous JVM — a fresh session's in-memory catalog has
+    * never heard of the table, so its saveAsTable is a CREATE, and CREATE
+    * refuses a leftover managed location (LOCATION_ALREADY_EXISTS). Shared
+    * by every index writer; harmless no-op when nothing exists.
+    */
+  def clearTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
   }
 
   /** The bucketed relation, with Spark's bucketing-aware scan (reading via

@@ -303,6 +303,7 @@ object Similarity {
     require(buckets > 0, s"Similarity.writeIvfIndex: bucket count must be positive, got $buckets")
     val spark = index.assigned.sparkSession
     Bucketing.writeBucketed(index.assigned, table, buckets, Seq("cell"))
+    Bucketing.clearTable(spark, table + "_centroids")
     import spark.implicits._
     index.centers.toIndexedSeq.zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }

@@ -158,6 +158,7 @@ object Tfidf {
       .select(col(idCol).as("id"), col("term"), col("n"),
         col("__graft_ntok").as("ntok"))
     Bucketing.writeBucketed(posts, table, buckets, Seq("term"))
+    Bucketing.clearTable(docs.sparkSession, table + "_stats")
     corpusStats(docs, textCol).select(col("s.n_docs"), col("s.avgdl"))
       .write.format("parquet").mode(org.apache.spark.sql.SaveMode.Overwrite)
       .saveAsTable(table + "_stats")
