@@ -1304,8 +1304,95 @@ object SparkEntry {
       operators.Similarity.semDupes(aug, dim = 64, threshold = 0.999, nlist = 8)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
-    })
+    }),
+    "q_text_bm25_indexed" -> ((s, dir) => {
+      // Stored-retrieval twin of q_text_bm25: BM25 over the term-bucketed
+      // postings index (Tfidf.writePostingsIndex layout — the daily-retrieval
+      // shape: corpus tokenized once at build, probes read only the query
+      // terms' buckets and consume the stored partitioning exchange-free).
+      // The build is memoized per (session, sf-dir), so bench medians over
+      // interleaved samples time the PROBE, not the build. Scores are
+      // identical to the direct path by construction (TfidfSpec pins it),
+      // so the q_text_bm25 oracle applies verbatim.
+      val t = storedBm25Index(s, dir)
+      operators.Tfidf.bm25Indexed(s, t, Seq("join", "hash", "row"))
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "score", "n_terms")
+    }),
+    "q_ann_ivf_stored" -> ((s, dir) => {
+      // Stored-index twin of q_ann_ivf: probe a PERSISTED IVF index
+      // (Similarity.writeIvfIndex cell-bucketed layout) instead of fitting
+      // one in-query — build memoized per (session, sf-dir) like the BM25
+      // index, so the timed samples measure load+probe, the recurring cost
+      // of a production retrieval service. nprobe=nlist makes IVF exactly
+      // brute force, so the exact-retrieval DuckDB twin applies verbatim.
+      import org.apache.spark.sql.expressions.Window
+      val nlist = 8
+      val t = storedIvfIndex(s, dir, nlist)
+      val index = operators.Similarity.loadIvfIndex(s, t)
+      val emb = Tables.load(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      index.topKBatch(queries, k = 5, nprobe = nlist, excludeSelf = true)
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+    }),
+    "q_embed_pq" -> ((s, dir) => {
+      // PQ encode against FIXED formula codebooks — oracle-checks the native
+      // PqEncode primitive (per-subspace argmin, sequential sums, ties to
+      // the lower code) the way q_embed_assign checks NearestCenter. Output
+      // is integer-exact: code sum + first/last subspace codes per vector.
+      val cb = operators.Pq.formulaCodebook(m = 8, ksub = 16, dsub = 8)
+      operators.Pq.encode(
+          Tables.load(s, dir, "embeddings").filter(col("embedding").isNotNull), cb)
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+          element_at(col("codes"), 1).as("c0"),
+          element_at(col("codes"), 8).as("c7"))
+        .orderBy("vec_id")
+    }),
+    "q_quality_classifier" -> ((s, dir) =>
+      // Model-based quality filtering (the fastText/DSIR classifier stage):
+      // hashed-ngram linear scorer — unigrams+bigrams hash into a weight
+      // table, milli-integer logit decides keep/drop. Formula weights (an
+      // LCG over the bucket index) so the oracle recomputes the EXACT model
+      // in SQL; the md5-48bit feature hash is engine-portable, unlike the
+      // xxhash64 dedup family, so this classifier gets a full hash check.
+      operators.QualityClassifier.score(
+          Tables.load(s, dir, "documents"),
+          operators.QualityClassifier.formulaModel(512))
+        .orderBy("doc_id"))
   )
+
+  // ---- stored-index builders ----------------------------------------------
+  // Build-once memoization per (session, sf-dir): the stored BM25/IVF
+  // retrieval paths exist to separate BUILD cost (paid once, amortized over
+  // a day of queries at 100 TB) from PROBE cost (what a query pays). The
+  // first call per session builds the warehouse table; later calls — the
+  // bench's interleaved samples 2..n, every Verify re-read — only probe.
+  private val storedIndexes =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+
+  private def tableTag(dir: String): String =
+    java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
+
+  private def storedBm25Index(s: SparkSession, dir: String): String =
+    storedIndexes.getOrElseUpdate((s, dir, "bm25"), {
+      val t = s"graft_bm25_${tableTag(dir)}"
+      operators.Tfidf.writePostingsIndex(Tables.load(s, dir, "documents"), t, buckets = 8)
+      t
+    })
+
+  private def storedIvfIndex(s: SparkSession, dir: String, nlist: Int): String =
+    storedIndexes.getOrElseUpdate((s, dir, s"ivf$nlist"), {
+      val t = s"graft_ivf_${nlist}_${tableTag(dir)}"
+      operators.Similarity.writeIvfIndex(
+        operators.Similarity.ivfIndex(Tables.load(s, dir, "embeddings"), nlist = nlist),
+        t, buckets = 8)
+      t
+    })
 
   private def pipelineOracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -1513,6 +1600,84 @@ object SparkEntry {
          SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score, count(*) AS n_terms
          FROM scored GROUP BY doc_id
          ORDER BY score DESC, doc_id""",
+    "q_text_bm25_indexed" ->
+      // indexed ≡ direct by construction (stored postings carry the same
+      // (n, ntok) rows and corpus stats), so the direct twin applies
+      """WITH toks AS (
+           SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS w
+           FROM documents WHERE text IS NOT NULL),
+         terms AS (SELECT doc_id, len(w) AS ntok, unnest(w) AS term FROM toks),
+         tf AS (
+           SELECT doc_id, term, count(*) AS n, any_value(ntok) AS ntok
+           FROM terms WHERE term IN ('join', 'hash', 'row') GROUP BY doc_id, term),
+         dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         stats AS (
+           SELECT count(*) AS n_docs, avg(len(w)) AS avgdl FROM toks),
+         scored AS (
+           SELECT tf.doc_id,
+                  CAST(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                       * (n * (1.2 + 1.0))
+                       / (n + 1.2 * (1.0 - 0.75 + 0.75 * ntok / avgdl))
+                       AS DECIMAL(18,6)) AS w
+           FROM tf JOIN dfreq USING (term) CROSS JOIN stats)
+         SELECT doc_id, CAST(SUM(w) AS DOUBLE) AS score, count(*) AS n_terms
+         FROM scored GROUP BY doc_id
+         ORDER BY score DESC, doc_id""",
+    "q_ann_ivf_stored" ->
+      // nprobe=nlist ⇒ IVF ≡ brute force (same twin as q_ann_ivf)
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+         s AS (SELECT q.query_id, e.vec_id, list_cosine_similarity(e.embedding, q.qv) AS s
+               FROM embeddings e JOIN q ON e.vec_id <> q.query_id),
+         r AS (SELECT query_id, vec_id,
+                      CAST(row_number() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS INTEGER) AS rank
+               FROM s)
+         SELECT query_id, rank, vec_id FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_embed_pq" ->
+      // same formula codebooks, same sequential squared-Euclidean sums per
+      // subspace, ties to the lower code via the (d2, c) window order
+      """WITH cb AS (
+           SELECT m, c, list_transform(range(0, 8),
+                    j -> (((m*7 + c*31 + j*17) % 41) - 20) / 10.0) AS v
+           FROM range(0, 8) t(m) CROSS JOIN range(0, 16) u(c)),
+         dist AS (
+           SELECT e.vec_id, cb.m, cb.c,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.v[i])
+                       * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.v[i])), 'sum') AS d2
+           FROM embeddings e CROSS JOIN cb
+           WHERE e.embedding IS NOT NULL),
+         r AS (
+           SELECT vec_id, m, c,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+           FROM dist),
+         codes AS (SELECT vec_id, m, c FROM r WHERE rn = 1)
+         SELECT vec_id,
+                CAST(SUM(c) AS BIGINT) AS code_sum,
+                CAST(MIN(CASE WHEN m = 0 THEN c END) AS INTEGER) AS c0,
+                CAST(MIN(CASE WHEN m = 7 THEN c END) AS INTEGER) AS c7
+         FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "q_quality_classifier" ->
+      // exact model twin: bucket = first 12 md5 hex chars as int mod 512,
+      // weight = (j*1103515245 + 12345) % 2001 - 1000 milli-units, logit =
+      // integer sum over gram occurrences (unigrams + bigrams)
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                              t -> t <> '') AS tw
+           FROM documents WHERE text IS NOT NULL),
+         grams AS (
+           SELECT doc_id, unnest(tw) AS g FROM toks
+           UNION ALL
+           SELECT doc_id, unnest(list_transform(range(1, len(tw)), i -> tw[i] || ' ' || tw[i+1])) AS g
+           FROM toks),
+         b AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % 512 AS j FROM grams),
+         s AS (SELECT doc_id, count(*) AS n_grams,
+                      CAST(SUM((j * 1103515245 + 12345) % 2001 - 1000) AS BIGINT) AS logit_milli
+               FROM b GROUP BY doc_id)
+         SELECT doc_id, CAST(n_grams AS INTEGER) AS n_grams, logit_milli,
+                round(logit_milli / 1000.0 / n_grams, 4) + 0.0 AS score,
+                logit_milli > 0 AS label
+         FROM s ORDER BY doc_id""",
     "q_pipeline_curate" ->
       // the full perplexity CTE (q_text_perplexity's) extended by the
       // per-language percent_rank bucketing — identical LM algebra
@@ -2099,10 +2264,66 @@ object SparkEntry {
       streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
-        .orderBy("user_id"))
+        .orderBy("user_id")),
+    "q_md_source" -> ((s, dir) => {
+      // DSv2 connector round-trip with a REAL oracle: the first 200 documents
+      // are materialized as a markdown+front-matter tree (deterministic file
+      // per doc — slug doc-%05d, front matter doc_id+lang, body = text
+      // verbatim; the FrontMatter grammar returns the body byte-exact), then
+      // read back through spark.read.format("graft-markdown"). Because the
+      // round-trip is the identity, DuckDB recomputes the expected rows
+      // directly from documents.parquet — the connector's listing, slug
+      // derivation, front-matter parse, schema mapping, and body transport
+      // all sit inside the hash check.
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tree = mdTree(s, dir)
+      val schema = StructType(Seq(
+        StructField("slug", StringType), StructField("doc_id", LongType),
+        StructField("lang", StringType), StructField("body", StringType)))
+      s.read.format("graft-markdown").schema(schema).load(tree)
+        .select(col("doc_id"), col("slug"), col("lang"),
+          length(col("body")).as("body_len"))
+        .orderBy("doc_id")
+    })
   )
 
+  /** Materialize the q_md_source markdown tree (memoized like the stored
+    * indexes; the collect is bounded to 200 rows by the doc_id filter —
+    * this is test-fixture generation, not a data path).
+    */
+  private def mdTree(s: SparkSession, dir: String): String =
+    storedIndexes.getOrElseUpdate((s, dir, "mdtree"), {
+      val out = new java.io.File(
+        sys.props("java.io.tmpdir"), s"graft_md_${tableTag(dir)}")
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(del)
+        f.delete(): Unit
+      }
+      if (out.exists) del(out) // stale tree from an older testdata vintage
+      out.mkdirs()
+      Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 200 && col("text").isNotNull && col("lang").isNotNull)
+        .select("doc_id", "lang", "text")
+        .collect()
+        .foreach { r =>
+          val id = r.getLong(0)
+          java.nio.file.Files.writeString(
+            new java.io.File(out, f"doc-$id%05d.md").toPath,
+            s"---\ndoc_id: $id\nlang: ${r.getString(1)}\n---\n${r.getString(2)}")
+        }
+      out.getAbsolutePath
+    })
+
   private def infraOracle: Map[String, String] = Map(
+    "q_md_source" ->
+      // round-trip identity: what went into the markdown tree must come out
+      """SELECT doc_id,
+                'doc-' || lpad(CAST(doc_id AS VARCHAR), 5, '0') AS slug,
+                lang,
+                CAST(length(text) AS INTEGER) AS body_len
+         FROM documents
+         WHERE doc_id < 200 AND text IS NOT NULL AND lang IS NOT NULL
+         ORDER BY doc_id""",
     "q_index_prefix" ->
       """SELECT 'p_name' AS field, lower(substr(p_name, 1, 1)) AS prefix,
                 CAST(p_partkey AS VARCHAR) AS slug, p_name AS value
