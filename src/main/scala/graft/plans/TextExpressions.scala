@@ -178,6 +178,21 @@ object TextExpressions {
     private val ws   = java.util.regex.Pattern.compile("\\s+")
     def tokens(s: String): Array[String] = ws.split(edge.matcher(s).replaceAll(""))
   }
+
+  /** struct<n_grams, sum_wmilli> — the hashed-ngram linear classifier's
+    * per-document partial (fastText / DSIR shape): unigrams (+ optional
+    * bigrams) hashed into `weightsMilli.length` buckets, weight lookup and
+    * sum in integer milli-units (exact, order-free — the money-sum
+    * discipline applied to model weights). One tokens pass per row; no gram
+    * ever materializes into a row. Bucket = first 48 bits of md5(gram) mod
+    * D, which DuckDB recomputes exactly as
+    * `('0x' || substr(md5(g), 1, 12))::BIGINT % D` — the engine-portable
+    * hash the xxhash64 family can't offer.
+    */
+  def hashedNgramLogit(text: Column, weightsMilli: Array[Long],
+                       includeBigrams: Boolean = true): Column =
+    ColumnShim.column(HashedNgramLogit(
+      ColumnShim.expression(text), weightsMilli.toIndexedSeq, includeBigrams))
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
@@ -1026,4 +1041,89 @@ object CompressionRatio {
   private val deflater = ThreadLocal.withInitial[java.util.zip.Deflater](() =>
     new java.util.zip.Deflater(6))
   private val buffer = ThreadLocal.withInitial[Array[Byte]](() => new Array[Byte](8192))
+}
+
+object HashedNgramLogit {
+  // MessageDigest per executor thread, same discipline as WinnowFps.
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Feature bucket: first 6 digest bytes big-endian (= the first 12
+    * lowercase-hex chars parsed base 16 — 48 bits, always positive) mod d.
+    * Shared by the scorer, the columnar twin, the local trainer, and —
+    * by construction — the DuckDB oracle.
+    */
+  def bucket(gram: String, d: Int): Int = {
+    val md = md5.get()
+    md.reset()
+    val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val v = ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
+            ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
+            ((dig(4) & 0xffL) << 8)  |  (dig(5) & 0xffL)
+    (v % d).toInt
+  }
+
+  /** Gram bucket stream for one text — the trainer's feature extractor,
+    * guaranteed identical to the scorer's because both share [[bucket]]
+    * and the Tok contract. */
+  def buckets(text: String, d: Int, includeBigrams: Boolean): Array[Int] = {
+    val toks0 = TextExpressions.Tok.tokens(text)
+    val toks = if (toks0.length == 1 && toks0(0).isEmpty) Array.empty[String] else toks0
+    val nbg = if (includeBigrams) math.max(toks.length - 1, 0) else 0
+    val out = new Array[Int](toks.length + nbg)
+    var i = 0
+    while (i < toks.length) { out(i) = bucket(toks(i), d); i += 1 }
+    var j = 0
+    while (j < nbg) { out(toks.length + j) = bucket(toks(j) + " " + toks(j + 1), d); j += 1 }
+    out
+  }
+
+  /** One scorer for interpreted eval and the local trainer: unigram +
+    * (optional) bigram occurrences, each contributing its bucket's
+    * milli-weight. The degenerate whitespace-only tokenization ([""])
+    * counts zero grams, matching the oracle's empty-token filter.
+    */
+  def compute(input: UTF8String, weights: Array[Long], includeBigrams: Boolean): InternalRow = {
+    val toks0 = TextExpressions.Tok.tokens(input.toString)
+    val toks = if (toks0.length == 1 && toks0(0).isEmpty) Array.empty[String] else toks0
+    val d = weights.length
+    var n = 0
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      sum += weights(bucket(toks(i), d))
+      n += 1
+      i += 1
+    }
+    if (includeBigrams) {
+      i = 0
+      while (i < toks.length - 1) {
+        sum += weights(bucket(toks(i) + " " + toks(i + 1), d))
+        n += 1
+        i += 1
+      }
+    }
+    InternalRow(n, sum)
+  }
+}
+
+/** See [[TextExpressions.hashedNgramLogit]]. */
+case class HashedNgramLogit(child: Expression, weightsMilli: Seq[Long], includeBigrams: Boolean)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(weightsMilli.nonEmpty, "HashedNgramLogit: empty weight table")
+
+  override def inputTypes = ColumnShim.stringInput
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_grams", IntegerType, nullable = false),
+    StructField("sum_wmilli", LongType, nullable = false)))
+
+  @transient private lazy val wArr: Array[Long] = weightsMilli.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    HashedNgramLogit.compute(input.asInstanceOf[UTF8String], wArr, includeBigrams)
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramLogit =
+    copy(child = newChild)
 }
