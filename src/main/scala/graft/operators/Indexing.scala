@@ -190,6 +190,108 @@ object Indexing {
         })
     }
 
+  /** A changed-path report from an external change feed — the reference's
+    * diff-provider contract (reference: src/diff/providers/git.ts:5,
+    * src/diff/providers/github.ts: the provider returns added/modified/
+    * deleted path lists for a ref range; src/diff/extractDiff.ts:22 turns
+    * them into DiffEntries). Paths translate to slugs via `slugOfPath` in
+    * [[diffFromChangedPaths]] (identity when the feed already carries
+    * slugs).
+    */
+  final case class ChangedPaths(added: Seq[String] = Seq.empty,
+                                modified: Seq[String] = Seq.empty,
+                                deleted: Seq[String] = Seq.empty)
+
+  /** File-list-driven diff — the daily-ingest path when the source can NAME
+    * its changes (a git commit range, an object-store inventory delta, a
+    * CDC feed): the full-outer snapshot diff of [[extractDiff]] is
+    * unnecessary, and with it goes its two-corpus-scan cost. Only the A/M
+    * slugs' rows are read from the new corpus — a slug-`isin` scan the
+    * parquet reader prunes, so cost scales with the CHANGE volume, not the
+    * corpus; deletions read nothing at all ([[updateIndex]] locates their
+    * index rows by slug).
+    *
+    * Reconciliation rules (the corpus, not the provider, is the source of
+    * truth): an A/M slug absent from the new corpus becomes a `D` (the
+    * feed said it changed, the loader no longer yields it); a path in both
+    * the deleted and added/modified lists is treated as A/M (rename-style
+    * feeds emit both). With `existingIndex` supplied, no-op entries are
+    * suppressed the way extractDiff suppresses unchanged-value `M`s: an
+    * A/M whose indexed values equal the index's stored values, and a `D`
+    * for a slug the index does not hold, are dropped. Suppression errs
+    * open — an entry kept unnecessarily costs one idempotent partition
+    * rewrite, never correctness.
+    */
+  def diffFromChangedPaths(newDf: DataFrame, slugField: String, fields: Seq[String],
+                           changes: ChangedPaths,
+                           existingIndex: Option[DataFrame] = None,
+                           slugOfPath: String => String = identity): Seq[DiffEntry] = {
+    require(fields.nonEmpty, "diffFromChangedPaths needs at least one indexed field")
+    val added    = changes.added.map(slugOfPath).distinct
+    val modified = changes.modified.map(slugOfPath).distinct
+    val am       = (added ++ modified).distinct
+    val dOnly    = changes.deleted.map(slugOfPath).distinct.filterNot(am.toSet)
+    if (am.isEmpty && dOnly.isEmpty) return Seq.empty
+
+    // Canonical indexed values for the changed slugs only — the one corpus
+    // touch, bounded by |changes|.
+    val amVals: Map[String, Map[String, Seq[String]]] =
+      if (am.isEmpty) Map.empty
+      else snapshotValues(
+          newDf.filter(col(slugField).cast("string").isin(am: _*)), slugField, fields)
+        .collect().map(r => r.getString(0) ->
+          r.getMap[String, scala.collection.Seq[String]](1).toMap.map {
+            case (k, v) => k -> v.toSeq
+          }).toMap
+
+    val addedSet = added.toSet
+    val entries = am.map { s =>
+      amVals.get(s) match {
+        case Some(v) => DiffEntry(if (addedSet(s)) "A" else "M", s, v)
+        case None    => DiffEntry("D", s, Map.empty)
+      }
+    } ++ dOnly.map(s => DiffEntry("D", s, Map.empty))
+
+    existingIndex match {
+      case None => entries
+      case Some(idx) =>
+        // Stored state for the touched slugs, reconstructed from the index
+        // relation itself (it IS the old values, sorted like
+        // snapshotValues) — bounded by |changes| × values-per-record.
+        val slugsAll = entries.map(_.slug)
+        val oldVals: Map[String, Map[String, Seq[String]]] = idx
+          .filter(col("slug").isin(slugsAll: _*))
+          .groupBy("slug", "field")
+          .agg(sort_array(collect_list(col("value"))).as("values"))
+          .groupBy("slug")
+          .agg(map_from_entries(array_sort(collect_list(struct(col("field"), col("values")))))
+            .as("values"))
+          .collect().map(r => r.getString(0) ->
+            r.getMap[String, scala.collection.Seq[String]](1).toMap.map {
+              case (k, v) => k -> v.toSeq
+            }).toMap
+        entries.filter {
+          case DiffEntry("D", s, _)      => oldVals.contains(s)
+          case DiffEntry(_, s, v)        => !oldVals.get(s).contains(v)
+        }
+    }
+  }
+
+  /** End-to-end incremental maintenance from a change feed: file-list diff
+    * (with no-op suppression against the live index) → rewrite only the
+    * touched `(field, prefix)` partitions. The whole operation is
+    * change-volume-bounded — the corpus is probed, never scanned.
+    */
+  def updateIndexFromChangedPaths(spark: SparkSession, path: String, newDf: DataFrame,
+                                  slugField: String, fields: Seq[String],
+                                  changes: ChangedPaths, depth: Int = 1,
+                                  slugOfPath: String => String = identity): Seq[DiffEntry] = {
+    val diff = diffFromChangedPaths(newDf, slugField, fields, changes,
+      existingIndex = Some(readIndex(spark, path)), slugOfPath = slugOfPath)
+    if (diff.nonEmpty) updateIndex(spark, path, diff, depth)
+    diff
+  }
+
   /** End-to-end incremental maintenance from two corpus snapshots: diff →
     * rewrite only the touched `(field, prefix)` partitions.
     */

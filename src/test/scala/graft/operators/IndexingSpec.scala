@@ -129,6 +129,86 @@ class IndexingSpec extends SparkSpec {
     assert(Indexing.extractDiff(herbs, herbs, "slug", Seq("name", "tagSlugs")).count() == 0)
   }
 
+  test("file-list diff ≡ snapshot diff when the change feed names the changed slugs") {
+    // The git/GitHub diff-provider workflow: same v1→v2 change as the
+    // snapshot test, but driven by a changed-path list — the full-outer
+    // snapshot diff must NOT be needed to reach the identical DiffEntries.
+    val oldSnap = Seq(
+      ("arctium-lappa", "Burdock", "root notes"),
+      ("centella-asiatica", "Gotu Kola", "leaf notes"),
+      ("cymbopogon-citratus", "Lemongrass", "grass notes")
+    ).toDF("slug", "name", "body")
+    val newSnap = Seq(
+      ("arctium-lappa", "Greater Burdock", "root notes"),
+      ("cymbopogon-citratus", "Lemongrass", "EDITED body"),
+      ("zingiber-officinale", "Ginger", "rhizome notes")
+    ).toDF("slug", "name", "body")
+    val feed = Indexing.ChangedPaths(
+      added = Seq("content/zingiber-officinale.md"),
+      modified = Seq("content/arctium-lappa.md", "content/cymbopogon-citratus.md"),
+      deleted = Seq("content/centella-asiatica.md"))
+    val slugOf = (p: String) => p.stripPrefix("content/").stripSuffix(".md")
+
+    val fromFeed = Indexing.diffFromChangedPaths(newSnap, "slug", Seq("name"),
+      feed, slugOfPath = slugOf).sortBy(_.slug)
+    val fromSnapshots = Indexing.extractDiffEntries(oldSnap, newSnap, "slug", Seq("name"))
+      .sortBy(_.slug)
+    // D carries no values on the feed path (updateIndex finds old rows by
+    // slug); the body-only M IS emitted without an index to compare against.
+    assert(fromFeed == Seq(
+      DiffEntry("M", "arctium-lappa", Map("name" -> Seq("Greater Burdock"))),
+      DiffEntry("D", "centella-asiatica", Map.empty),
+      DiffEntry("M", "cymbopogon-citratus", Map("name" -> Seq("Lemongrass"))),
+      DiffEntry("A", "zingiber-officinale", Map("name" -> Seq("Ginger")))))
+    assert(fromFeed.map(d => (d.status, d.slug)).filterNot(_._2 == "cymbopogon-citratus")
+      == fromSnapshots.map(d => (d.status, d.slug)))
+  }
+
+  test("file-list diff reconciles against the corpus and suppresses no-ops via the index") {
+    val path = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("name"), path)
+    val idx = Some(Indexing.readIndex(spark, path))
+    val newSnap = Seq(
+      ("arctium-lappa", "Greater Burdock"),   // really modified
+      ("cymbopogon-citratus", "Lemongrass")   // feed says M, indexed value unchanged
+    ).toDF("slug", "name")
+    val feed = Indexing.ChangedPaths(
+      added = Seq("phantom-add"),              // A but absent from corpus → D
+      modified = Seq("arctium-lappa", "cymbopogon-citratus"),
+      deleted = Seq("never-indexed"))          // D the index never held → suppressed
+    val diff = Indexing.diffFromChangedPaths(newSnap, "slug", Seq("name"),
+      feed, existingIndex = idx).sortBy(_.slug)
+    assert(diff == Seq(DiffEntry("M", "arctium-lappa", Map("name" -> Seq("Greater Burdock")))))
+  }
+
+  test("end-to-end from a change feed: updateIndexFromChangedPaths matches a v2 rebuild") {
+    val path = freshIndexPath
+    val v2 = Seq(
+      ("arctium-lappa", "Greater Burdock", Seq("root")),
+      ("cymbopogon-citratus", "Lemongrass", Seq("leaf", "edible")),
+      ("zingiber-officinale", "Ginger", Seq("rhizome"))
+    ).toDF("slug", "name", "tagSlugs")
+    Indexing.writeIndex(herbs, "slug", Seq("name", "tagSlugs"), path)
+    val diff = Indexing.updateIndexFromChangedPaths(spark, path, v2,
+      "slug", Seq("name", "tagSlugs"),
+      Indexing.ChangedPaths(
+        added = Seq("zingiber-officinale"),
+        modified = Seq("arctium-lappa"),
+        deleted = Seq("centella-asiatica")))
+    assert(diff.map(d => (d.status, d.slug)).sorted == Seq(
+      ("A", "zingiber-officinale"), ("D", "centella-asiatica"), ("M", "arctium-lappa")))
+
+    val incremental = Indexing.readIndex(spark, path)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    val rebuiltPath = freshIndexPath
+    Indexing.writeIndex(v2, "slug", Seq("name", "tagSlugs"), rebuiltPath)
+    val rebuilt = Indexing.readIndex(spark, rebuiltPath)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(incremental == rebuilt)
+  }
+
   test("prefixOf counts code points exactly like the build-time prefix expression") {
     // The bug class: build-time substring(lower, 1, d) counts CODE POINTS,
     // so a UTF-16 String.take(d) on the lookup side splits a leading
