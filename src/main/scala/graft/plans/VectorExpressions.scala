@@ -91,6 +91,29 @@ object VectorExpressions {
   def quantize8(vec: Column): Column =
     ColumnShim.column(Int8Quantize(ColumnShim.expression(vec)))
 
+  /** Product-quantization encode: per-subspace nearest-codebook-entry ids
+    * (`array<int>` of length m). Same argmin discipline as
+    * [[nearestCenter]] — sequential per-dimension squared-Euclidean sum,
+    * ties to the lower code — applied per subspace.
+    */
+  def pqEncode(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqEncode(ColumnShim.expression(vec), codebooks))
+
+  /** Per-QUERY ADC distance table: flat `array<double>` of m·ksub entries,
+    * `table[m*ksub + c] = ||q_m − codebook[m][c]||²`. Computed once per
+    * query on the broadcast side; every corpus row then scores via
+    * [[adcDistance]]'s m lookups instead of dim flops.
+    */
+  def pqDistTable(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    ColumnShim.column(PqDistTable(ColumnShim.expression(vec), codebooks))
+
+  /** Asymmetric-distance score: `Σ_m table[m*ksub + codes[m]]` — the ADC
+    * inner loop (m adds + m lookups per corpus row).
+    */
+  def adcDistance(codes: Column, table: Column, ksub: Int): Column =
+    ColumnShim.column(AdcDistance(
+      ColumnShim.expression(codes), ColumnShim.expression(table), ksub))
+
   /** float or double arrays, no cast for either; anything else coerces to
     * double arrays (ImplicitCastInputTypes) so the SQL surface keeps taking
     * e.g. int arrays. TypeCollection is private[sql] → shimmed.
@@ -423,4 +446,178 @@ case class Int8Quantize(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+object PqEncode {
+  /** Per-subspace argmin with [[NearestCenter]]'s exact discipline:
+    * sequential j-order sums, early exit on a beaten partial (argmin-exact —
+    * remaining terms are nonnegative), strict `<` so ties keep the lower
+    * code. `cb(m)(c)` is subspace m's centroid c.
+    */
+  def compute(arr: ArrayData, cb: Array[Array[Array[Double]]], aF: Boolean): ArrayData = {
+    val m = cb.length
+    val dsub = cb(0)(0).length
+    val n = arr.numElements()
+    require(n == m * dsub,
+      s"graft.PqEncode: vector has $n dims but the codebook expects ${m * dsub} ($m x $dsub)")
+    val codes = new Array[Int](m)
+    var mm = 0
+    while (mm < m) {
+      val off = mm * dsub
+      val sub = cb(mm)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var c = 0
+      while (c < sub.length) {
+        val ctr = sub(c)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub && acc < bestD) {
+          require(!arr.isNullAt(off + j), "graft.PqEncode: vector has a null element")
+          val d = VectorExpressions.elem(arr, off + j, aF) - ctr(j)
+          acc += d * d
+          j += 1
+        }
+        if (acc < bestD) { bestD = acc; best = c }
+        c += 1
+      }
+      codes(mm) = best
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes.map(Integer.valueOf))
+  }
+}
+
+/** See [[VectorExpressions.pqEncode]]. */
+case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqEncode: empty codebook")
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)) &&
+          codebooks.forall(_.length == codebooks.head.length),
+    "PqEncode: ragged codebook (all subspaces need identical ksub and dsub)")
+
+  override def inputTypes = Seq(VectorExpressions.vecType)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val aF = VectorExpressions.isFloatArray(child)
+
+  override def nullSafeEval(input: Any): Any =
+    PqEncode.compute(input.asInstanceOf[ArrayData], cb, aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PqEncode$$.MODULE$$.compute($a, $cbRef, $aF);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqDistTable {
+  /** FULL sums (no early exit — these are real distances, not argmin
+    * comparisons), sequential j-order like every scorer here.
+    */
+  def compute(arr: ArrayData, cb: Array[Array[Array[Double]]], aF: Boolean): ArrayData = {
+    val m = cb.length
+    val ksub = cb(0).length
+    val dsub = cb(0)(0).length
+    val n = arr.numElements()
+    require(n == m * dsub,
+      s"graft.PqDistTable: vector has $n dims but the codebook expects ${m * dsub} ($m x $dsub)")
+    val out = new Array[Any](m * ksub)
+    var mm = 0
+    while (mm < m) {
+      val off = mm * dsub
+      val sub = cb(mm)
+      var c = 0
+      while (c < ksub) {
+        val ctr = sub(c)
+        var acc = 0.0
+        var j = 0
+        while (j < dsub) {
+          require(!arr.isNullAt(off + j), "graft.PqDistTable: vector has a null element")
+          val d = VectorExpressions.elem(arr, off + j, aF) - ctr(j)
+          acc += d * d
+          j += 1
+        }
+        out(mm * ksub + c) = java.lang.Double.valueOf(acc)
+        c += 1
+      }
+      mm += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** See [[VectorExpressions.pqDistTable]]. */
+case class PqDistTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty),
+    "PqDistTable: empty codebook")
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)) &&
+          codebooks.forall(_.length == codebooks.head.length),
+    "PqDistTable: ragged codebook (all subspaces need identical ksub and dsub)")
+
+  override def inputTypes = Seq(VectorExpressions.vecType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  @transient private lazy val cb: Array[Array[Array[Double]]] =
+    codebooks.map(_.map(_.toArray).toArray).toArray
+  @transient private lazy val aF = VectorExpressions.isFloatArray(child)
+
+  override def nullSafeEval(input: Any): Any =
+    PqDistTable.compute(input.asInstanceOf[ArrayData], cb, aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.PqDistTable$$.MODULE$$.compute($a, $cbRef, $aF);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object AdcDistance {
+  def compute(codes: ArrayData, table: ArrayData, ksub: Int): java.lang.Double = {
+    val m = codes.numElements()
+    require(table.numElements() == m * ksub,
+      s"graft.AdcDistance: table has ${table.numElements()} entries, codes expect ${m * ksub}")
+    var acc = 0.0
+    var mm = 0
+    while (mm < m) {
+      val c = codes.getInt(mm)
+      require(c >= 0 && c < ksub, s"graft.AdcDistance: code $c out of range [0, $ksub)")
+      acc += table.getDouble(mm * ksub + c)
+      mm += 1
+    }
+    java.lang.Double.valueOf(acc)
+  }
+}
+
+/** See [[VectorExpressions.adcDistance]]. */
+case class AdcDistance(left: Expression, right: Expression, ksub: Int)
+    extends BinaryExpression with ImplicitCastInputTypes {
+
+  require(ksub > 0, s"AdcDistance: ksub=$ksub must be positive")
+
+  override def inputTypes = Seq(ArrayType(IntegerType), ArrayType(DoubleType))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    AdcDistance.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], ksub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.plans.AdcDistance$$.MODULE$$.compute($a, $b, $ksub);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
