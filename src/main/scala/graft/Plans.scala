@@ -61,7 +61,11 @@ object Plans {
       "q_embed_quantize"   -> "pure scan projection: ONE native Int8Quantize node (scale + codes in a single pass) inside the scan, zero shuffles beyond the output sort",
       "q_embed_assign"     -> "pure scan projection: ONE native NearestCenter node (all centroids in one pass, centers shipped as a plan literal) inside the scan, zero shuffles beyond the output sort",
       "q_corpus_card"      -> "ONE scan, ONE partial-aggregating exchange on lang: token counts, decimal quality sums, percentile buffer and distinct-md5 all combine map-side in the same aggregate",
-      "q_pipeline_curate"  -> "perplexity scoring plan (native BigramCounts, broadcast model) feeding ONE lang-partitioned window exchange for percent_rank — the bucket gate never re-scans the corpus"
+      "q_pipeline_curate"  -> "perplexity scoring plan (native BigramCounts, broadcast model) feeding ONE lang-partitioned window exchange for percent_rank — the bucket gate never re-scans the corpus",
+      "q_quality_classifier" -> "pure scan projection: ONE native HashedNgramLogit node (the model's weight table rides the expression into every task; grams never become rows), zero shuffles beyond the output sort",
+      "q_embed_pq"         -> "pure scan projection: ONE native PqEncode node (all subspace codebooks in one pass, shipped as a codegen reference object), zero shuffles beyond the output sort",
+      "q_text_bm25_indexed" -> "term filter prunes the stored buckets (bucket pruning in the scan); df aggregate + posting join consume the stored term-partitioning with NO exchange — the only shuffle is the per-document score aggregate over slim scored rows",
+      "q_ann_ivf_stored"   -> "stored cell-bucketed corpus read through the bucketing-aware scan (probe join consumes the stored partitioning); probe pairs + query tables broadcast; candidates discarded map-side by the bounded top-k aggregate"
     )
 
     val sb = new StringBuilder
