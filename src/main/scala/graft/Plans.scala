@@ -49,7 +49,7 @@ object Plans {
       "q_text_normalize"   -> "pure scan projection: UnicodeNormalize + lower + regexp inside the scan, zero shuffles beyond the output sort",
       "q_dedup_exact_inc"  -> "corpus side map-side only (bloom agg subquery + broadcast semi-join probe); BroadcastHashJoins for the candidate check; the ONLY full exchange is the new batch's window on its content hash",
       "q_ann_batch"        -> "queries BROADCAST once, corpus scanned ONCE for all queries, candidates discarded MAP-SIDE by the bounded top-k aggregate (ObjectHashAggregate partial keeps ≤ k per query per partition — the exchange carries the answer, not the candidates)",
-      "q_pipeline_ingest"  -> "normalize fuses into the scan; the whole normalize→line-dedup→exact-dedup chain is ONE plan: line window exchange, reassembly exchange, then only (hash, min id) aggregates shuffle for the dedup — cleaned bodies never move again",
+      "q_pipeline_ingest"  -> "normalize fuses into the scan; the whole normalize→line-dedup→exact-dedup chain is ONE plan evaluated ONCE: line window exchange, reassembly exchange, then ONE content-hash window exchange for the dedup (the join form re-ran the whole upstream chain twice — exactly one hashpartitioning(__graft_line) may appear)",
       "q_ann_ivf"          -> "probe pairs + query vectors both BROADCAST to the corpus (each query vector ships ONCE, not once per probe cell); cell assignment is ONE native NearestCenter node inside the scan (no MLlib, no array cast — the quantizer trained driver-local on the bounded sample); candidates discarded map-side by the bounded top-k aggregate",
       "q_text_winnow"      -> "the ENTIRE fingerprint pass is one native WinnowFps node inside the scan (tokenize → md5 k-grams → sliding-min → distinct per document) — ZERO exchanges before the output sort; no k-gram ever becomes a row",
       "q_text_tfidf"       -> "tf triples computed INSIDE the scan (native TermCounts — no token occurrence ever shuffles), checkpointed once; remaining exchanges are the vocabulary-sized df aggregate and the term join only",

@@ -1117,7 +1117,10 @@ object SparkEntry {
           regexp_replace(functions.TextFunctions.normalizeText(planted),
             "(\\S+\\s+\\S+)\\s+", "$1\n").as("text"))
       val cleaned = operators.Lines.dedupLines(aug)
-      operators.Dedup.exactCorpus(cleaned)
+      // one-pass variant: the join form would evaluate the whole
+      // normalize→line-dedup chain TWICE (r11 profile: two __graft_line
+      // exchanges in the plan); the window form runs it once
+      operators.Dedup.exactCorpusOnePass(cleaned)
         .select(col("doc_id"), col("n_lines_kept"), col("n_lines_dropped"))
         .orderBy("doc_id")
     }),
@@ -1378,10 +1381,14 @@ object SparkEntry {
   private def tableTag(dir: String): String =
     java.lang.Long.toHexString(dir.hashCode.toLong & 0xffffffffL)
 
+  // Bucket count 32 = the harness core count: the stored layout is also the
+  // scan parallelism floor (8 buckets left 24 of 32 cores idle on every
+  // probe — measured 2.15 s vs 1.99 s in-memory at sf1). At real scale pick
+  // corpus-size/partition-size as Bucketing's scaladoc says.
   private def storedBm25Index(s: SparkSession, dir: String): String =
     storedIndexes.getOrElseUpdate((s, dir, "bm25"), {
       val t = s"graft_bm25_${tableTag(dir)}"
-      operators.Tfidf.writePostingsIndex(Tables.load(s, dir, "documents"), t, buckets = 8)
+      operators.Tfidf.writePostingsIndex(Tables.load(s, dir, "documents"), t, buckets = 32)
       t
     })
 
@@ -1390,7 +1397,7 @@ object SparkEntry {
       val t = s"graft_ivf_${nlist}_${tableTag(dir)}"
       operators.Similarity.writeIvfIndex(
         operators.Similarity.ivfIndex(Tables.load(s, dir, "embeddings"), nlist = nlist),
-        t, buckets = 8)
+        t, buckets = 32)
       t
     })
 

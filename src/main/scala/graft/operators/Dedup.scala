@@ -132,6 +132,29 @@ object Dedup {
     docs.join(keep, docs(idCol) === keep("keep_id"), "left_semi")
   }
 
+  /** [[exactCorpus]] for COMPUTED upstreams: one `row_number` window over
+    * the content hash instead of aggregate + semi-join. Same survivors
+    * (min-id per hash), different cost shape: the join form never ships
+    * bodies through an exchange but consumes its input subtree TWICE
+    * (aggregate + probe — Catalyst's exchange reuse is defeated by the two
+    * sides' divergent pruning), which doubles any expensive chain feeding
+    * it; the window form evaluates the input ONCE and ships each body
+    * through one hash exchange. Raw-scan input → use [[exactCorpus]]
+    * (re-scanning parquet is cheaper than shuffling bodies); a pipeline
+    * stage that already shuffles bodies to exist (line dedup, normalize
+    * chains) → use this (measured on q_pipeline_ingest at sf1: 2.3 s →
+    * the duplicated line-dedup subtree gone).
+    */
+  def exactCorpusOnePass(docs: DataFrame, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // sha2-256 like [[exact]] — identical hash, identical survivor set
+    val w = Window.partitionBy(sha2(col(textCol), 256)).orderBy(col(idCol))
+    docs.withColumn("__graft_rn", row_number().over(w))
+      .filter(col("__graft_rn") === 1)
+      .drop("__graft_rn")
+  }
+
   /** The corpus surviving near-dedup: greedy MinHash-LSH — a document is
     * dropped iff it near-matches (Jaccard ≥ threshold) some LOWER-id document.
     * (The standard pretraining-pipeline policy; transitive clusters keep their

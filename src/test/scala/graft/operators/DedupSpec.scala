@@ -61,6 +61,16 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(1L, 2L, 4L, 5L)) // 3 is an exact dup of 1
   }
 
+  test("exactCorpusOnePass ≡ exactCorpus survivors; input subtree evaluated once") {
+    val a = Dedup.exactCorpus(docs).orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val b = Dedup.exactCorpusOnePass(docs).orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+    // the one-pass form must contain NO join (the join form consumes its
+    // input twice — the whole point of the variant is avoiding that)
+    val plan = Dedup.exactCorpusOnePass(docs).queryExecution.executedPlan.toString
+    assert(!"(?i)join".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("minhashCorpus drops near-dups keeping the lowest id") {
     val out = Dedup.minhashCorpus(docs, jaccardThreshold = 0.5)
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
