@@ -1356,6 +1356,25 @@ object SparkEntry {
           element_at(col("codes"), 8).as("c7"))
         .orderBy("vec_id")
     }),
+    "q_ann_adc" -> ((s, dir) => {
+      // ADC retrieval end-to-end against the formula codebooks: encode the
+      // corpus, per-query distance tables on the broadcast side, rank by
+      // quantized distance (ties → lower id). Both engines compute the
+      // identical nested sums (j inside m, sequential), so unlike real ANN
+      // the FULL ranking has an exact DuckDB twin — this is the search-path
+      // complement of q_embed_pq's encode check.
+      import org.apache.spark.sql.expressions.Window
+      val cb = operators.Pq.formulaCodebook(m = 8, ksub = 16, dsub = 8)
+      val emb = Tables.load(s, dir, "embeddings").filter(col("embedding").isNotNull)
+      val encoded = operators.Pq.encode(emb, cb)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val w = Window.partitionBy("query_id").orderBy("distance", "vec_id")
+      operators.Pq.adcTopKBatch(encoded, cb, queries, k = 5, excludeSelf = true)
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+    }),
     "q_quality_classifier" -> ((s, dir) =>
       // Model-based quality filtering (the fastText/DSIR classifier stage):
       // hashed-ngram linear scorer — unigrams+bigrams hash into a weight
@@ -1663,6 +1682,45 @@ object SparkEntry {
                 CAST(MIN(CASE WHEN m = 0 THEN c END) AS INTEGER) AS c0,
                 CAST(MIN(CASE WHEN m = 7 THEN c END) AS INTEGER) AS c7
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "q_ann_adc" ->
+      // full ADC twin: codes from the q_embed_pq argmin, then the quantized
+      // distance with the SAME sum nesting (j inside m, both sequential) —
+      // bitwise-equal doubles, so the complete ranking matches
+      """WITH cb AS (
+           SELECT m, c, list_transform(range(0, 8),
+                    j -> (((m*7 + c*31 + j*17) % 41) - 20) / 10.0) AS v
+           FROM range(0, 8) t(m) CROSS JOIN range(0, 16) u(c)),
+         dist AS (
+           SELECT e.vec_id, cb.m, cb.c,
+                  list_aggregate(list_transform(range(1, 9),
+                    i -> (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.v[i])
+                       * (CAST(e.embedding[cb.m*8 + i] AS DOUBLE) - cb.v[i])), 'sum') AS d2
+           FROM embeddings e CROSS JOIN cb
+           WHERE e.embedding IS NOT NULL),
+         r0 AS (
+           SELECT vec_id, m, c,
+                  row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, c) AS rn
+           FROM dist),
+         codelist AS (
+           SELECT vec_id, list(c ORDER BY m) AS cs FROM r0 WHERE rn = 1 GROUP BY vec_id),
+         q AS (
+           SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+           WHERE vec_id % 100 = 0 AND embedding IS NOT NULL),
+         pairs AS (
+           SELECT q.query_id, d.vec_id,
+                  list_aggregate(list_transform(range(0, 8), m ->
+                    list_aggregate(list_transform(range(1, 9), i ->
+                      (CAST(q.qv[m*8 + i] AS DOUBLE)
+                         - (((m*7 + (d.cs[m+1])*31 + (i-1)*17) % 41) - 20) / 10.0)
+                      * (CAST(q.qv[m*8 + i] AS DOUBLE)
+                         - (((m*7 + (d.cs[m+1])*31 + (i-1)*17) % 41) - 20) / 10.0)
+                    ), 'sum')), 'sum') AS dist
+           FROM q JOIN codelist d ON d.vec_id <> q.query_id),
+         r AS (
+           SELECT query_id, vec_id,
+                  CAST(row_number() OVER (PARTITION BY query_id ORDER BY dist, vec_id) AS INTEGER) AS rank
+           FROM pairs)
+         SELECT query_id, rank, vec_id FROM r WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_quality_classifier" ->
       // exact model twin: bucket = first 12 md5 hex chars as int mod 512,
       // weight = (j*1103515245 + 12345) % 2001 - 1000 milli-units, logit =

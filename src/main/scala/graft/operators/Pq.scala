@@ -123,6 +123,68 @@ object Pq {
       .select(col(queryIdCol), col("__e.id").as(idCol), (-col("__e.score")).as("distance"))
   }
 
+  /** IVF+PQ residual encode — FAISS IndexIVFPQ, THE billion-scale
+    * production layout: each vector stores its coarse cell (from
+    * [[Similarity.ivfIndex]]) plus PQ codes of its RESIDUAL
+    * `x − centroid(cell)` (residuals are smaller and better centered than
+    * raw vectors, so the same codebook budget quantizes them tighter — the
+    * FAISS default). One scan: the residual is column algebra feeding the
+    * codegen'd [[graft.plans.PqEncode]]. Train `cb` on residuals for best
+    * recall (e.g. `Pq.train` over `residualCol`-projected vectors).
+    */
+  def encodeIvf(ivf: Similarity.IvfIndex, cb: PqCodebook,
+                codesCol: String = "codes"): DataFrame = {
+    val centersLit = typedLit(ivf.centers.map(_.toSeq).toSeq)
+    val residual = zip_with(col(ivf.vecCol).cast("array<double>"),
+      element_at(centersLit, col("cell") + 1), (x, c) => x - c)
+    ivf.assigned.withColumn(codesCol, V.pqEncode(residual, cb.asSeq))
+  }
+
+  /** ADC search over an IVF+PQ index: probe the `nprobe` nearest cells
+    * (the coarse quantizer's own squared-Euclidean metric, ties to the
+    * lower cell — [[Similarity.IvfIndex.topKBatch]]'s discipline), score
+    * only their rows via per-(query, cell) RESIDUAL distance tables
+    * computed on the broadcast side, rank through the bounded top-k tail.
+    * Search cost ≈ (nprobe/nlist) × corpus × m lookups; the broadcast
+    * carries queries × nprobe × m·ksub doubles (shard the query frame
+    * when that stops fitting). nprobe = nlist makes it exactly
+    * PQ-on-residuals brute force (spec-pinned).
+    */
+  def ivfPqTopKBatch(ivf: Similarity.IvfIndex, encoded: DataFrame, cb: PqCodebook,
+                     queries: DataFrame, k: Int, nprobe: Int = 4,
+                     queryIdCol: String = "query_id", codesCol: String = "codes",
+                     excludeSelf: Boolean = false): DataFrame = {
+    require(k > 0 && nprobe > 0, s"Pq.ivfPqTopKBatch: k=$k nprobe=$nprobe must be positive")
+    val dim = ivf.centers.head.length
+    require(dim == cb.dim,
+      s"Pq.ivfPqTopKBatch: IVF dim $dim != codebook dim ${cb.dim}")
+    val centersLit = typedLit(ivf.centers.map(_.toSeq).toSeq)
+    val qv = col(ivf.vecCol).cast("array<double>")
+    val scoredCells = transform(centersLit,
+      (c, i) => struct(
+        aggregate(zip_with(qv, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"),
+        i.as("cell")))
+    // per (query, probed cell): the RESIDUAL distance table q−centroid vs cb
+    val probes = broadcast(queries
+      .select(col(queryIdCol), qv.as("__qv"),
+        transform(slice(array_sort(scoredCells), 1, nprobe), s => s("cell")).as("__cells"))
+      .select(col(queryIdCol), col("__qv"), explode(col("__cells")).as("cell"))
+      .select(col(queryIdCol), col("cell"),
+        V.pqDistTable(
+          zip_with(col("__qv"), element_at(centersLit, col("cell") + 1), (x, c) => x - c),
+          cb.asSeq).as("__qtab")))
+    encoded
+      .join(probes, Seq("cell"))
+      .filter(if (excludeSelf) col(ivf.idCol) =!= col(queryIdCol) else lit(true))
+      .select(col(queryIdCol), col(ivf.idCol),
+        (-V.adcDistance(col(codesCol), col("__qtab"), cb.ksub)).as("score"))
+      .groupBy(col(queryIdCol))
+      .agg(TopKAggregate.topK(col("score"), col(ivf.idCol), k).as("__tk"))
+      .select(col(queryIdCol), explode(col("__tk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(ivf.idCol), (-col("__e.score")).as("distance"))
+  }
+
   /** Persist the encoded corpus (id + codes only — the PQ index IS the
     * compression) bucketed by id for pruned point lookups; codebooks ride
     * alongside as `<table>_codebooks` (m·ksub rows, each a centroid).

@@ -92,6 +92,51 @@ class PqSpec extends SparkSpec {
     dropTables("graft_pq_spec", "graft_pq_spec_codebooks")
   }
 
+  test("IVFPQ: residual encode + planted twin is top-1; nprobe=nlist ≡ residual-PQ brute force") {
+    val planted = emb.unionByName(
+      emb.filter($"vec_id" < 4L).withColumn("vec_id", $"vec_id" + 1000L))
+    val ivf = Similarity.ivfIndex(planted, nlist = 4, vecCol = "embedding")
+    val encoded = Pq.encodeIvf(ivf, cb)
+    // residual codes differ from raw codes (the residual actually subtracts)
+    val raw = Pq.encode(planted, cb).select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val res = encoded.select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(res.exists { case (id, cs) => raw(id) != cs },
+      "residual encoding must differ from raw encoding somewhere")
+    // identical vector ⇒ same cell, same residual, same codes ⇒ top-1
+    val queries = emb.filter($"vec_id" < 4L)
+      .select($"vec_id".as("query_id"), $"embedding")
+    val top = Pq.ivfPqTopKBatch(ivf, encoded, cb, queries, k = 1,
+        nprobe = 4, excludeSelf = true)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L until 4L).foreach(q => assert(top(q) == q + 1000L,
+      s"query $q: nearest is ${top(q)}, expected the planted twin ${q + 1000L}"))
+    // nprobe = nlist: every cell probed — the result for ANY query must be
+    // the local residual-PQ brute force over the whole corpus
+    val centers = ivf.centers
+    val all = planted.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def cellOf(v: Seq[Double]): Int =
+      centers.indices.minBy(j => (sqDist(v, centers(j).toSeq), j))
+    def residual(v: Seq[Double]): Seq[Double] = {
+      val c = centers(cellOf(v)); v.zip(c).map { case (a, b) => a - b }
+    }
+    val qv = all(0L)
+    val got = Pq.ivfPqTopKBatch(ivf, encoded, cb,
+        queries.filter($"query_id" === 0L), k = 5, nprobe = 4, excludeSelf = true)
+      .orderBy("distance", "vec_id").collect().map(_.getLong(1)).toSeq
+    val want = all.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val recon = cb.reconstruct(refEncode(residual(v), cb)).toSeq
+      val qres = {
+        val c = centers(cellOf(v)) // table for the DOC's cell
+        qv.zip(c).map { case (a, b) => a - b }
+      }
+      (sqDist(qres, recon), id)
+    }.sorted.take(5).map(_._2)
+    assert(got == want, s"nprobe=nlist must equal local residual-PQ brute force")
+  }
+
   test("plan: queries broadcast, candidates rank through ONE exchange (the top-k aggregate)") {
     val q = emb.limit(3).select($"vec_id".as("query_id"), $"embedding")
     val plan = Pq.adcTopKBatch(Pq.encode(emb, cb), cb, q, k = 5)

@@ -219,11 +219,21 @@ class StreamingSpec extends SparkSpec {
     // filtering doesn't need a second implementation.
     val mem = MemoryStream[(Long, String)]
     val docs = mem.toDF().toDF("doc_id", "text")
+    // including the model-based classifier (round 11): a trained
+    // hashed-ngram model gates the stream through the same native expression
+    val model = graft.operators.QualityClassifier.trainLocal(
+      Seq(("the quick fox and the dog", true),
+          ("der hund und die katze", false),
+          ("in the yard it is", true),
+          ("das haus nicht heute", false)), d = 256, epochs = 15)
     val gated = docs
       .withColumn("norm", graft.functions.TextFunctions.normalizeText(col("text")))
       .withColumn("lang", graft.functions.TextFunctions.langId(col("norm")))
       .withColumn("quality", graft.functions.TextFunctions.qualityScore(col("norm")))
-      .filter(col("lang") === "en" && col("quality") > 0.2)
+      .withColumn("clf", graft.plans.TextExpressions.hashedNgramLogit(
+        col("norm"), model.weightsMilli, model.includeBigrams))
+      .filter(col("lang") === "en" && col("quality") > 0.2 &&
+        (lit(model.biasMilli) + col("clf.sum_wmilli")) > 0)
     val q = gated.writeStream.format("memory").queryName("gated_docs")
       .outputMode("append").start()
     try {
