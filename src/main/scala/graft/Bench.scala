@@ -35,7 +35,7 @@ object Bench {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); return -1.0
       }
       (System.nanoTime() - t0) / 1e9
@@ -50,7 +50,7 @@ object Bench {
     // rc=1 with zero timings because this loop had no try/catch).
     Tables.names.foreach { t =>
       try Tables.load(spark, sfDir, t).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup skip '$t': ${e.getMessage}")
       }
     }

@@ -135,9 +135,11 @@ object Tables {
     // Catalog's "Source not found" while every other source keeps working.
     // (Round 10 lost 32 queries to a single events schema change because
     // this construction was all-or-nothing.)
+    // NonFatal only: an OOM/LinkageError must crash the process, not be
+    // reported as "table unavailable" while the JVM limps on corrupted
     def safe(name: String)(mk: => SourceDef): Option[SourceDef] =
       try Some(mk)
-      catch { case e: Throwable =>
+      catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"[graft] catalog: table '$name' unavailable, skipping: ${e.getMessage}")
         None
       }

@@ -73,17 +73,15 @@ object Pq {
   def train(corpus: DataFrame, m: Int, ksub: Int = 256, seed: Long = 7L,
             vecCol: String = "embedding", maxFitSample: Long = 100000L): PqCodebook = {
     require(m > 0 && ksub > 0, s"Pq.train: m=$m and ksub=$ksub must be positive")
-    val cap = math.min(maxFitSample, Int.MaxValue.toLong).toInt
-    val prefixCap = math.min(math.max(ksub * 256, 4096).toLong, cap.toLong).toInt
-    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull)
-    val points = vecs.sample(withReplacement = false, fraction = 0.1, seed)
-      .limit(cap)
-      .union(vecs.limit(prefixCap))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val points = Similarity.boundedFitSample(corpus, vecCol, maxFitSample,
+      prefixFloor = ksub * 256, seed = seed)
     require(points.nonEmpty, "Pq.train: no vectors to fit")
     val dim = points(0).length
+    // explicit per-vector dim check: copyOfRange would silently zero-pad a
+    // short vector's missing subspaces into the fit, skewing centroids with
+    // no error — fail loudly on ragged input instead
+    points.find(_.length != dim).foreach(p => throw new IllegalArgumentException(
+      s"Pq.train: ragged fit sample — vector of ${p.length} dims among $dim-dim ones"))
     require(dim % m == 0, s"Pq.train: dim=$dim is not divisible by m=$m")
     val dsub = dim / m
     val cbs = Array.tabulate(m) { mm =>
@@ -220,6 +218,12 @@ object Pq {
       s"Pq.loadPqIndex: '${table}_codebooks' has ${rows.length} rows, expected ${m * ksub} — rebuild the index")
     val cbs = Array.ofDim[Array[Double]](m, ksub)
     rows.foreach(r => cbs(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray)
+    // the row-count guard alone passes a table with duplicate (m,c) rows
+    // plus missing ones — verify every slot filled so corruption gets the
+    // loud rebuild message, not a bare NPE from PqCodebook's invariants
+    for (mm <- 0 until m; c <- 0 until ksub if cbs(mm)(c) == null)
+      throw new IllegalArgumentException(
+        s"Pq.loadPqIndex: '${table}_codebooks' is missing entry (m=$mm, c=$c) — rebuild the index")
     (encoded, PqCodebook(cbs.map(_.toArray)))
   }
 }

@@ -174,22 +174,35 @@ object Similarity {
     // fit it replaced): ONE bounded collect, then a codegen'd NearestCenter
     // scan assigns the corpus — so the distributed work is exactly one pass
     // regardless of iteration count.
-    val cap = math.min(maxFitSample, Int.MaxValue.toLong).toInt
-    val prefixCap = math.min(math.max(nlist * 1000, 4096).toLong, cap.toLong).toInt
-    // Null embeddings (or rows whose cast produced null) must not reach the
-    // collect: getSeq on a null cell NPEs at the driver with no context,
-    // before LocalKMeans's NaN/Inf guard can name the offending input.
-    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
-      .filter(col("v").isNotNull)
-    val points = vecs.sample(withReplacement = false, fraction = 0.1, seed)
-      .limit(cap)
-      .union(vecs.limit(prefixCap))
-      .collect()
-      .map(_.getSeq[Double](0).toArray)
+    val points = boundedFitSample(corpus, vecCol, maxFitSample,
+      prefixFloor = nlist * 1000, seed = seed)
     val centers = LocalKMeans.fit(points, nlist, seed)
     val assigned = corpus.withColumn("cell",
       graft.plans.VectorExpressions.nearestCenter(col(vecCol), centers.map(_.toSeq).toSeq))
     IvfIndex(assigned, centers, idCol, vecCol)
+  }
+
+  /** The ONE bounded fit-sampling policy shared by every quantizer fit
+    * ([[ivfIndex]], [[graft.operators.Pq.train]]): 10% fraction capped at
+    * `maxFitSample` rows, unioned with a bounded file-order prefix so a
+    * tiny corpus can't starve the fit (coverage table in [[ivfIndex]]'s
+    * comment). Null embeddings (or rows whose cast produced null) must not
+    * reach the collect: getSeq on a null cell NPEs at the driver with no
+    * context, before LocalKMeans's NaN/Inf guard can name the offending
+    * input.
+    */
+  private[operators] def boundedFitSample(corpus: DataFrame, vecCol: String,
+                                          maxFitSample: Long, prefixFloor: Int,
+                                          seed: Long): Array[Array[Double]] = {
+    val cap = math.min(maxFitSample, Int.MaxValue.toLong).toInt
+    val prefixCap = math.min(math.max(prefixFloor, 4096).toLong, cap.toLong).toInt
+    val vecs = corpus.select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+    vecs.sample(withReplacement = false, fraction = 0.1, seed)
+      .limit(cap)
+      .union(vecs.limit(prefixCap))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
   }
 
   final case class IvfIndex(assigned: DataFrame, centers: Array[Array[Double]],

@@ -181,6 +181,21 @@ class IndexingSpec extends SparkSpec {
     assert(diff == Seq(DiffEntry("M", "arctium-lappa", Map("name" -> Seq("Greater Burdock")))))
   }
 
+  test("a large change feed (>1000 paths) takes the broadcast-join path, same results") {
+    // 1200 modified slugs forces the semi-join restriction (the isin form
+    // would build a 1200-literal In tree); only 3 slugs actually exist
+    val newSnap = Seq(
+      ("slug-0001", "Alpha"), ("slug-0500", "Beta"), ("slug-1100", "Gamma")
+    ).toDF("slug", "name")
+    val feed = Indexing.ChangedPaths(
+      modified = (0 until 1200).map(i => f"slug-$i%04d"))
+    val diff = Indexing.diffFromChangedPaths(newSnap, "slug", Seq("name"), feed)
+    // present slugs → M with values; the other 1197 reconcile to D
+    assert(diff.count(_.status == "M") == 3)
+    assert(diff.count(_.status == "D") == 1197)
+    assert(diff.find(_.slug == "slug-0500").get.values == Map("name" -> Seq("Beta")))
+  }
+
   test("end-to-end from a change feed: updateIndexFromChangedPaths matches a v2 rebuild") {
     val path = freshIndexPath
     val v2 = Seq(
