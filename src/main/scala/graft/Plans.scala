@@ -66,7 +66,8 @@ object Plans {
       "q_embed_pq"         -> "pure scan projection: ONE native PqEncode node (all subspace codebooks in one pass, shipped as a codegen reference object), zero shuffles beyond the output sort",
       "q_text_bm25_indexed" -> "term filter prunes the stored buckets (bucket pruning in the scan); df aggregate + posting join consume the stored term-partitioning with NO exchange — the only shuffle is the per-document score aggregate over slim scored rows",
       "q_ann_ivf_stored"   -> "stored cell-bucketed corpus read through the bucketing-aware scan (probe join consumes the stored partitioning); probe pairs + query tables broadcast; candidates discarded map-side by the bounded top-k aggregate",
-      "q_ann_adc"          -> "PQ codes from ONE native PqEncode scan; per-query distance tables computed on the BROADCAST side (PqDistTable — m·ksub·dsub flops per query, not per doc); corpus rows pay m AdcDistance lookups, candidates discarded map-side by the bounded top-k aggregate"
+      "q_ann_adc"          -> "PQ codes from ONE native PqEncode scan; per-query distance tables computed on the BROADCAST side (PqDistTable — m·ksub·dsub flops per query, not per doc); corpus rows pay m AdcDistance lookups, candidates discarded map-side by the bounded top-k aggregate",
+      "q_sample_clusters"  -> "cell assignment is ONE native NearestCenter node inside the scan; the only exchange beyond the output sort is the cell-partitioned sampling window (WindowGroupLimit prunes to n per cell map-side)"
     )
 
     val sb = new StringBuilder

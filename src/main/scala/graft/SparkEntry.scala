@@ -1356,6 +1356,26 @@ object SparkEntry {
           element_at(col("codes"), 8).as("c7"))
         .orderBy("vec_id")
     }),
+    "q_sample_clusters" -> ((s, dir) => {
+      // Cluster-balanced corpus selection — the topic-balancing step after
+      // dedup in data-mixing recipes (equal representation per region of
+      // embedding space, instead of letting one dominant topic swamp the
+      // mixture): assign each vector to its cell (the oracle-proven
+      // NearestCenter formula-centroid primitive), then take a
+      // deterministic fixed-size sample per cell (the md5-order
+      // fixedSizeSample primitive). Pure composition — one scan + one
+      // window exchange on the cell.
+      val centers = (0 until 8).map(j =>
+        (0 until 64).map(d => (((j * 31 + d * 7) % 13) - 6) / 6.0))
+      val assigned = Tables.load(s, dir, "embeddings")
+        .filter(col("embedding").isNotNull)
+        .withColumn("cell",
+          graft.plans.VectorExpressions.nearestCenter(col("embedding"), centers))
+      operators.Sampling.fixedSizeSample(assigned,
+          key = col("vec_id"), strata = col("cell"), n = 10)
+        .select("vec_id", "cell")
+        .orderBy("vec_id")
+    }),
     "q_ann_adc" -> ((s, dir) => {
       // ADC retrieval end-to-end against the formula codebooks: encode the
       // corpus, per-query distance tables on the broadcast side, rank by
@@ -1700,6 +1720,32 @@ object SparkEntry {
                 CAST(MIN(CASE WHEN m = 0 THEN c END) AS INTEGER) AS c0,
                 CAST(MIN(CASE WHEN m = 7 THEN c END) AS INTEGER) AS c7
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "q_sample_clusters" ->
+      // the q_embed_assign assignment CTE composed with the q_sample_fixed
+      // md5-order window — both twins already hash-proven separately
+      """WITH cent AS (
+           SELECT j, list_transform(range(0, 64), d -> (((j * 31 + d * 7) % 13) - 6) / 6.0) AS c
+           FROM range(0, 8) t(j)),
+         dist AS (
+           SELECT e.vec_id, cent.j,
+                  list_aggregate(list_transform(range(1, 65),
+                    i -> (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])
+                       * (CAST(e.embedding[i] AS DOUBLE) - cent.c[i])), 'sum') AS d2
+           FROM embeddings e CROSS JOIN cent
+           WHERE e.embedding IS NOT NULL),
+         assigned AS (
+           SELECT vec_id, j AS cell FROM (
+             SELECT vec_id, j,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY d2, j) AS rn
+             FROM dist)
+           WHERE rn = 1),
+         sampled AS (
+           SELECT vec_id, cell,
+                  row_number() OVER (PARTITION BY cell
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)), CAST(vec_id AS VARCHAR)) AS rn
+           FROM assigned)
+         SELECT vec_id, CAST(cell AS INTEGER) AS cell
+         FROM sampled WHERE rn <= 10 ORDER BY vec_id""",
     "q_ann_adc" ->
       // full ADC twin: codes from the q_embed_pq argmin, then the quantized
       // distance with the SAME sum nesting (j inside m, both sequential) —
