@@ -1356,6 +1356,23 @@ object SparkEntry {
           element_at(col("codes"), 8).as("c7"))
         .orderBy("vec_id")
     }),
+    "q_dedup_substr" -> ((s, dir) => {
+      // ExactSubstr (Lee et al. 2022): every 10th doc gets the same 16-token
+      // passage appended; the operator must report exactly that span (9
+      // internal 8-grams → one 16-token covered run) per planted doc and
+      // zeros elsewhere. The md5-48bit gram hash is engine-portable, so the
+      // ENTIRE pipeline — gram stream, global dup detection, gap-window
+      // span merge — has an exact DuckDB twin; even an accidental vocab
+      // collision stays green because both engines recompute it identically.
+      val aug = Tables.load(s, dir, "documents")
+        .filter(col("doc_id") < 1000 && col("text").isNotNull)
+        .withColumn("text", concat(col("text"),
+          when(col("doc_id") % 10 === 0,
+            lit(" exact substring dedup planted passage tokens repeat verbatim across documents sharing this sixteen token marker tail"))
+            .otherwise(lit(""))))
+      operators.ExactSubstr.removalStats(aug, k = 8, minTokens = 16)
+        .orderBy("doc_id")
+    }),
     "q_sample_clusters" -> ((s, dir) => {
       // Cluster-balanced corpus selection — the topic-balancing step after
       // dedup in data-mixing recipes (equal representation per region of
@@ -1720,6 +1737,47 @@ object SparkEntry {
                 CAST(MIN(CASE WHEN m = 0 THEN c END) AS INTEGER) AS c0,
                 CAST(MIN(CASE WHEN m = 7 THEN c END) AS INTEGER) AS c7
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "q_dedup_substr" ->
+      // the full ExactSubstr pipeline recomputed: same planting, same
+      // tokenizer, same md5-48bit gram hash, same >1 global count, same
+      // gap-window span merge (new span iff pos > prev + k), same
+      // min-length gate — integer outputs, exact cross-engine
+      """WITH docs AS (
+           SELECT doc_id,
+                  text || CASE WHEN doc_id % 10 = 0
+                    THEN ' exact substring dedup planted passage tokens repeat verbatim across documents sharing this sixteen token marker tail'
+                    ELSE '' END AS text
+           FROM documents WHERE doc_id < 1000 AND text IS NOT NULL),
+         toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                              t -> t <> '') AS tw
+           FROM docs),
+         occ AS (
+           SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+                  CAST(('0x' || substr(md5(array_to_string(tw[j:j+7], ' ')), 1, 12)) AS BIGINT) AS h
+           FROM toks, UNNEST(range(1, len(tw) - 8 + 2)) AS u(j)),
+         dup AS (SELECT h FROM occ GROUP BY h HAVING count(*) > 1),
+         flagged AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (h)),
+         g AS (
+           SELECT doc_id, pos,
+                  CASE WHEN lag(pos) OVER w IS NULL OR pos > lag(pos) OVER w + 8
+                       THEN 1 ELSE 0 END AS new_s
+           FROM flagged WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+         sp AS (
+           SELECT doc_id, span_id, min(pos) AS s, max(pos) + 7 AS e
+           FROM (SELECT doc_id, pos,
+                        SUM(new_s) OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+                 FROM g)
+           GROUP BY doc_id, span_id),
+         spf AS (
+           SELECT doc_id, count(*) AS n_spans, SUM(e - s + 1) AS removed
+           FROM sp WHERE e - s + 1 >= 16 GROUP BY doc_id)
+         SELECT d.doc_id, CAST(len(t.tw) AS INTEGER) AS n_tokens,
+                CAST(COALESCE(spf.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(COALESCE(spf.removed, 0) AS BIGINT) AS n_tokens_removed
+         FROM docs d JOIN toks t USING (doc_id) LEFT JOIN spf USING (doc_id)
+         ORDER BY d.doc_id""",
     "q_sample_clusters" ->
       // the q_embed_assign assignment CTE composed with the q_sample_fixed
       // md5-order window — both twins already hash-proven separately

@@ -179,6 +179,17 @@ object TextExpressions {
     def tokens(s: String): Array[String] = ws.split(edge.matcher(s).replaceAll(""))
   }
 
+  /** Position-ordered 48-bit k-gram hashes (`array<long>`, one entry per
+    * token window): the occurrence stream for exact-substring dedup
+    * ([[graft.operators.ExactSubstr]]). Same md5-first-6-bytes hash as the
+    * classifier's buckets — DuckDB recomputes it exactly from
+    * `('0x' || substr(md5(gram), 1, 12))::BIGINT`, so unlike the xxhash64
+    * dedup family this stream has a full SQL twin. One pass, no gram
+    * string ever leaves the expression.
+    */
+  def kgramHashes(text: Column, k: Int): Column =
+    ColumnShim.column(KgramHashes(ColumnShim.expression(text), k))
+
   /** struct<n_grams, sum_wmilli> — the hashed-ngram linear classifier's
     * per-document partial (fastText / DSIR shape): unigrams (+ optional
     * bigrams) hashed into `weightsMilli.length` buckets, weight lookup and
@@ -1125,5 +1136,64 @@ case class HashedNgramLogit(child: Expression, weightsMilli: Seq[Long], includeB
     HashedNgramLogit.compute(input.asInstanceOf[UTF8String], wArr, includeBigrams)
 
   override protected def withNewChildInternal(newChild: Expression): HashedNgramLogit =
+    copy(child = newChild)
+}
+
+object KgramHashes {
+  /** One scorer for the interpreted path and the trainer-free oracle: the
+    * 48-bit big-endian head of md5 over the space-joined k-gram (identical
+    * to [[HashedNgramLogit.bucket]]'s value before the mod). Degenerate
+    * whitespace-only tokenization and docs shorter than k emit an empty
+    * array (the columnar/oracle `range` twin produces no rows there).
+    */
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    val toks0 = TextExpressions.Tok.tokens(input.toString)
+    val toks = if (toks0.length == 1 && toks0(0).isEmpty) Array.empty[String] else toks0
+    val n = toks.length - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < n) {
+      sb.setLength(0)
+      var j = i
+      while (j < i + k) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = java.lang.Long.valueOf(
+        hash48(sb.toString))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  private def hash48(gram: String): Long = {
+    val md = md5.get()
+    md.reset()
+    val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
+    ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
+    ((dig(4) & 0xffL) << 8)  |  (dig(5) & 0xffL)
+  }
+}
+
+/** See [[TextExpressions.kgramHashes]]. */
+case class KgramHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  require(k > 0, s"KgramHashes: k=$k must be positive")
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    KgramHashes.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def withNewChildInternal(newChild: Expression): KgramHashes =
     copy(child = newChild)
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class ExactSubstrSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 1/2 share an exact 12-token run mid-document; 3 is clean; 4/5 share a
+  // 6-token run only (below minTokens=10 — must NOT be reported). The short
+  // run uses vocabulary disjoint from everything else so its coverage can't
+  // merge with any other repeat's.
+  private val sharedRun = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+  private val shortRun = "red orange yellow green blue violet"
+  private val docs = Seq(
+    (1L, s"one two three $sharedRun four five six"),
+    (2L, s"seven eight $sharedRun nine ten eleven twelve"),
+    (3L, "totally unique words nothing repeated here at all whatsoever"),
+    (4L, s"begin four $shortRun end four"),
+    (5L, s"start five $shortRun finish five")
+  ).toDF("doc_id", "text")
+
+  test("repeated spans cover exactly the shared run, short repeats suppressed") {
+    val spans = ExactSubstr.repeatedSpans(docs, k = 5, minTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    // doc 1: run starts at token 3 (0-based), 12 tokens -> [3, 14]
+    // doc 2: run starts at token 2 -> [2, 13]
+    // docs 3/4/5: nothing (the 6-token shared run -> 2 shared 5-grams ->
+    // a 6-token covered span < 10)
+    assert(spans.toSeq == Seq((1L, 3, 14), (2L, 2, 13)))
+  }
+
+  test("removalStats: exact token accounting, zeros for clean docs") {
+    val got = ExactSubstr.removalStats(docs, k = 5, minTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3))).sorted
+    assert(got.toSeq == Seq(
+      (1L, 18, 1L, 12L), (2L, 18, 1L, 12L), (3L, 9, 0L, 0L),
+      (4L, 10, 0L, 0L), (5L, 10, 0L, 0L)))
+  }
+
+  test("removeRepeated cuts the span and keeps surrounding text; full-dup docs drop") {
+    val cleaned = ExactSubstr.removeRepeated(docs, k = 5, minTokens = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned(1L) == "one two three four five six")
+    assert(cleaned(2L) == "seven eight nine ten eleven twelve")
+    assert(cleaned(3L).startsWith("totally unique"))
+    assert(cleaned(4L) == s"begin four $shortRun end four") // sub-threshold: untouched
+    // a corpus of two identical docs: both flagged end-to-end, both drop
+    val twins = Seq((1L, sharedRun), (2L, sharedRun)).toDF("doc_id", "text")
+    assert(ExactSubstr.removeRepeated(twins, k = 5, minTokens = 10).count() == 0)
+  }
+
+  test("a repeat WITHIN one document is found too (the paper's any-occurrence rule)") {
+    val selfRep = Seq((1L, s"$sharedRun filler words between the copies $sharedRun"))
+      .toDF("doc_id", "text")
+    val spans = ExactSubstr.repeatedSpans(selfRep, k = 5, minTokens = 10)
+      .collect().map(r => (r.getInt(1), r.getInt(2))).sorted
+    assert(spans.length == 2 && spans(0) == (0, 11) && spans(1) == (17, 28))
+  }
+
+  test("docs shorter than k emit nothing; null text is skipped") {
+    val tiny = Seq((1L, "only three tokens"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(ExactSubstr.repeatedSpans(tiny, k = 5, minTokens = 10).count() == 0)
+    val stats = ExactSubstr.removalStats(tiny, k = 5, minTokens = 10).collect()
+    assert(stats.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
+  test("guards: k/minTokens relation, missing columns") {
+    intercept[IllegalArgumentException](ExactSubstr.repeatedSpans(docs, k = 0))
+    intercept[IllegalArgumentException](ExactSubstr.repeatedSpans(docs, k = 10, minTokens = 5))
+    intercept[IllegalArgumentException](ExactSubstr.repeatedSpans(docs.drop("text")))
+  }
+
+  test("plan: bodies never ride the dup-detection exchanges (narrow rows only)") {
+    val plan = ExactSubstr.repeatedSpans(docs, k = 5, minTokens = 10)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    // the hash-count aggregate must project to h before its exchange: no
+    // `text` column in any Exchange input
+    val exchangeBlocks = plan.split("Exchange").drop(1)
+    assert(exchangeBlocks.forall(b => !b.take(200).contains("text#")), plan)
+  }
+}
