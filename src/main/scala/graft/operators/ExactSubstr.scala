@@ -119,7 +119,9 @@ object ExactSubstr {
               s => i >= s.getField("span_start") && i <= s.getField("span_end")),
               lit(null)).otherwise(t)),
           t => t.isNotNull)))
-      .filter(size(col("__kept")) > 0)
+      // only drop docs REDUCED to nothing by span removal — a doc that was
+      // already empty (no spans) passes through untouched
+      .filter(col("__spans").isNull || size(col("__kept")) > 0)
       .select(col(idCol), concat_ws(" ", col("__kept")).as(textCol))
   }
 }

@@ -233,27 +233,20 @@ object Indexing {
     val dOnly    = changes.deleted.map(slugOfPath).distinct.filterNot(am.toSet)
     if (am.isEmpty && dOnly.isEmpty) return Seq.empty
 
-    // Slug restriction that survives feed scale: a small feed uses `isin`
-    // (the In filter pushes into the parquet scan); a large one (an
-    // object-store inventory delta can name 10^5+ paths) would make a
-    // pathological literal tree out of In, so it broadcast-semi-joins a
-    // slug frame instead — same rows, plan size O(1) in the feed.
-    def restrict(df: DataFrame, slugCol: org.apache.spark.sql.Column,
-                 slugs: Seq[String]): DataFrame =
-      if (slugs.size <= 1000) df.filter(slugCol.isin(slugs: _*))
-      else {
-        val spark = df.sparkSession
-        import spark.implicits._
-        df.join(broadcast(slugs.toDF("__graft_slug")),
-          slugCol === col("__graft_slug"), "left_semi")
-      }
+    // Slug restriction via `isin` at EVERY feed size: Catalyst's OptimizeIn
+    // collapses a large literal list into one InSet node (no pathological
+    // expression tree), and the In/InSet filter still reaches the parquet
+    // scan as a sources.In predicate — which is the whole point of the
+    // file-list path (cost ∝ change volume, not corpus). A broadcast
+    // semi-join would keep the plan small too, but forfeits that pushdown
+    // and full-scans the corpus.
 
     // Canonical indexed values for the changed slugs only — the one corpus
     // touch, bounded by |changes|.
     val amVals: Map[String, Map[String, Seq[String]]] =
       if (am.isEmpty) Map.empty
       else snapshotValues(
-          restrict(newDf, col(slugField).cast("string"), am), slugField, fields)
+          newDf.filter(col(slugField).cast("string").isin(am: _*)), slugField, fields)
         .collect().map(r => r.getString(0) ->
           r.getMap[String, scala.collection.Seq[String]](1).toMap.map {
             case (k, v) => k -> v.toSeq
@@ -274,7 +267,8 @@ object Indexing {
         // relation itself (it IS the old values, sorted like
         // snapshotValues) — bounded by |changes| × values-per-record.
         val slugsAll = entries.map(_.slug)
-        val oldVals: Map[String, Map[String, Seq[String]]] = restrict(idx, col("slug"), slugsAll)
+        val oldVals: Map[String, Map[String, Seq[String]]] = idx
+          .filter(col("slug").isin(slugsAll: _*))
           .groupBy("slug", "field")
           .agg(sort_array(collect_list(col("value"))).as("values"))
           .groupBy("slug")

@@ -81,7 +81,7 @@ object Pq {
     // short vector's missing subspaces into the fit, skewing centroids with
     // no error — fail loudly on ragged input instead
     points.find(_.length != dim).foreach(p => throw new IllegalArgumentException(
-      s"Pq.train: ragged fit sample — vector of ${p.length} dims among $dim-dim ones"))
+      s"Pq.train: ragged fit sample — vectors of ${p.length} AND $dim dims present"))
     require(dim % m == 0, s"Pq.train: dim=$dim is not divisible by m=$m")
     val dsub = dim / m
     val cbs = Array.tabulate(m) { mm =>

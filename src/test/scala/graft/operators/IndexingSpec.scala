@@ -181,9 +181,9 @@ class IndexingSpec extends SparkSpec {
     assert(diff == Seq(DiffEntry("M", "arctium-lappa", Map("name" -> Seq("Greater Burdock")))))
   }
 
-  test("a large change feed (>1000 paths) takes the broadcast-join path, same results") {
-    // 1200 modified slugs forces the semi-join restriction (the isin form
-    // would build a 1200-literal In tree); only 3 slugs actually exist
+  test("a large change feed (>1000 paths) stays correct and planning-safe") {
+    // 1200 modified slugs: OptimizeIn collapses the literal list to one
+    // InSet node, so the isin path scales; only 3 slugs actually exist
     val newSnap = Seq(
       ("slug-0001", "Alpha"), ("slug-0500", "Beta"), ("slug-1100", "Gamma")
     ).toDF("slug", "name")
