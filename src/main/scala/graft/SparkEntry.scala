@@ -1356,6 +1356,31 @@ object SparkEntry {
           element_at(col("codes"), 8).as("c7"))
         .orderBy("vec_id")
     }),
+    "q_split_leakage" -> ((s, dir) => {
+      // Leakage-safe train/val/test assignment: a near-duplicate cluster
+      // must never straddle splits (a test doc's near-copy sitting in train
+      // silently inflates eval — the split-level form of the decontamination
+      // concern). Split is a pure md5 function of the doc's duplicate-
+      // cluster REPRESENTATIVE (the component min id, from the same
+      // connected-components fixture q_dedup_clusters proves), so every
+      // cluster lands whole in one split while singletons follow the plain
+      // q_sample_split rule exactly.
+      val docs = Tables.load(s, dir, "documents").filter(col("doc_id") < 100)
+      val sh = docs.select(col("doc_id"), plans.TextExpressions.shingleSet(col("text")).as("sh"))
+      val offsets = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("k"))
+        .withColumn("__match_id", col("id_a") + col("k"))
+      val edges = offsets
+        .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          col("id_b") === col("__match_id"))
+        .filter(operators.Dedup.jaccard(col("sh_a"), col("sh_b")) >= 0.005)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      operators.Clusters.connectedComponents(docs.select(col("doc_id").as("id")), edges)
+        .select(col("id").as("doc_id"), col("component"),
+          operators.Sampling.splitAssign(col("component"),
+            Seq("test" -> 0.1, "val" -> 0.1)).as("split"))
+        .orderBy("doc_id")
+    }),
     "q_dedup_substr" -> ((s, dir) => {
       // ExactSubstr (Lee et al. 2022): every 10th doc gets the same 16-token
       // passage appended; the operator must report exactly that span (9
@@ -1737,6 +1762,36 @@ object SparkEntry {
                 CAST(MIN(CASE WHEN m = 0 THEN c END) AS INTEGER) AS c0,
                 CAST(MIN(CASE WHEN m = 7 THEN c END) AS INTEGER) AS c7
          FROM codes GROUP BY vec_id ORDER BY vec_id""",
+    "q_split_leakage" ->
+      // the q_dedup_clusters recursive-CTE component joined to the
+      // q_sample_split md5 CASE, keyed by the component instead of the doc
+      """WITH RECURSIVE sh AS (
+           SELECT doc_id,
+                  list_distinct(CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                       ELSE list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                  END) AS sh
+           FROM (SELECT doc_id, regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+') AS toks FROM documents)
+           WHERE doc_id < 100
+         ),
+         e AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM sh a JOIN sh b ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 3
+           WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                       / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.005
+         ),
+         sym AS (SELECT id_a AS s, id_b AS d FROM e UNION SELECT id_b, id_a FROM e),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM sh
+           UNION
+           SELECT reach.id, sym.d FROM reach JOIN sym ON reach.r = sym.s
+         ),
+         comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id)
+         SELECT doc_id, component,
+                CASE WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < '19999999' THEN 'test'
+                     WHEN substr(md5(CAST(component AS VARCHAR)), 1, 8) < '33333333' THEN 'val'
+                     ELSE 'train' END AS split
+         FROM comp ORDER BY doc_id""",
     "q_dedup_substr" ->
       // the full ExactSubstr pipeline recomputed: same planting, same
       // tokenizer, same md5-48bit gram hash, same >1 global count, same
