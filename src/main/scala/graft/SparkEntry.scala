@@ -940,6 +940,31 @@ object SparkEntry {
           round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"),
           countDistinct(md5(col("text"))).as("n_unique"))
         .orderBy("lang")),
+    "q_corpus_card_approx" -> ((s, dir) =>
+      // The 100 TB shape of q_corpus_card: exact `percentile` buffers EVERY
+      // group value (the documented scale hazard of the exact card) and
+      // exact countDistinct carries a full dedup exchange; this twin swaps
+      // in approx_percentile (bounded mergeable quantile sketch) and
+      // approx_count_distinct (HLL++, constant state) — same single
+      // scan + one partial-aggregating exchange, memory now O(sketch) per
+      // group instead of O(rows). No SQL oracle: sketch outputs are
+      // engine-specific by design; ApproxSpec pins both columns against
+      // the exact card's values with accuracy bounds.
+      Tables.load(s, dir, "documents")
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(functions.TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("total_tokens"),
+          round(sum(functions.TextFunctions.qualityScore(col("text"))
+              .cast("decimal(18,6)")).cast("double") / count(col("text")), 4)
+            .as("avg_quality"),
+          percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_chars_approx"),
+          // rsd 1%: the default 5% is a WORST-CASE bound that small groups
+          // (hundreds of docs per language at low sf) actually hit; the
+          // tighter sketch is still constant mergeable state
+          approx_count_distinct(md5(col("text")), rsd = 0.01).as("n_unique_approx"))
+        .orderBy("lang")),
     "q_url_canonical" -> ((s, dir) => {
       // URL-keyed dedup of crawl snapshots — the step BEFORE content dedup:
       // every doc gets a planted URL wearing the full decoration kit
@@ -1280,7 +1305,12 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val emb = Tables.load(s, dir, "embeddings")
       val nlist = 8
-      val index = operators.Similarity.ivfIndex(emb, nlist = nlist)
+      // Build/probe split (VERDICT r11 task 2): the quantizer fit + cell
+      // assignment are the BUILD — paid once and amortized over a day of
+      // queries at the design point — so they memoize per (session, sf-dir)
+      // like the stored-index twins, and the timed samples measure the
+      // PROBE. The in-memory analogue of q_ann_ivf_stored's warehouse build.
+      val index = memoIvfIndex(s, dir, nlist)
       val queries = emb.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("query_id"), col("embedding"))
       val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
@@ -1497,6 +1527,25 @@ object SparkEntry {
         operators.Similarity.ivfIndex(Tables.load(s, dir, "embeddings"), nlist = nlist),
         t, buckets = 32)
       t
+    })
+  }
+
+  // In-memory sibling of storedIvfIndex for q_ann_ivf: the fit (driver-local
+  // k-means over a bounded sample) AND the full assignment scan are build
+  // cost — memoized per (session, sf-dir) and the assignment persisted +
+  // materialized, so repeat runs time cell-restricted probes only (same
+  // stopped-session eviction as the table map).
+  private val memoIvf = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), operators.Similarity.IvfIndex]
+
+  private def memoIvfIndex(s: SparkSession, dir: String, nlist: Int): operators.Similarity.IvfIndex = {
+    memoIvf.keys.filter(_._1.sparkContext.isStopped).foreach(memoIvf.remove)
+    memoIvf.getOrElseUpdate((s, dir, nlist), {
+      val idx = operators.Similarity.ivfIndex(Tables.load(s, dir, "embeddings"), nlist = nlist)
+      val assigned = idx.assigned
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assigned.count() // materialize now: the build pays the assignment scan
+      idx.copy(assigned = assigned)
     })
   }
 

@@ -47,10 +47,25 @@ object Bucketing {
     * by every index writer; harmless no-op when nothing exists.
     */
   def clearTable(spark: SparkSession, table: String): Unit = {
+    // Simple unqualified names only: the orphan-location fallback below
+    // reconstructs <warehouse>/<lowercased name>, which is only the managed
+    // location for a default-database simple name — a qualified name (or a
+    // non-default current database) would delete the wrong path.
+    require(!table.contains("."),
+      s"Bucketing.clearTable: qualified table names are not supported, got '$table'")
+    // When the catalog knows the table, use ITS location — authoritative even
+    // under a non-default warehouse layout.
+    val knownLoc: Option[java.net.URI] =
+      if (spark.catalog.tableExists(table))
+        scala.util.Try(spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+          .location).toOption
+      else None
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"),
-      table.toLowerCase(java.util.Locale.ROOT))
+    val loc = knownLoc.map(u => new org.apache.hadoop.fs.Path(u)).getOrElse(
+      new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir"),
+        table.toLowerCase(java.util.Locale.ROOT)))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
   }

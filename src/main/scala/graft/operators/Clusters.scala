@@ -93,21 +93,32 @@ object Clusters {
         // convergence probe below is a filter on the SAME frame, not a
         // second join+shuffle against the previous round.
         .select(col("d").as("id"), col("comp"), lit(null).as("__graft_prev"))
+      // The edge-propagation half materializes on its own so the convergence
+      // probe can run BEFORE the pointer jump: propagation-stability over
+      // symmetric edges already implies every component's labels are equal
+      // (comp(id) ≤ comp(nbr) both ways ⇒ equality), so a no-change round is
+      // the global fixpoint and the final round's jump join + checkpoint are
+      // skipped entirely. Non-final rounds split into two smaller jobs
+      // (edge join, then label-width jump join over the checkpointed hop)
+      // doing the same total work the fused round did.
       val hopped = labels.select(col("id"), col("comp"), col("comp").as("__graft_prev"))
         .unionByName(viaEdges)
         .groupBy("id").agg(min("comp").as("comp"), min("__graft_prev").as("__graft_prev"))
-      // Pointer jump: comp ← comp(comp); `hopped`'s plan is small (it reads
-      // the checkpointed labels), so feeding both join sides is fine.
-      val next = hopped
-        .join(hopped.select(col("id").as("__graft_jid"), col("comp").as("__graft_jcomp")),
-          col("comp") === col("__graft_jid"))
-        .select(col("id"), col("__graft_jcomp").as("comp"), col("__graft_prev"))
         .localCheckpoint(true)
-      // One job per round beyond the checkpoint: did any label move? Labels
-      // only decrease, so an unchanged round is the fixpoint (min-propagation
-      // is monotone).
-      converged = next.filter(col("comp") =!= col("__graft_prev")).isEmpty
-      labels = next.select("id", "comp")
+      // Labels only decrease, so an unchanged propagation is the fixpoint
+      // (min-propagation is monotone); cheap filter over the checkpointed hop.
+      converged = hopped.filter(col("comp") =!= col("__graft_prev")).isEmpty
+      if (converged) {
+        labels = hopped.select("id", "comp")
+      } else {
+        // Pointer jump: comp ← comp(comp); `hopped` is checkpointed, so
+        // feeding both join sides re-reads materialized blocks, not the plan.
+        labels = hopped
+          .join(hopped.select(col("id").as("__graft_jid"), col("comp").as("__graft_jcomp")),
+            col("comp") === col("__graft_jid"))
+          .select(col("id"), col("__graft_jcomp").as("comp"))
+          .localCheckpoint(true)
+      }
       iter += 1
     }
     sym.unpersist(blocking = false)

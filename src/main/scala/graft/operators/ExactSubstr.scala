@@ -48,6 +48,29 @@ import graft.plans.TextExpressions
   * removal side of dedup tolerates over-approximation; tracking per-partner
   * run identity would require shipping (doc, pos, partner) triples — a
   * quadratic blowup on viral grams.
+  *
+  * HASH-COLLISION HONESTY — "exact" is exact only up to the gram hash
+  * space. Detection keys on a hash of the gram, not the gram itself, so a
+  * birthday collision between two DISTINCT grams falsely flags both
+  * positions, and two false flags within k tokens of each other fuse (the
+  * partner-blind merge) into a span that can reach `minTokens` (at the
+  * k=25/minTokens=50 defaults, exactly two adjacent false flags suffice) —
+  * deleting genuine, never-duplicated text. Expected rates: with N gram
+  * positions and a b-bit hash, falsely-colliding pairs ≈ N²/2^(b+1);
+  * a position's chance of a second false flag within k is then
+  * ≈ (N/2^b)·2k. At the default 48 bits this is negligible to ~10^9
+  * positions (sf-scale corpora) but UNACCEPTABLE at 100 TB (~10^13
+  * positions → ~10^11 colliding pairs). `wideHash = true` switches to the
+  * 64-bit md5 head (same digest — zero extra scan cost): ~10^7 colliding
+  * pairs at 10^13 positions and ~10²-10³ false SPANS corpus-wide —
+  * the production setting whenever the corpus outgrows ~10^10 grams. The
+  * 48-bit default exists because it is the value DuckDB can recompute
+  * exactly (the oracle twin); results between the two differ only where a
+  * 48-bit collision actually lands. For provable-zero false removal,
+  * re-verify surviving spans by token equality against their partners —
+  * deliberately not implemented: it ships (doc, pos, partner) triples,
+  * the quadratic-on-viral-grams blowup described above, to remove a
+  * ~10³-span error in a 10^13-token corpus.
   */
 object ExactSubstr {
 
@@ -55,14 +78,16 @@ object ExactSubstr {
     * span_tokens)` in 0-based token indices, `span_end` inclusive.
     */
   def repeatedSpans(docs: DataFrame, k: Int = 25, minTokens: Int = 50,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    wideHash: Boolean = false): DataFrame = {
     require(k > 0 && minTokens >= k,
       s"ExactSubstr.repeatedSpans: need 0 < k=$k <= minTokens=$minTokens")
     Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
       s"ExactSubstr.repeatedSpans: input has no '$c' column"))
     val occ = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        posexplode(TextExpressions.kgramHashes(col(textCol), k)).as(Seq("pos", "h")))
+        posexplode(TextExpressions.kgramHashes(col(textCol), k,
+          bits = if (wideHash) 64 else 48)).as(Seq("pos", "h")))
     // duplicate grams: global occurrence count over JUST the hash column
     val dup = occ.groupBy(col("h")).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > 1).select("h")
@@ -84,8 +109,9 @@ object ExactSubstr {
     * repeated span report zeros. All integers: exact cross-engine.
     */
   def removalStats(docs: DataFrame, k: Int = 25, minTokens: Int = 50,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = repeatedSpans(docs, k, minTokens, idCol, textCol)
+                   idCol: String = "doc_id", textCol: String = "text",
+                   wideHash: Boolean = false): DataFrame = {
+    val spans = repeatedSpans(docs, k, minTokens, idCol, textCol, wideHash)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("n_tokens_removed"))
     docs.filter(col(textCol).isNotNull)
@@ -101,11 +127,14 @@ object ExactSubstr {
   /** The cleaned corpus: repeated spans cut out of each document (tokens
     * re-joined with single spaces — ExactSubstr operates on the token
     * stream, so original inter-token whitespace inside a doc is already
-    * normalized by tokenization). Documents reduced to nothing drop.
+    * normalized by tokenization). Documents reduced to nothing drop;
+    * documents with NULL text cannot carry spans and pass through
+    * unchanged (text stays NULL).
     */
   def removeRepeated(docs: DataFrame, k: Int = 25, minTokens: Int = 50,
-                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spans = repeatedSpans(docs, k, minTokens, idCol, textCol)
+                     idCol: String = "doc_id", textCol: String = "text",
+                     wideHash: Boolean = false): DataFrame = {
+    val spans = repeatedSpans(docs, k, minTokens, idCol, textCol, wideHash)
       .groupBy(col(idCol))
       .agg(collect_list(struct(col("span_start"), col("span_end"))).as("__spans"))
     val toks = filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit(""))
@@ -123,5 +152,10 @@ object ExactSubstr {
       // already empty (no spans) passes through untouched
       .filter(col("__spans").isNull || size(col("__kept")) > 0)
       .select(col(idCol), concat_ws(" ", col("__kept")).as(textCol))
+      // null-text docs skip span detection entirely — union them back so a
+      // downstream stage never silently loses rows (they keep NULL text,
+      // matching the scaladoc's only-reduced-to-nothing-drops rule)
+      .unionByName(docs.filter(col(textCol).isNull)
+        .select(col(idCol), col(textCol)))
   }
 }

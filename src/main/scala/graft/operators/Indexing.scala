@@ -436,18 +436,92 @@ object Indexing {
       .join(broadcast(touched), Seq("field", "prefix"), "left_semi")
       .filter(!col("slug").isin(slugs: _*))
       .unionByName(newRows.join(broadcast(touched), Seq("field", "prefix"), "left_semi"))
+
+    stageAndSwap(spark, path, rebuilt, touchedParts)
+  }
+
+  /** BULK incremental update — the diff stays a DataFrame end to end (the
+    * [[extractDiff]] `(status, slug, values)` shape) and is NEVER collected:
+    * the 100 TB-safe form for a change volume approaching the corpus (bulk
+    * re-ingest, a mass re-tag), where [[updateIndex]]'s driver-side
+    * `Seq[DiffEntry]` funnel would pin the driver. New index rows derive by
+    * distributed explode; old rows of changed slugs leave via an anti-join
+    * on the slug frame (no `isin` literal list — nothing scales with the
+    * change volume on the driver). The only collect is the touched
+    * `(field, prefix)` PARTITION LIST — bounded by the index geometry
+    * (≤ |fields| × |alphabet|^depth), not by the change volume. Same staged
+    * manifest swap, so crash recovery and pure-deletion clearing behave
+    * exactly like the entry path ([[recoverPendingSwap]]).
+    *
+    * The Seq API remains the right call for SMALL feeds: its `isin`
+    * restriction reaches the parquet scan as a pushed predicate, which the
+    * join formulation forfeits.
+    *
+    * `fields` must cover every field the diff's `values` maps mention
+    * (unknown fields raise, never index under a wrong depth).
+    */
+  def updateIndexFromDiff(spark: SparkSession, path: String, diff: DataFrame,
+                          fields: Seq[String], depth: Int = 1): Unit =
+    updateIndexFromDiffDepths(spark, path, diff, fields, _ => depth)
+
+  /** [[updateIndexFromDiff]] with per-field prefix depth. */
+  def updateIndexFromDiffDepths(spark: SparkSession, path: String, diff: DataFrame,
+                                fields: Seq[String], depthOf: String => Int): Unit = {
+    require(fields.nonEmpty, "updateIndexFromDiff needs at least one indexed field")
+    recoverPendingSwap(spark, path)
+    // The diff plan (often a two-snapshot full-outer join) feeds four
+    // consumers below — persist so it computes once.
+    val d = diff.select(col("status"), col("slug").cast("string").as("slug"), col("values"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val slugs = d.select("slug").distinct()
+      val existing = readIndex(spark, path)
+
+      // Build-rule parity: prefix = substring(lower(value), 1, depth) — the
+      // SAME native expression writeIndex uses (code-point semantics), with
+      // per-field depth resolved by a when-chain over the configured fields.
+      val depthExpr = fields.foldLeft(when(lit(false), lit(1))) { (acc, f) =>
+        acc.when(col("field") === f, lit(depthOf(f)))
+      }.otherwise(raise_error(concat(
+        lit("updateIndexFromDiff: diff carries a field not in the configured list: '"),
+        col("field"), lit("'"))))
+
+      val newRows = d.filter(col("status").isin("A", "M"))
+        .select(col("slug"), explode(col("values")).as(Seq("field", "__vals")))
+        .select(col("field"), col("slug"), explode(col("__vals")).as("value"))
+        .withColumn("prefix", lower(col("value")).substr(lit(1), depthExpr))
+        .select("field", "prefix", "slug", "value")
+
+      val oldTouched = existing.join(slugs, Seq("slug"), "left_semi")
+        .select("field", "prefix").distinct()
+      val touched = oldTouched.union(newRows.select("field", "prefix").distinct()).distinct()
+      val touchedParts = touched.collect().map(r => (r.getString(0), r.getString(1)))
+
+      val rebuilt = existing
+        .join(broadcast(touched), Seq("field", "prefix"), "left_semi")
+        .join(slugs, Seq("slug"), "left_anti")
+        .unionByName(newRows.join(broadcast(touched), Seq("field", "prefix"), "left_semi"))
+
+      stageAndSwap(spark, path, rebuilt, touchedParts)
+    } finally d.unpersist(blocking = false)
+  }
+
+  /** The shared write tail of both update paths: durable swap — write the
+    * rebuilt partitions to a temp dir FIRST (the old files are still the
+    * source of truth while this job runs — no reliance on cached blocks),
+    * record the touched-partition list in a manifest, then delete+rename
+    * partition by partition. A crash at ANY point leaves a recoverable
+    * state: before the manifest → old index intact, staged update
+    * abandoned; mid-loop → the next update (or an explicit
+    * [[recoverPendingSwap]]) replays the swap idempotently from the
+    * manifest. Explicit deletion also CLEARS partitions whose rows were all
+    * removed (dynamic partition overwrite cannot).
+    */
+  private def stageAndSwap(spark: SparkSession, path: String, rebuiltRows: DataFrame,
+                           touchedParts: Seq[(String, String)]): Unit = {
+    val rebuilt = rebuiltRows
       .repartition(col("field"), col("prefix"))
       .sortWithinPartitions("field", "prefix", "value", "slug")
-
-    // Durable swap: write the rebuilt partitions to a temp dir FIRST (the old
-    // files are still the source of truth while this job runs — no reliance
-    // on cached blocks), record the touched-partition list in a manifest,
-    // then delete+rename partition by partition. A crash at ANY point leaves
-    // a recoverable state: before the manifest → old index intact, staged
-    // update abandoned; mid-loop → the next update (or an explicit
-    // recoverPendingSwap) replays the swap idempotently from the manifest.
-    // Explicit deletion also CLEARS partitions whose rows were all removed
-    // (dynamic partition overwrite cannot).
     val hconf   = spark.sparkContext.hadoopConfiguration
     val root    = new org.apache.hadoop.fs.Path(path)
     val fs      = root.getFileSystem(hconf)
@@ -461,7 +535,7 @@ object Indexing {
     // marker lets crash replay distinguish "already renamed" from
     // "pure deletion" (both lack a temp dir at replay time)
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.getPartitionPathString
-    val parts = touchedParts.toSeq.map { case (f, p) =>
+    val parts = touchedParts.map { case (f, p) =>
       val rel = s"${getPartitionPathString("field", f)}/${getPartitionPathString("prefix", p)}"
       (f, p, fs.exists(new org.apache.hadoop.fs.Path(tmpPath, rel)))
     }
@@ -476,5 +550,56 @@ object Indexing {
     applySwap(fs, root, tmpPath, parts)
     fs.delete(manifest, false)
     fs.delete(tmpPath, true)
+  }
+
+  /** `git diff --name-status` between two refs, parsed into a
+    * [[ChangedPaths]] — the reference's git diff provider made concrete
+    * (reference: src/diff/providers/git.ts:5 shells out the same command;
+    * the GitHub-API provider needs network egress and stays out of scope).
+    * Driver-side by design: a diff provider only NAMES what changed — a
+    * change-volume-bounded path list — while reading the changed content
+    * stays distributed ([[diffFromChangedPaths]] / [[updateIndexFromChangedPaths]]).
+    *
+    * Status mapping (git name-status letters): `A` added, `M`/`T` modified
+    * (a type change rewrites content), `D` deleted, `R<score> old new` →
+    * old deleted + new added, `C<score> old new` → new added. Output is
+    * parsed from `-z` (NUL-separated) records, so exotic path characters
+    * never hit git's quoting. `pathFilter` restricts to the content
+    * subtree (the reference filters to its configured source pattern).
+    */
+  def gitChangedPaths(repoDir: String, from: String, to: String,
+                      pathFilter: String => Boolean = _ => true): ChangedPaths = {
+    val cmd = Seq("git", "-C", repoDir, "diff", "--name-status",
+      "--find-renames", "-z", from, to)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(false).start()
+    val outBytes = proc.getInputStream.readAllBytes()
+    val errBytes = proc.getErrorStream.readAllBytes()
+    val rc = proc.waitFor()
+    if (rc != 0)
+      throw new java.io.IOException(
+        s"gitChangedPaths: '${cmd.mkString(" ")}' exited $rc: " +
+        new String(errBytes, java.nio.charset.StandardCharsets.UTF_8).trim)
+    val toks = new String(outBytes, java.nio.charset.StandardCharsets.UTF_8)
+      .split('\u0000').filter(_.nonEmpty)
+    val added = Seq.newBuilder[String]
+    val modified = Seq.newBuilder[String]
+    val deleted = Seq.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      val status = toks(i)
+      status.head match {
+        case 'A' => added += toks(i + 1); i += 2
+        case 'M' | 'T' => modified += toks(i + 1); i += 2
+        case 'D' => deleted += toks(i + 1); i += 2
+        case 'R' => deleted += toks(i + 1); added += toks(i + 2); i += 3
+        case 'C' => added += toks(i + 2); i += 3
+        case _ => throw new IllegalStateException(
+          s"gitChangedPaths: unrecognized name-status record '$status'")
+      }
+    }
+    ChangedPaths(
+      added = added.result().filter(pathFilter),
+      modified = modified.result().filter(pathFilter),
+      deleted = deleted.result().filter(pathFilter))
   }
 }

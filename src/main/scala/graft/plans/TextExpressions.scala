@@ -179,16 +179,21 @@ object TextExpressions {
     def tokens(s: String): Array[String] = ws.split(edge.matcher(s).replaceAll(""))
   }
 
-  /** Position-ordered 48-bit k-gram hashes (`array<long>`, one entry per
-    * token window): the occurrence stream for exact-substring dedup
-    * ([[graft.operators.ExactSubstr]]). Same md5-first-6-bytes hash as the
-    * classifier's buckets — DuckDB recomputes it exactly from
-    * `('0x' || substr(md5(gram), 1, 12))::BIGINT`, so unlike the xxhash64
-    * dedup family this stream has a full SQL twin. One pass, no gram
-    * string ever leaves the expression.
+  /** Position-ordered k-gram hashes (`array<long>`, one entry per token
+    * window): the occurrence stream for exact-substring dedup
+    * ([[graft.operators.ExactSubstr]]). Default `bits = 48` is the md5
+    * first-6-bytes hash the classifier's buckets use — DuckDB recomputes it
+    * exactly from `('0x' || substr(md5(gram), 1, 12))::BIGINT`, so unlike
+    * the xxhash64 dedup family this stream has a full SQL twin. `bits = 64`
+    * takes the first 8 md5 bytes (same digest, no extra cost) — no integer
+    * SQL twin (BIGINT is signed and the 16-hex-digit head overflows it),
+    * but 2^16× fewer birthday collisions: the production setting when the
+    * corpus outgrows the 48-bit space (see ExactSubstr's scaladoc for the
+    * false-positive arithmetic). One pass, no gram string ever leaves the
+    * expression.
     */
-  def kgramHashes(text: Column, k: Int): Column =
-    ColumnShim.column(KgramHashes(ColumnShim.expression(text), k))
+  def kgramHashes(text: Column, k: Int, bits: Int = 48): Column =
+    ColumnShim.column(KgramHashes(ColumnShim.expression(text), k, bits))
 
   /** struct<n_grams, sum_wmilli> — the hashed-ngram linear classifier's
     * per-document partial (fastText / DSIR shape): unigrams (+ optional
@@ -1146,7 +1151,7 @@ object KgramHashes {
     * whitespace-only tokenization and docs shorter than k emit an empty
     * array (the columnar/oracle `range` twin produces no rows there).
     */
-  def compute(input: UTF8String, k: Int): ArrayData = {
+  def compute(input: UTF8String, k: Int, bits: Int): ArrayData = {
     val toks0 = TextExpressions.Tok.tokens(input.toString)
     val toks = if (toks0.length == 1 && toks0(0).isEmpty) Array.empty[String] else toks0
     val n = toks.length - k + 1
@@ -1163,7 +1168,7 @@ object KgramHashes {
         j += 1
       }
       out(i) = java.lang.Long.valueOf(
-        hash48(sb.toString))
+        hashHead(sb.toString, bits))
       i += 1
     }
     new GenericArrayData(out)
@@ -1172,27 +1177,35 @@ object KgramHashes {
   private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
     java.security.MessageDigest.getInstance("MD5"))
 
-  private def hash48(gram: String): Long = {
+  /** Big-endian head of md5: 6 bytes (bits=48, the DuckDB-twin value) or
+    * 8 bytes (bits=64, the low-collision production value). Same digest —
+    * widening costs nothing per row.
+    */
+  private def hashHead(gram: String, bits: Int): Long = {
     val md = md5.get()
     md.reset()
     val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
-    ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
-    ((dig(4) & 0xffL) << 8)  |  (dig(5) & 0xffL)
+    val h48 =
+      ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
+      ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
+      ((dig(4) & 0xffL) << 8)  |  (dig(5) & 0xffL)
+    if (bits == 48) h48
+    else (h48 << 16) | ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
   }
 }
 
 /** See [[TextExpressions.kgramHashes]]. */
-case class KgramHashes(child: Expression, k: Int)
+case class KgramHashes(child: Expression, k: Int, bits: Int = 48)
     extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
 
   require(k > 0, s"KgramHashes: k=$k must be positive")
+  require(bits == 48 || bits == 64, s"KgramHashes: bits=$bits must be 48 or 64")
 
   override def inputTypes = ColumnShim.stringInput
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    KgramHashes.compute(input.asInstanceOf[UTF8String], k)
+    KgramHashes.compute(input.asInstanceOf[UTF8String], k, bits)
 
   override protected def withNewChildInternal(newChild: Expression): KgramHashes =
     copy(child = newChild)

@@ -55,6 +55,37 @@ class ApproxSpec extends SparkSpec {
     assert(math.abs(approx - exact) / exact <= 0.05, s"exact=$exact approx=$approx")
   }
 
+  test("q_corpus_card_approx tracks the exact corpus card within sketch bounds") {
+    // The registered approx twin of q_corpus_card (its 100 TB shape): the
+    // exact columns must be IDENTICAL (same plan prefix) and the two sketch
+    // columns must track the exact median / distinct count within bounds —
+    // approx_percentile returns a GENUINE n_chars value, so with 10k
+    // accuracy on sf0.001's per-language group sizes (hundreds of docs) it
+    // lands exactly on the exact median or an immediate neighbor.
+    val dir = "/root/testdata/sf0.001"
+    val exact = SparkEntry.queries("q_corpus_card")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val approx = SparkEntry.queries("q_corpus_card_approx")(spark, dir)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(exact.keySet == approx.keySet && exact.nonEmpty)
+    exact.keySet.foreach { lang =>
+      val e = exact(lang); val a = approx(lang)
+      assert(e.getLong(1) == a.getLong(1), s"$lang n_docs must be exact")
+      assert(e.getLong(2) == a.getLong(2), s"$lang total_tokens must be exact")
+      assert(e.getDouble(3) == a.getDouble(3), s"$lang avg_quality must be exact")
+      // exact `percentile` INTERPOLATES the middle pair on even group sizes
+      // while the sketch returns a genuine element (the lower middle), so
+      // the gap is half the distance between the two middle values — a data
+      // property, not sketch error; 5% covers it on this distribution
+      val eMed = e.getDouble(4)
+      val aMed = a.getLong(4).toDouble
+      assert(math.abs(eMed - aMed) / math.max(eMed, 1.0) <= 0.05,
+        s"$lang p50: exact=$eMed approx=$aMed")
+      val eU = e.getLong(5).toDouble; val aU = a.getLong(5).toDouble
+      assert(math.abs(eU - aU) / eU <= 0.05, s"$lang n_unique: exact=$eU approx=$aU")
+    }
+  }
+
   test("HLL sketches merge: per-group sketches union to the global distinct estimate") {
     // the distributed pattern: sketch per partition/group (fixed-size state),
     // union the sketches, estimate once — no re-scan, no exact set anywhere

@@ -72,6 +72,38 @@ class ExactSubstrSpec extends SparkSpec {
     intercept[IllegalArgumentException](ExactSubstr.repeatedSpans(docs.drop("text")))
   }
 
+  test("null-text docs pass through removeRepeated unchanged (never silently dropped)") {
+    val mixed = Seq((1L, sharedRun), (2L, sharedRun), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = ExactSubstr.removeRepeated(mixed, k = 5, minTokens = 10)
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    // docs 1/2 are full dups of each other → both drop; the null-text doc
+    // carries no spans and must survive with text still NULL
+    assert(out == Map(3L -> None))
+  }
+
+  test("wideHash (64-bit production hash) finds the same spans on collision-free data") {
+    // On data with no 48-bit collisions the two hash widths must agree
+    // exactly — the wide hash only exists to shrink the birthday-collision
+    // rate at corpus scales the sandbox can't reach (see scaladoc).
+    def spanSet(wide: Boolean) =
+      ExactSubstr.repeatedSpans(docs, k = 5, minTokens = 10, wideHash = wide)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(spanSet(wide = true) == spanSet(wide = false))
+    def cleanedSet(wide: Boolean) =
+      ExactSubstr.removeRepeated(docs, k = 5, minTokens = 10, wideHash = wide)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(cleanedSet(wide = true) == cleanedSet(wide = false))
+    // and the widened values really use more than 48 bits of space: the
+    // 64-bit head of md5("a b c d e") differs from the 48-bit head shifted
+    val one = Seq(("x")).toDF("t")
+      .select(graft.plans.TextExpressions.kgramHashes(col("t"), 1, bits = 48).as("h48"),
+        graft.plans.TextExpressions.kgramHashes(col("t"), 1, bits = 64).as("h64"))
+      .head()
+    val h48 = one.getSeq[Long](0).head; val h64 = one.getSeq[Long](1).head
+    assert((h64 >>> 16) == h48 && h64 != h48)
+  }
+
   test("plan: bodies never ride the dup-detection exchanges (narrow rows only)") {
     val plan = ExactSubstr.repeatedSpans(docs, k = 5, minTokens = 10)
       .queryExecution.executedPlan.toString

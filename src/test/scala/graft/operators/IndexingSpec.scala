@@ -326,6 +326,127 @@ class IndexingSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("bulk frame update (updateIndexFromDiff) ≡ entry path ≡ v2 rebuild, no entry collect") {
+    // The 100 TB bulk path: the diff stays a DataFrame end to end. Same
+    // v1→v2 change as the snapshot test, driven through extractDiff's FRAME
+    // (never collected) — the index must land byte-identical to both the
+    // Seq[DiffEntry] path and a from-scratch v2 rebuild, including the
+    // pure-deletion partition clear.
+    val v2 = Seq(
+      ("arctium-lappa", "Greater Burdock", Seq("root")),
+      ("cymbopogon-citratus", "Lemongrass", Seq("leaf", "edible")),
+      ("zingiber-officinale", "Ginger", Seq("rhizome"))
+    ).toDF("slug", "name", "tagSlugs")
+    val fields = Seq("name", "tagSlugs")
+
+    val bulkPath = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", fields, bulkPath)
+    val diffFrame = Indexing.extractDiff(herbs, v2, "slug", fields)
+    Indexing.updateIndexFromDiff(spark, bulkPath, diffFrame, fields)
+
+    def state(p: String) = Indexing.readIndex(spark, p)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(_.toSeq).toSet
+    val entryPath = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", fields, entryPath)
+    Indexing.updateIndexFromSnapshots(spark, entryPath, herbs, v2, "slug", fields)
+    val rebuiltPath = freshIndexPath
+    Indexing.writeIndex(v2, "slug", fields, rebuiltPath)
+
+    assert(state(bulkPath) == state(rebuiltPath))
+    assert(state(bulkPath) == state(entryPath))
+    // Gotu Kola (prefix=g under tag-less v2... actually name prefix 'g' holds
+    // Ginger + Greater Burdock) — the cleared partition check: Burdock's old
+    // prefix=b dir must be gone on the bulk path exactly like the entry path
+    assert(!new java.io.File(s"$bulkPath/field=name/prefix=b").exists())
+    // unknown-field guard: a diff naming a field outside the configured list
+    // must raise, never index under a wrong depth
+    val badDiff = Indexing.extractDiff(herbs, v2, "slug", Seq("name"))
+    intercept[Exception] {
+      Indexing.updateIndexFromDiff(spark, freshIndexPath0(), badDiff, Seq("tagSlugs"))
+    }
+  }
+
+  private def freshIndexPath0(): String = {
+    val p = freshIndexPath
+    Indexing.writeIndex(herbs, "slug", Seq("tagSlugs"), p)
+    p
+  }
+
+  test("gitChangedPaths drives the reference's git diff-provider workflow end to end") {
+    // A real git repo fixture: v1 commit → v2 commit with one modify, one
+    // add, one delete, one rename — the exact workflow of reference
+    // src/diff/providers/git.ts. The parsed ChangedPaths then drives
+    // updateIndexFromChangedPaths and must land on the v2 rebuild.
+    val repo = Files.createTempDirectory("graft-git").toFile
+    def git(args: String*): Unit = {
+      val cmd = Seq("git", "-C", repo.getAbsolutePath,
+        "-c", "user.name=graft-test", "-c", "user.email=graft@test") ++ args
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor() == 0, s"git ${args.mkString(" ")} failed: $out")
+    }
+    def write(rel: String, text: String): Unit = {
+      val f = new java.io.File(repo, rel)
+      f.getParentFile.mkdirs()
+      Files.write(f.toPath, text.getBytes("UTF-8"))
+    }
+    git("init", "-q")
+    write("content/arctium-lappa.md", "name: Burdock")
+    write("content/centella-asiatica.md", "name: Gotu Kola")
+    write("content/cymbopogon-citratus.md", "name: Lemongrass")
+    write("README.md", "not content")
+    git("add", "-A"); git("commit", "-q", "-m", "v1")
+    write("content/arctium-lappa.md", "name: Greater Burdock")   // M
+    write("content/zingiber-officinale.md", "name: Ginger")      // A
+    new java.io.File(repo, "content/centella-asiatica.md").delete() // D
+    // rename: old path deleted + new path added (find-renames collapses the
+    // pair into an R record; the provider must re-expand it)
+    git("mv", "content/cymbopogon-citratus.md", "content/lemongrass-renamed.md")
+    write("README.md", "still not content")                      // filtered out
+    git("add", "-A"); git("commit", "-q", "-m", "v2")
+
+    val changes = Indexing.gitChangedPaths(repo.getAbsolutePath, "HEAD~1", "HEAD",
+      pathFilter = _.startsWith("content/"))
+    assert(changes.modified.toSet == Set("content/arctium-lappa.md"))
+    assert(changes.added.toSet ==
+      Set("content/zingiber-officinale.md", "content/lemongrass-renamed.md"))
+    assert(changes.deleted.toSet ==
+      Set("content/centella-asiatica.md", "content/cymbopogon-citratus.md"))
+
+    // drive the index: v2 corpus keyed by path-derived slug
+    val slugOf = (p: String) => p.stripPrefix("content/").stripSuffix(".md")
+    val v2 = Seq(
+      ("arctium-lappa", "Greater Burdock"),
+      ("lemongrass-renamed", "Lemongrass"),
+      ("zingiber-officinale", "Ginger")
+    ).toDF("slug", "name")
+    val v1 = Seq(
+      ("arctium-lappa", "Burdock"),
+      ("centella-asiatica", "Gotu Kola"),
+      ("cymbopogon-citratus", "Lemongrass")
+    ).toDF("slug", "name")
+    val path = freshIndexPath
+    Indexing.writeIndex(v1, "slug", Seq("name"), path)
+    Indexing.updateIndexFromChangedPaths(spark, path, v2, "slug", Seq("name"),
+      changes, slugOfPath = slugOf)
+
+    val incremental = Indexing.readIndex(spark, path)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(_.toSeq).toSet
+    val rebuiltPath = freshIndexPath
+    Indexing.writeIndex(v2, "slug", Seq("name"), rebuiltPath)
+    val rebuilt = Indexing.readIndex(spark, rebuiltPath)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(_.toSeq).toSet
+    assert(incremental == rebuilt)
+
+    // a bad ref range fails loudly with git's own message
+    intercept[java.io.IOException] {
+      Indexing.gitChangedPaths(repo.getAbsolutePath, "no-such-ref", "HEAD")
+    }
+  }
+
   test("find-by-slug over a bucketed source table prunes with pushdown") {
     val path = freshIndexPath
     Indexing.writeIndex(herbs, "slug", Seq("slug"), path)
