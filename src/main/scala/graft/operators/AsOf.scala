@@ -21,9 +21,11 @@ import org.apache.spark.sql.types.StructType
   * pairs per key under Spark's range-join planning and cannot survive scale;
   * it exists here only as the spec's tiny-data oracle.
   *
-  * Determinism: right rows must be unique per `(key, ts)` — with duplicates
-  * the tie-winner is sort-order-dependent. Pre-aggregate the right side
-  * (e.g. `max` of the payload per key+ts) when the source has ties.
+  * Determinism: right rows must be unique per `(key, ts)`, OR a `tieBreak`
+  * payload column must be named — ties then resolve to the row with the
+  * greatest tie-break value inside the window sort the join already pays.
+  * Pre-aggregating the right side (`groupBy(key, ts).agg(max(...))`) gives
+  * the same result but costs a full extra shuffle of the right side first.
   *
   * Nulls: right rows with a null key or null timestamp can never match and
   * are filtered; left rows always survive (left-outer semantics) — a null
@@ -49,6 +51,20 @@ object AsOf {
     * @param strict    `true` → match strictly-earlier right rows only
     * @param toleranceMillis max age of a match: right rows older than
     *                  `leftTs - tolerance` yield null payloads instead
+    * @param tieBreak  payload column resolving right-side `(key, ts)` ties:
+    *                  the row with the GREATEST tie-break value wins. Without
+    *                  it, right rows must be unique per `(key, ts)` — callers
+    *                  pre-aggregate (`groupBy(key, ts).agg(max(...))`), which
+    *                  costs an extra shuffle of the right side; the tie-break
+    *                  folds that dedup into the window sort the join already
+    *                  pays. Parity pinned by AsOfSpec. Trade-off, measured at
+    *                  sf1: on a HOT key the pre-agg's map-side combine is
+    *                  itself the skew mitigation (it collapses the hot
+    *                  timeline before the per-key window shuffle; tieBreak
+    *                  sorts it in one task — 1.9 s vs 1.4 s on the planted
+    *                  22.5%-hot orders key). Prefer tieBreak on the bucketed
+    *                  variant (time-splitting absorbs the skew: 1.6 → 1.1 s)
+    *                  or when ties aren't skew-concentrated.
     */
   def asOfJoin(
       left: DataFrame,
@@ -59,9 +75,10 @@ object AsOf {
       rightTs: String,
       payload: Seq[String],
       strict: Boolean = false,
-      toleranceMillis: Option[Long] = None): DataFrame =
+      toleranceMillis: Option[Long] = None,
+      tieBreak: Option[String] = None): DataFrame =
     core("asOfJoin", left, right, leftKey, rightKey, leftTs, rightTs,
-      payload, strict, toleranceMillis, bucketMillis = None)
+      payload, strict, toleranceMillis, bucketMillis = None, tieBreak)
 
   private val BKT = "__graft_asof_bkt"
 
@@ -86,12 +103,13 @@ object AsOf {
       payload: Seq[String],
       toleranceMillis: Long,
       bucketMillis: Long,
-      strict: Boolean = false): DataFrame = {
+      strict: Boolean = false,
+      tieBreak: Option[String] = None): DataFrame = {
     require(toleranceMillis > 0, "asOfJoinBucketed: tolerance must be positive")
     require(bucketMillis >= toleranceMillis,
       s"asOfJoinBucketed: bucket width ($bucketMillis ms) must cover the tolerance ($toleranceMillis ms) — a match can span at most one bucket boundary")
     core("asOfJoinBucketed", left, right, leftKey, rightKey, leftTs, rightTs,
-      payload, strict, Some(toleranceMillis), Some(bucketMillis))
+      payload, strict, Some(toleranceMillis), Some(bucketMillis), tieBreak)
   }
 
   /** Shared tag→union→running-last pipeline; `bucketMillis` switches between
@@ -109,8 +127,11 @@ object AsOf {
       payload: Seq[String],
       strict: Boolean,
       toleranceMillis: Option[Long],
-      bucketMillis: Option[Long]): DataFrame = {
+      bucketMillis: Option[Long],
+      tieBreak: Option[String]): DataFrame = {
     require(payload.nonEmpty, s"$opName: payload must name at least one right column")
+    tieBreak.foreach(t => require(payload.contains(t),
+      s"$opName: tieBreak '$t' must be one of the payload columns"))
     val leftCols = left.columns.toSeq
     val clash = payload.toSet.intersect(leftCols.toSet)
     require(clash.isEmpty, s"$opName: payload collides with left columns: ${clash.mkString(", ")}")
@@ -153,13 +174,26 @@ object AsOf {
           col(rightTs).as(TS),
           lit(if (strict) 2 else 0).as(SIDE),
           struct(carried.map(col): _*).as(R)): _*)
-    // bucketed form: each right row also serves the next bucket's early left rows
+    // bucketed form: each right row also serves the next bucket's early left
+    // rows. Replicate with ONE Generate (explode of [b, b+1]) rather than a
+    // self-union: a union re-evaluates the whole right subtree per branch
+    // unless exchange reuse happens to fire (it needs byte-identical pruned
+    // plans), while explode is a single pass by construction.
     val rTagged =
-      if (bucketMillis.isDefined) rBase.unionByName(rBase.withColumn(BKT, col(BKT) + 1))
+      if (bucketMillis.isDefined)
+        rBase.withColumn(BKT, explode(array(col(BKT), col(BKT) + 1)))
       else rBase
 
     val partKeys = col(K) +: (if (bucketMillis.isDefined) Seq(col(BKT)) else Nil)
-    val w = Window.partitionBy(partKeys: _*).orderBy(col(TS).asc, col(SIDE).asc)
+    // tie-break: right rows sharing (key, ts) order ascending by the named
+    // payload field, so the running `last` keeps the greatest — the dedup the
+    // caller would otherwise pay a groupBy shuffle for. Left rows carry a
+    // null R and can never tie with a right row at the same (ts, side)
+    // because the side tags differ; nulls_first keeps any null tie-break
+    // values from shadowing real ones.
+    val ordering = Seq(col(TS).asc, col(SIDE).asc) ++
+      tieBreak.map(t => col(R).getField(t).asc_nulls_first)
+    val w = Window.partitionBy(partKeys: _*).orderBy(ordering: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val matched = lTagged.unionByName(rTagged)
       .withColumn(M, last(col(R), ignoreNulls = true).over(w))

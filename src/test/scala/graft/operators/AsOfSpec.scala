@@ -128,6 +128,35 @@ class AsOfSpec extends SparkSpec {
     assert(bucketedStrict == baseStrict)
   }
 
+  test("tieBreak resolves right (key, ts) ties identically to groupBy-max pre-aggregation") {
+    val rnd = new scala.util.Random(13)
+    val lf = (1 to 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(5)}", ts(f"2024-01-01 10:${rnd.nextInt(50)}%02d:${rnd.nextInt(60)}%02d")))
+      .toDF("id", "tkey", "tts")
+    // deliberately duplicated (key, ts) rows — several candidate payloads per tick
+    val rf = (0 until 5).flatMap(k => (0 until 50).flatMap(m =>
+        (0 to rnd.nextInt(3)).map(d => (s"k$k", ts(f"2024-01-01 10:$m%02d:00"), (k * 1000 + m * 10 + d).toDouble))))
+      .toDF("qkey", "qts", "px")
+    def collect(df: DataFrame) =
+      df.select("id", "px").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[java.lang.Double]("px")))).toMap
+    val preAgg = rf.groupBy("qkey", "qts").agg(max("px").as("px"))
+    val tol = 120_000L
+    // unbucketed form
+    assert(collect(AsOf.asOfJoin(lf, rf, "tkey", "qkey", "tts", "qts", Seq("px"),
+        tieBreak = Some("px"))) ==
+      collect(AsOf.asOfJoin(lf, preAgg, "tkey", "qkey", "tts", "qts", Seq("px"))))
+    // bucketed form
+    assert(collect(AsOf.asOfJoinBucketed(lf, rf, "tkey", "qkey", "tts", "qts", Seq("px"),
+        toleranceMillis = tol, bucketMillis = tol, tieBreak = Some("px"))) ==
+      collect(AsOf.asOfJoinBucketed(lf, preAgg, "tkey", "qkey", "tts", "qts", Seq("px"),
+        toleranceMillis = tol, bucketMillis = tol)))
+    // tieBreak must be a payload column
+    val e = intercept[IllegalArgumentException](
+      AsOf.asOfJoin(lf, rf, "tkey", "qkey", "tts", "qts", Seq("px"), tieBreak = Some("nope")))
+    assert(e.getMessage.contains("tieBreak"))
+  }
+
   test("bucketed variant rejects a bucket narrower than the tolerance") {
     val e = intercept[IllegalArgumentException](
       AsOf.asOfJoinBucketed(trades, quotes, "tkey", "qkey", "tts", "qts", Seq("px"),
