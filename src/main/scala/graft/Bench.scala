@@ -88,7 +88,13 @@ object Bench {
       if (v < 0) "-1.0" else BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // A subset run's total is NOT comparable to a full-run total; stamp the
+    // active filter into the artifact so cross-round comparisons can tell.
+    val subsetField = only match {
+      case Some(toks) => s""","subset":${toks.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+      case None       => ""
+    }
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"$subsetField}"""
     println(line)
     // belt-and-braces against stdout-capture truncation: the full map also
     // lands in a file (override with SPARK_GRAFT_BENCH_OUT)

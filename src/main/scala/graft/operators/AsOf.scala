@@ -22,10 +22,15 @@ import org.apache.spark.sql.types.StructType
   * it exists here only as the spec's tiny-data oracle.
   *
   * Determinism: right rows must be unique per `(key, ts)`, OR a `tieBreak`
-  * payload column must be named — ties then resolve to the row with the
-  * greatest tie-break value inside the window sort the join already pays.
-  * Pre-aggregating the right side (`groupBy(key, ts).agg(max(...))`) gives
-  * the same result but costs a full extra shuffle of the right side first.
+  * payload column must be named — ties then resolve to the WHOLE row with
+  * the greatest tie-break value inside the window sort the join already
+  * pays. Pre-aggregating the right side (`groupBy(key, ts).agg(max(...))`)
+  * matches this only for a SINGLE payload column; with several, per-column
+  * max mixes values across tied rows while tieBreak stays row-consistent
+  * (one winning row's values together). Fully deterministic output further
+  * requires the tie-break value itself to be unique per `(key, ts)`: rows
+  * tied on `(key, ts, tieBreak)` but differing elsewhere still resolve
+  * sort-order-dependently.
   *
   * Nulls: right rows with a null key or null timestamp can never match and
   * are filtered; left rows always survive (left-outer semantics) — a null
@@ -57,7 +62,10 @@ object AsOf {
     *                  pre-aggregate (`groupBy(key, ts).agg(max(...))`), which
     *                  costs an extra shuffle of the right side; the tie-break
     *                  folds that dedup into the window sort the join already
-    *                  pays. Parity pinned by AsOfSpec. Trade-off, measured at
+    *                  pays (and, unlike per-column max over several payload
+    *                  columns, keeps the winning row's values together; pick
+    *                  a tie-break unique per `(key, ts)` for full
+    *                  determinism). Parity pinned by AsOfSpec. Trade-off, measured at
     *                  sf1: on a HOT key the pre-agg's map-side combine is
     *                  itself the skew mitigation (it collapses the hot
     *                  timeline before the per-key window shuffle; tieBreak
