@@ -29,7 +29,7 @@ object Plans {
       "q_window_rank"      -> "single window exchange on o_custkey",
       "q_sessionize"       -> "one shuffle on user_id for both lag and sum windows",
       "q_asof_join"        -> "ONE hashpartitioning exchange on the as-of key feeding the running-last window; no inequality join, no cartesian",
-      "q_asof_bucketed"    -> "window partitioned by (key, time bucket) — hot-key timelines split across buckets; right rows replicated ≤2×, narrow columns only",
+      "q_asof_bucketed"    -> "window partitioned by (key, time bucket) — hot-key timelines split across buckets; right rows replicated by ONE Generate (explode of [b, b+1]; a self-union would re-evaluate the right subtree), narrow columns only; tieBreak dedup rides the window sort — exactly ONE hashpartitioning exchange, TWO scans (left+right), ONE Generate",
       "q_range_join"       -> "equi-join on (key, bucket) with the range predicate as a post-join filter — SortMergeJoin/ShuffledHashJoin, never BroadcastNestedLoopJoin",
       "q_range_agg"        -> "join-free: union of two filtered scans feeds ONE hashpartitioning(user_id) exchange for the RANGE-frame window; no join operator anywhere in the plan",
       "q_agg_rollup"       -> "Expand BEFORE partial_ aggregation — grouping-set rows still combine map-side",
@@ -61,6 +61,7 @@ object Plans {
       "q_embed_quantize"   -> "pure scan projection: ONE native Int8Quantize node (scale + codes in a single pass) inside the scan, zero shuffles beyond the output sort",
       "q_embed_assign"     -> "pure scan projection: ONE native NearestCenter node (all centroids in one pass, centers shipped as a plan literal) inside the scan, zero shuffles beyond the output sort",
       "q_corpus_card"      -> "ONE scan, ONE partial-aggregating exchange on lang: token counts, decimal quality sums, percentile buffer and distinct-md5 all combine map-side in the same aggregate",
+      "q_corpus_card_approx" -> "same single scan + ONE partial-aggregating exchange as the exact card, but NO second dedup exchange (exact countDistinct expands to one) — approx_count_distinct's HLL++ and approx_percentile's quantile sketch are mergeable partial state, O(sketch) per group instead of O(rows)",
       "q_pipeline_curate"  -> "perplexity scoring plan (native BigramCounts, broadcast model) feeding ONE lang-partitioned window exchange for percent_rank — the bucket gate never re-scans the corpus",
       "q_quality_classifier" -> "pure scan projection: ONE native HashedNgramLogit node (the model's weight table rides the expression into every task; grams never become rows), zero shuffles beyond the output sort",
       "q_embed_pq"         -> "pure scan projection: ONE native PqEncode node (all subspace codebooks in one pass, shipped as a codegen reference object), zero shuffles beyond the output sort",
@@ -77,12 +78,30 @@ object Plans {
     sb.append(s"Scale dir: `$sfDir`. For each headline query: the property that has to\n")
     sb.append("hold for the plan to survive a 100 TB scale-up, then the formatted plan.\n\n")
 
-    audit.foreach { case (name, property) =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      // Truncate per LINE before the overall budget: a plan literal (e.g.
-      // q_embed_assign's 8×64 centroid array) is one huge line that would
-      // otherwise eat the whole take() and cut off the Exchange/Sort nodes
-      // the must-hold property is about.
+    // Non-query component plans: the bulk index-maintenance rebuild
+    // (operators/Indexing.updateIndexFromDiff) has no SparkEntry row — its
+    // output is a partition swap, not a result set — but its plan carries
+    // 100 TB obligations of its own, so audit it on a documents-backed
+    // index + a synthetic 20%-churn diff.
+    val componentAudit: Seq[(String, String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("index_bulk_rebuild",
+       "the diff is never collected: new rows derive by distributed explode (Generate), departing slugs leave via a left-anti JOIN on the slug frame — NO `isin` literal list anywhere (nothing on the driver scales with change volume); touched partitions gate both branches as broadcast semi-joins",
+       () => {
+         import org.apache.spark.sql.functions._
+         val docs = Tables.load(spark, sfDir, "documents")
+           .select(col("doc_id").cast("string").as("slug"), col("lang"), col("source"))
+         val idxPath = Files.createTempDirectory("graft-plan-idx").toString
+         graft.operators.Indexing.writeIndex(docs, "slug", Seq("lang", "source"), idxPath)
+         val v2 = docs.withColumn("lang",
+           when(col("slug").cast("long") % 5 === 0, concat(col("lang"), lit("x")))
+             .otherwise(col("lang")))
+         val diff = graft.operators.Indexing.extractDiff(docs, v2, "slug", Seq("lang", "source"))
+         graft.operators.Indexing.bulkRebuilt(spark, idxPath, diff, Seq("lang", "source"), _ => 1)._1
+       })
+    )
+
+    def appendPlan(name: String, property: String,
+                   df: org.apache.spark.sql.DataFrame): Unit = {
       val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         .linesIterator
@@ -92,8 +111,19 @@ object Plans {
       sb.append(plan.take(6000))
       sb.append("\n```\n\n")
     }
+
+    // (appendPlan truncates per LINE before the overall budget: a plan
+    // literal, e.g. q_embed_assign's 8×64 centroid array, is one huge line
+    // that would otherwise eat the whole take() and cut off the
+    // Exchange/Sort nodes the must-hold property is about.)
+    audit.foreach { case (name, property) =>
+      appendPlan(name, property, SparkEntry.queries(name)(spark, sfDir))
+    }
+    componentAudit.foreach { case (name, property, mk) =>
+      appendPlan(name, property, mk())
+    }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
-    println(s"[plans] wrote PLANS.md (${audit.size} queries)")
+    println(s"[plans] wrote PLANS.md (${audit.size + componentAudit.size} plans)")
     spark.stop()
   }
 }

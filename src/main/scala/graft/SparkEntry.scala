@@ -1343,7 +1343,12 @@ object SparkEntry {
       val aug = emb.unionByName(
         emb.filter(col("vec_id") % 50 === 0)
           .withColumn("vec_id", col("vec_id") + 1000000000L))
-      operators.Similarity.semDupes(aug, dim = 64, threshold = 0.999, nlist = 8)
+      // nlist from the constant-cell-size policy (quadratic-candidate fix,
+      // sf10-measured): count() here is the parquet count-star footer read,
+      // not a scan; +2% for the planted copies. sf0.01–sf1 land on the min
+      // floor 8 (bit-identical to the old hardcoded nlist), sf10 on 50.
+      val n = emb.count(); val nlist = operators.Similarity.nlistFor(n + n / 50)
+      operators.Similarity.semDupes(aug, dim = 64, threshold = 0.999, nlist = nlist)
         .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),

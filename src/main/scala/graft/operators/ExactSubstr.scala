@@ -70,9 +70,40 @@ import graft.plans.TextExpressions
   * re-verify surviving spans by token equality against their partners —
   * deliberately not implemented: it ships (doc, pos, partner) triples,
   * the quadratic-on-viral-grams blowup described above, to remove a
-  * ~10³-span error in a 10^13-token corpus.
+  * ~10³-span error in a 10^13-token corpus. The recommendation is
+  * EXECUTABLE: pass `wideHash = ExactSubstr.wideHashFor(nGrams)` instead
+  * of the raw default so a production corpus can't ship 48 bits by
+  * accident (the arithmetic above, as code: [[expectedFalseSpans]]).
   */
 object ExactSubstr {
+
+  /** Expected corpus-wide count of FALSE repeated spans (genuine text
+    * deleted) from gram-hash birthday collisions, for a corpus of
+    * `nGramPositions` total k-gram positions under a `bits`-wide hash —
+    * the scaladoc's collision arithmetic as a function. Derivation: a
+    * position is falsely flagged with probability ≈ N/2^b (some other
+    * distinct gram collides with it); a span needs a SECOND false flag
+    * within the ±k merge window (≈ (N/2^b)·2k); summed over N positions
+    * and halved for pair double-count: ≈ N³·k/2^(2b). Reproduces the
+    * documented anchors: ~10^11 at (10^13, 48) — unacceptable — and
+    * ~10² at (10^13, 64).
+    */
+  def expectedFalseSpans(nGramPositions: Double, bits: Int, k: Int = 25): Double =
+    math.pow(nGramPositions, 3) * k / math.pow(2.0, 2.0 * bits)
+
+  /** The bit-width policy, executable: `true` iff the 48-bit oracle-exact
+    * default would be expected to falsely delete more than
+    * `tolerableFalseSpans` genuine spans at this corpus size (default: one
+    * span corpus-wide). Crosses at ~1.5×10^9 gram positions — sf-scale
+    * corpora stay on 48 bits (DuckDB-recomputable), anything
+    * production-sized gets the 64-bit md5 head at zero extra scan cost.
+    * Usage: `repeatedSpans(docs, wideHash = ExactSubstr.wideHashFor(n))`
+    * with `n` from a cheap `sum(token_count)` pre-pass or the ingest
+    * manifest.
+    */
+  def wideHashFor(nGramPositions: Long, k: Int = 25,
+                  tolerableFalseSpans: Double = 1.0): Boolean =
+    expectedFalseSpans(nGramPositions.toDouble, bits = 48, k = k) > tolerableFalseSpans
 
   /** Maximal repeated spans per document: `(doc_id, span_start, span_end,
     * span_tokens)` in 0-based token indices, `span_end` inclusive.

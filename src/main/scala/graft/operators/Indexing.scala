@@ -474,36 +474,48 @@ object Indexing {
     val d = diff.select(col("status"), col("slug").cast("string").as("slug"), col("values"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val slugs = d.select("slug").distinct()
-      val existing = readIndex(spark, path)
-
-      // Build-rule parity: prefix = substring(lower(value), 1, depth) — the
-      // SAME native expression writeIndex uses (code-point semantics), with
-      // per-field depth resolved by a when-chain over the configured fields.
-      val depthExpr = fields.foldLeft(when(lit(false), lit(1))) { (acc, f) =>
-        acc.when(col("field") === f, lit(depthOf(f)))
-      }.otherwise(raise_error(concat(
-        lit("updateIndexFromDiff: diff carries a field not in the configured list: '"),
-        col("field"), lit("'"))))
-
-      val newRows = d.filter(col("status").isin("A", "M"))
-        .select(col("slug"), explode(col("values")).as(Seq("field", "__vals")))
-        .select(col("field"), col("slug"), explode(col("__vals")).as("value"))
-        .withColumn("prefix", lower(col("value")).substr(lit(1), depthExpr))
-        .select("field", "prefix", "slug", "value")
-
-      val oldTouched = existing.join(slugs, Seq("slug"), "left_semi")
-        .select("field", "prefix").distinct()
-      val touched = oldTouched.union(newRows.select("field", "prefix").distinct()).distinct()
-      val touchedParts = touched.collect().map(r => (r.getString(0), r.getString(1)))
-
-      val rebuilt = existing
-        .join(broadcast(touched), Seq("field", "prefix"), "left_semi")
-        .join(slugs, Seq("slug"), "left_anti")
-        .unionByName(newRows.join(broadcast(touched), Seq("field", "prefix"), "left_semi"))
-
+      val (rebuilt, touchedParts) = bulkRebuilt(spark, path, d, fields, depthOf)
       stageAndSwap(spark, path, rebuilt, touchedParts)
     } finally d.unpersist(blocking = false)
+  }
+
+  /** The bulk path's rebuild plan, exposed for the plan audit (graft.Plans /
+    * PlanPropertiesSpec pin its 100 TB properties: new rows derive by
+    * distributed explode, departing rows by a left-anti join — no `isin`
+    * literal list, no row-data collect; the only driver materialization is
+    * the geometry-bounded touched-partition list this returns alongside).
+    */
+  private[graft] def bulkRebuilt(spark: SparkSession, path: String, d: DataFrame,
+                                 fields: Seq[String], depthOf: String => Int)
+      : (DataFrame, Seq[(String, String)]) = {
+    val slugs = d.select("slug").distinct()
+    val existing = readIndex(spark, path)
+
+    // Build-rule parity: prefix = substring(lower(value), 1, depth) — the
+    // SAME native expression writeIndex uses (code-point semantics), with
+    // per-field depth resolved by a when-chain over the configured fields.
+    val depthExpr = fields.foldLeft(when(lit(false), lit(1))) { (acc, f) =>
+      acc.when(col("field") === f, lit(depthOf(f)))
+    }.otherwise(raise_error(concat(
+      lit("updateIndexFromDiff: diff carries a field not in the configured list: '"),
+      col("field"), lit("'"))))
+
+    val newRows = d.filter(col("status").isin("A", "M"))
+      .select(col("slug"), explode(col("values")).as(Seq("field", "__vals")))
+      .select(col("field"), col("slug"), explode(col("__vals")).as("value"))
+      .withColumn("prefix", lower(col("value")).substr(lit(1), depthExpr))
+      .select("field", "prefix", "slug", "value")
+
+    val oldTouched = existing.join(slugs, Seq("slug"), "left_semi")
+      .select("field", "prefix").distinct()
+    val touched = oldTouched.union(newRows.select("field", "prefix").distinct()).distinct()
+    val touchedParts = touched.collect().map(r => (r.getString(0), r.getString(1)))
+
+    val rebuilt = existing
+      .join(broadcast(touched), Seq("field", "prefix"), "left_semi")
+      .join(slugs, Seq("slug"), "left_anti")
+      .unionByName(newRows.join(broadcast(touched), Seq("field", "prefix"), "left_semi"))
+    (rebuilt, touchedParts)
   }
 
   /** The shared write tail of both update paths: durable swap — write the
@@ -552,10 +564,80 @@ object Indexing {
     fs.delete(tmpPath, true)
   }
 
+  /** A GitHub compare-API response body parsed into a [[ChangedPaths]] —
+    * the reference's GitHub diff provider made concrete without egress
+    * (reference: src/diff/providers/github.ts:27 fetches
+    * `/repos/{repo}/compare/{base}...{head}` and maps `files[].status` to
+    * A/D/M records; fetching itself is environment plumbing — any HTTP
+    * client can pull the payload — while THIS, the payload→diff mapping,
+    * is the provider's substance). Feed the returned paths to
+    * [[updateIndexFromChangedPaths]] exactly like [[gitChangedPaths]]'.
+    *
+    * Status mapping (the compare API's `files[].status` vocabulary):
+    * `added` → added, `removed` → deleted, `modified`/`changed` →
+    * modified, `renamed` → `previous_filename` deleted + `filename` added,
+    * `copied` → `filename` added, `unchanged` → dropped. The reference
+    * keeps only added/removed/modified and silently DROPS renames
+    * (github.ts:46 filters the status list) — leaving the old path's index
+    * rows stale; this provider maps them like [[gitChangedPaths]] maps git
+    * `R`/`C` records, which reconverges with a full rebuild (pinned in
+    * IndexingSpec). An unrecognized status throws — a vocabulary change in
+    * the feed must surface, not silently skip changes. A payload with no
+    * `files` array but a `message` field is the API's error shape
+    * (github.ts:33) and throws with that message; `files` absent otherwise
+    * yields no changes (github.ts:38).
+    */
+  def githubCompareChangedPaths(compareJson: String,
+                                pathFilter: String => Boolean = _ => true): ChangedPaths = {
+    val root = graft.sources.MiniJson.parse(compareJson) match {
+      case m: Map[String @unchecked, Any @unchecked] => m
+      case other => throw new IllegalArgumentException(
+        s"githubCompareChangedPaths: expected a JSON object, got ${if (other == null) "null" else other.getClass.getSimpleName}")
+    }
+    val files: List[Map[String, Any]] = root.get("files") match {
+      case Some(l: List[Any @unchecked]) => l.map {
+        case m: Map[String @unchecked, Any @unchecked] => m
+        case other => throw new IllegalArgumentException(
+          s"githubCompareChangedPaths: files[] entry is not an object: $other")
+      }
+      case _ => root.get("message") match {
+        case Some(msg: String) => throw new java.io.IOException(
+          s"githubCompareChangedPaths: GitHub API error payload: $msg")
+        case _ => Nil
+      }
+    }
+    def str(m: Map[String, Any], k: String): String = m.get(k) match {
+      case Some(s: String) => s
+      case _ => throw new IllegalArgumentException(
+        s"githubCompareChangedPaths: files[] entry missing string '$k': $m")
+    }
+    val added = Seq.newBuilder[String]
+    val modified = Seq.newBuilder[String]
+    val deleted = Seq.newBuilder[String]
+    files.foreach { f =>
+      str(f, "status") match {
+        case "added"                  => added += str(f, "filename")
+        case "removed"                => deleted += str(f, "filename")
+        case "modified" | "changed"   => modified += str(f, "filename")
+        case "renamed"                => deleted += str(f, "previous_filename")
+                                         added += str(f, "filename")
+        case "copied"                 => added += str(f, "filename")
+        case "unchanged"              => ()
+        case other => throw new IllegalStateException(
+          s"githubCompareChangedPaths: unrecognized file status '$other'")
+      }
+    }
+    ChangedPaths(
+      added = added.result().filter(pathFilter),
+      modified = modified.result().filter(pathFilter),
+      deleted = deleted.result().filter(pathFilter))
+  }
+
   /** `git diff --name-status` between two refs, parsed into a
     * [[ChangedPaths]] — the reference's git diff provider made concrete
     * (reference: src/diff/providers/git.ts:5 shells out the same command;
-    * the GitHub-API provider needs network egress and stays out of scope).
+    * [[githubCompareChangedPaths]] covers the GitHub-API provider's payload
+    * mapping offline).
     * Driver-side by design: a diff provider only NAMES what changed — a
     * change-volume-bounded path list — while reading the changed content
     * stays distributed ([[diffFromChangedPaths]] / [[updateIndexFromChangedPaths]]).

@@ -396,6 +396,31 @@ object Similarity {
                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
     semDupesOnIndex(ivfIndex(corpus, nlist, seed, idCol, vecCol), dim, threshold, nbits, seed)
 
+  /** Cell-count policy for dedup at scale, executable: with a FIXED `nlist`
+    * the `(cell, bucket)` candidate join is QUADRATIC — cells hold ~N/nlist
+    * rows, so candidate pairs grow ∝ N²·probes/(nlist·2^nbits). The sf10
+    * bench measured it: q_dedup_semantic grew 21× for 10× vectors at
+    * nlist=8. Holding the target CELL SIZE constant instead makes candidate
+    * volume LINEAR in N (pairs ∝ N·cellSize·probes/2^nbits). `n` comes from
+    * the ingest manifest or a parquet count-star — never a data scan
+    * ([[ivfIndex]]'s no-sizing-pass rule; count-star reads only footers).
+    * FAISS's search-side heuristic nlist≈√N optimizes probe LATENCY and
+    * still leaves pair volume growing ∝ N^1.5 — dedup wants the
+    * constant-cell-size rule. Default 4096 keeps today's behavior at
+    * sf0.01–sf1 (min floor 8 = the bench nlist) and sizes sf10's 204.8k
+    * vectors to 50 cells; 10^9 vectors → ~244k cells, still a
+    * driver-trivial centroid table (a coarse quantizer at that scale wants
+    * a hierarchical fit — out of scope; the POLICY is what must not ship
+    * quadratic).
+    */
+  def nlistFor(n: Long, targetCellSize: Long = 4096,
+               minNlist: Int = 8, maxNlist: Int = 1 << 20): Int = {
+    require(n >= 0 && targetCellSize > 0 && minNlist > 0 && maxNlist >= minNlist,
+      s"nlistFor: bad arguments n=$n targetCellSize=$targetCellSize min=$minNlist max=$maxNlist")
+    val cells = (n + targetCellSize - 1) / targetCellSize
+    math.min(maxNlist.toLong, math.max(minNlist.toLong, cells)).toInt
+  }
+
   /** [[semDupes]] over an existing IVF index — no quantizer re-fit. */
   def semDupesOnIndex(index: IvfIndex, dim: Int, threshold: Double = 0.95,
                       nbits: Int = 8, seed: Long = 7L): DataFrame = {

@@ -109,4 +109,48 @@ class PlanPropertiesSpec extends SparkSpec {
     val count = "(?i)piistats".r.findAllIn(p).length
     assert(count == 1, s"expected exactly 1 PiiStats (4-field extraction must not inline the expression per field), found $count:\n$p")
   }
+
+  test("q_asof_bucketed replicates with ONE Generate into ONE window exchange; no union re-evaluation") {
+    val p = plan("q_asof_bucketed")
+    val gens = "Generate".r.findAllIn(p).length
+    assert(gens == 1,
+      s"bucket replication must be a single explode([b, b+1]) Generate — a self-union re-evaluates the right subtree; found $gens:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"exactly ONE hashpartitioning exchange (the (key, bucket) window; tieBreak dedup rides its sort instead of a groupBy shuffle); found $hashEx:\n$p")
+    // both sides come off the events table; the Generate form must keep it
+    // at two scans (a self-union without exchange reuse would make three)
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 2, s"expected 2 parquet scans (left + right), found $scans:\n$p")
+  }
+
+  test("q_corpus_card_approx: one exchange — sketches replace the exact card's dedup expansion") {
+    val p = plan("q_corpus_card_approx")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"approx card must be scan → partial agg → ONE exchange → final agg (HLL++/quantile sketches are mergeable partial state):\n$p")
+    // the exact twin pays a second aggregate pass for countDistinct (Expand
+    // or a two-level aggregate); the approx card must not
+    assert(!p.contains("Expand"), s"no Expand in the approx card:\n$p")
+  }
+
+  test("bulk index rebuild: diff stays distributed — anti-join + explode, no isin literal list") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select(col("doc_id").cast("string").as("slug"), col("lang"), col("source"))
+    val idxPath = java.nio.file.Files.createTempDirectory("graft-bulkplan").toString
+    graft.operators.Indexing.writeIndex(docs, "slug", Seq("lang", "source"), idxPath)
+    val v2 = docs.withColumn("lang",
+      when(col("slug").cast("long") % 5 === 0, concat(col("lang"), lit("x")))
+        .otherwise(col("lang")))
+    val diff = graft.operators.Indexing.extractDiff(docs, v2, "slug", Seq("lang", "source"))
+    val rebuilt = graft.operators.Indexing
+      .bulkRebuilt(spark, idxPath, diff, Seq("lang", "source"), _ => 1)._1
+    val p = rebuilt.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"),
+      s"departing slugs must leave via a left-anti JOIN on the slug frame:\n$p")
+    assert("Generate".r.findAllIn(p).length >= 2,
+      s"new rows must derive by distributed explode (values map + value list):\n$p")
+    assert(!p.contains(" INSET ") && !p.toLowerCase.contains("isin"),
+      s"no isin/INSET literal list — nothing on the driver may scale with change volume:\n$p")
+  }
 }

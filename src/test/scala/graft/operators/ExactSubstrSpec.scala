@@ -104,6 +104,25 @@ class ExactSubstrSpec extends SparkSpec {
     assert((h64 >>> 16) == h48 && h64 != h48)
   }
 
+  test("wideHashFor: the bit-width policy reproduces the documented collision arithmetic") {
+    // the scaladoc's anchors: 10^13 gram positions at 48 bits is ~10^11
+    // expected false spans (unacceptable), at 64 bits ~10^2
+    val at48 = ExactSubstr.expectedFalseSpans(1e13, bits = 48)
+    val at64 = ExactSubstr.expectedFalseSpans(1e13, bits = 64)
+    assert(at48 > 1e10 && at48 < 1e13, s"48-bit estimate off: $at48")
+    assert(at64 > 10 && at64 < 1e4, s"64-bit estimate off: $at64")
+    // policy: sf-scale corpora keep the DuckDB-recomputable 48-bit default…
+    assert(!ExactSubstr.wideHashFor(1e9.toLong))       // ~sf100 text volume
+    assert(!ExactSubstr.wideHashFor(60000L))           // harness scale
+    // …and production corpora flip to the 64-bit head
+    assert(ExactSubstr.wideHashFor(1e10.toLong))
+    assert(ExactSubstr.wideHashFor(1e13.toLong))
+    // the crossover sits where one false span is expected: ~1.5e9 grams
+    assert(!ExactSubstr.wideHashFor(1400000000L) && ExactSubstr.wideHashFor(1600000000L))
+    // a caller with a tighter tolerance flips earlier
+    assert(ExactSubstr.wideHashFor(1e9.toLong, tolerableFalseSpans = 0.01))
+  }
+
   test("plan: bodies never ride the dup-detection exchanges (narrow rows only)") {
     val plan = ExactSubstr.repeatedSpans(docs, k = 5, minTokens = 10)
       .queryExecution.executedPlan.toString

@@ -447,6 +447,79 @@ class IndexingSpec extends SparkSpec {
     }
   }
 
+  test("githubCompareChangedPaths parses a compare-API payload and drives the index to the rebuild") {
+    // A pre-fetched /repos/{repo}/compare/{base}...{head} response body —
+    // the reference's GitHub provider maps files[].status to diff records
+    // (reference src/diff/providers/github.ts:38-53); fetching is just
+    // HTTP plumbing, so the offline payload IS the provider's input. One of
+    // each status the API emits, plus a non-content file for the filter.
+    val payload = """{
+      "status": "ahead", "ahead_by": 2,
+      "files": [
+        {"status": "modified", "filename": "content/arctium-lappa.md", "additions": 1},
+        {"status": "added",    "filename": "content/zingiber-officinale.md"},
+        {"status": "removed",  "filename": "content/centella-asiatica.md"},
+        {"status": "renamed",  "filename": "content/lemongrass-renamed.md",
+         "previous_filename": "content/cymbopogon-citratus.md"},
+        {"status": "copied",   "filename": "content/burdock-copy.md",
+         "previous_filename": "content/arctium-lappa.md"},
+        {"status": "changed",  "filename": "content/mentha-piperita.md"},
+        {"status": "unchanged","filename": "content/salvia-officinalis.md"},
+        {"status": "modified", "filename": "README.md"}
+      ]
+    }"""
+    val changes = Indexing.githubCompareChangedPaths(payload,
+      pathFilter = _.startsWith("content/"))
+    assert(changes.modified.toSet ==
+      Set("content/arctium-lappa.md", "content/mentha-piperita.md"))
+    assert(changes.added.toSet == Set("content/zingiber-officinale.md",
+      "content/lemongrass-renamed.md", "content/burdock-copy.md"))
+    assert(changes.deleted.toSet ==
+      Set("content/centella-asiatica.md", "content/cymbopogon-citratus.md"))
+
+    // the parsed feed drives updateIndexFromChangedPaths onto the v2 rebuild
+    val slugOf = (p: String) => p.stripPrefix("content/").stripSuffix(".md")
+    val v1 = Seq(
+      ("arctium-lappa", "Burdock"),
+      ("centella-asiatica", "Gotu Kola"),
+      ("cymbopogon-citratus", "Lemongrass"),
+      ("salvia-officinalis", "Sage")
+    ).toDF("slug", "name")
+    val v2 = Seq(
+      ("arctium-lappa", "Greater Burdock"),
+      ("lemongrass-renamed", "Lemongrass"),
+      ("zingiber-officinale", "Ginger"),
+      ("burdock-copy", "Greater Burdock"),
+      ("mentha-piperita", "Peppermint"),
+      ("salvia-officinalis", "Sage")
+    ).toDF("slug", "name")
+    val path = freshIndexPath
+    Indexing.writeIndex(v1, "slug", Seq("name"), path)
+    Indexing.updateIndexFromChangedPaths(spark, path, v2, "slug", Seq("name"),
+      changes, slugOfPath = slugOf)
+    def state(p: String) = Indexing.readIndex(spark, p)
+      .select("field", "prefix", "slug", "value")
+      .collect().map(_.toSeq).toSet
+    val rebuiltPath = freshIndexPath
+    Indexing.writeIndex(v2, "slug", Seq("name"), rebuiltPath)
+    assert(state(path) == state(rebuiltPath))
+
+    // API error shape (no files[], a message) fails loudly with the message
+    val err = intercept[java.io.IOException] {
+      Indexing.githubCompareChangedPaths("""{"message": "Not Found",
+        "documentation_url": "x"}""")
+    }
+    assert(err.getMessage.contains("Not Found"))
+    // no files[] and no message (github.ts:38's !Array.isArray branch) → empty
+    val empty = Indexing.githubCompareChangedPaths("""{"status": "identical"}""")
+    assert(empty.added.isEmpty && empty.modified.isEmpty && empty.deleted.isEmpty)
+    // a vocabulary surprise must raise, never silently skip a change
+    intercept[IllegalStateException] {
+      Indexing.githubCompareChangedPaths(
+        """{"files": [{"status": "exploded", "filename": "content/x.md"}]}""")
+    }
+  }
+
   test("find-by-slug over a bucketed source table prunes with pushdown") {
     val path = freshIndexPath
     Indexing.writeIndex(herbs, "slug", Seq("slug"), path)

@@ -63,6 +63,33 @@ class SimilaritySpec extends SparkSpec {
     assert(kept == (0L until 200L).toSet, s"semDedupe kept wrong set: ${kept -- (0L until 200L)}")
   }
 
+  test("nlistFor: constant-cell-size policy — candidate volume linear in N, floors pinned") {
+    // harness scales stay on the min floor (bit-identical to the old
+    // hardcoded nlist=8 in q_dedup_semantic)…
+    assert(Similarity.nlistFor(2040) == 8)       // sf0.01
+    assert(Similarity.nlistFor(20400) == 8)      // sf1
+    // …and real scales size by ceil(n / targetCellSize)
+    assert(Similarity.nlistFor(204800) == 50)    // sf10 — the measured fix
+    assert(Similarity.nlistFor(1000000000L) == 244141)
+    assert(Similarity.nlistFor(5000000000L, maxNlist = 100000) == 100000)
+    // the property the policy buys: per-cell pair volume N²/nlist stays
+    // ∝ N (constant cell size), instead of quadratic at fixed nlist
+    def pairVolume(n: Long) = n.toDouble * n / Similarity.nlistFor(n)
+    val growth = pairVolume(2048000) / pairVolume(204800)
+    assert(growth < 11.0, s"pair volume must grow ~linearly (10×), got ${growth}×")
+    intercept[IllegalArgumentException](Similarity.nlistFor(-1))
+    intercept[IllegalArgumentException](Similarity.nlistFor(10, targetCellSize = 0))
+    // recall is nlist-independent for identical vectors: the planted pairs
+    // from the test above still surface at a production-shaped cell count
+    val planted = Seq.tabulate(3)(i => (900L + i, vecs.find(_._1 == i.toLong).get._2))
+    val withDups = emb.union(planted.toDF("vec_id", "embedding"))
+    val pairs = Similarity.semDupes(withDups, dim, threshold = 0.999,
+        nlist = Similarity.nlistFor(203, targetCellSize = 16), nbits = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(Set((0L, 900L), (1L, 901L), (2L, 902L)).subsetOf(pairs),
+      s"planted dup lost at scaled nlist, got $pairs")
+  }
+
   test("semDupes candidates are cluster-scoped: a cross-cell pair never scores") {
     // nbits=1 with 1-bit multiprobe makes the LSH layer admit EVERY pair, so
     // any pruning left is the cell equi-join — the SemDedup property. With 4
