@@ -44,8 +44,8 @@ object Plans {
       "q_pii_redact"       -> "pure scan projection: ONE PiiStats node (counts + redaction fused; field extraction must not inline it per column), zero shuffles beyond the output sort",
       "q_mix_sources"      -> "pure scan projection — per-source md5 CASE inside the scan, zero shuffles beyond the output sort",
       "q_text_chunks"      -> "tokenize → sequence → posexplode(Generate) → slice, all inside the scan stage; NO exchange anywhere before the output sort",
-      "q_line_dedup"       -> "TWO linear exchanges only: hashpartitioning(line) for the first-occurrence window, then hashpartitioning(doc_id) for reassembly — no join operator anywhere",
-      "q_line_filter"      -> "ONE exchange (reassembly groupBy doc_id); the line predicate evaluates inside the Generate/scan stage — no window, no join",
+      "q_line_dedup"       -> "TWO linear exchanges only: hashpartitioning(line) for the first-occurrence window, then hashpartitioning(doc_id) for reassembly — no join operator anywhere; loser rows ship a NULLed line string into the reassembly exchange (content only rides for winners)",
+      "q_line_filter"      -> "ZERO shuffles, zero Generate: per-line filtering is a pure per-document function, so the whole operator is a higher-order filter over split(text) inside the scan projection — no explode, no aggregate, no exchange before the output sort (the sf10 bench caught the explode+reassembly form at 25 s for what a projection does in 5)",
       "q_text_normalize"   -> "pure scan projection: UnicodeNormalize + lower + regexp inside the scan, zero shuffles beyond the output sort",
       "q_dedup_exact_inc"  -> "corpus side map-side only (bloom agg subquery + broadcast semi-join probe); BroadcastHashJoins for the candidate check; the ONLY full exchange is the new batch's window on its content hash",
       "q_ann_batch"        -> "queries BROADCAST once, corpus scanned ONCE for all queries, candidates discarded MAP-SIDE by the bounded top-k aggregate (ObjectHashAggregate partial keeps ≤ k per query per partition — the exchange carries the answer, not the candidates)",
@@ -56,13 +56,13 @@ object Plans {
       "q_text_bm25"        -> "postings from the scan-side TermCounts filtered to the query's terms BEFORE anything shuffles; N+avgdl ride ONE struct-typed scalar subquery (one corpus pass, no second tokenize); per-term weights sum as decimal — exchanges are the ≤|query|-key df aggregate, the term join, and the per-doc score aggregate",
       "q_dedup_semantic"   -> "candidates from the (cell, bucket) equi-join — never a cell cross-product; cosine scores in the join's output projection and the threshold filter runs BEFORE the dedup exchange, so only narrow (id_a, id_b, score) rows ever shuffle, vectors move only with their own corpus row",
       "q_text_bpe"         -> "pure scan projection: ONE native bpeishcount node (a state machine, not a regex) inside the scan, zero shuffles beyond the output sort",
-      "q_text_perplexity"  -> "bigram pairs come from ONE native BigramCounts node per scan (distinct pairs per document explode, never occurrences); every vocab/model join is a BroadcastHashJoin; the only full exchanges are vocabulary-sized aggregates and the per-document score aggregate — document bodies never ride any exchange",
+      "q_text_perplexity"  -> "scoring is ONE native BigramPpl scan node (the model ships inside the expression with log-probs pre-rounded to decimal micros) — NO join, NO aggregate, NO exchange in the scoring half beyond the output sort; training's exchanges are vocabulary-sized aggregates (native TermCounts/BigramCounts partials — document bodies never ride any exchange)",
       "q_ann_negatives"    -> "anchors broadcast ONCE with vector + label; the label exclusion sits in the join condition BELOW the bounded top-k aggregate (k always fills), candidates discarded map-side — the exchange carries ≤ partitions × anchors × k rows",
       "q_embed_quantize"   -> "pure scan projection: ONE native Int8Quantize node (scale + codes in a single pass) inside the scan, zero shuffles beyond the output sort",
       "q_embed_assign"     -> "pure scan projection: ONE native NearestCenter node (all centroids in one pass, centers shipped as a plan literal) inside the scan, zero shuffles beyond the output sort",
       "q_corpus_card"      -> "ONE scan, ONE partial-aggregating exchange on lang: token counts, decimal quality sums, percentile buffer and distinct-md5 all combine map-side in the same aggregate",
       "q_corpus_card_approx" -> "same single scan + ONE partial-aggregating exchange as the exact card, but NO second dedup exchange (exact countDistinct expands to one) — approx_count_distinct's HLL++ and approx_percentile's quantile sketch are mergeable partial state, O(sketch) per group instead of O(rows)",
-      "q_pipeline_curate"  -> "perplexity scoring plan (native BigramCounts, broadcast model) feeding ONE lang-partitioned window exchange for percent_rank — the bucket gate never re-scans the corpus",
+      "q_pipeline_curate"  -> "one-pass native BigramPpl scoring (no model joins, no score aggregate) feeding ONE lang-partitioned window exchange for percent_rank — the bucket gate never re-scans the corpus",
       "q_quality_classifier" -> "pure scan projection: ONE native HashedNgramLogit node (the model's weight table rides the expression into every task; grams never become rows), zero shuffles beyond the output sort",
       "q_embed_pq"         -> "pure scan projection: ONE native PqEncode node (all subspace codebooks in one pass, shipped as a codegen reference object), zero shuffles beyond the output sort",
       "q_text_bm25_indexed" -> "term filter prunes the stored buckets (bucket pruning in the scan); df aggregate + posting join consume the stored term-partitioning with NO exchange — the only shuffle is the per-document score aggregate over slim scored rows",

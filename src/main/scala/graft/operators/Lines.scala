@@ -11,22 +11,27 @@ import org.apache.spark.sql.functions._
   * millions of pages and survive document-level dedup because the documents
   * AROUND them differ).
   *
-  * Both operators share one shape: explode text into `(doc, ordinal, line)`
-  * rows, decide per line, then reassemble each document's surviving lines in
-  * their original order. Reassembly is ONE `groupBy(id)` shuffle;
-  * [[dedupLines]] adds one more shuffle partitioned by the line string for
-  * the global first-occurrence window. Both shuffles are linear in corpus
-  * size — there is no pairwise comparison anywhere. The dedup partitions by
-  * the EXACT line string, not a 64-bit hash, so there is no silent-collision
-  * class at any corpus size (the same policy as Indexing.extractDiff).
+  * The two operators have fundamentally different data-movement floors and
+  * are shaped accordingly: [[filterLines]]'s keep-decision is a pure
+  * per-document function, so it is a ZERO-shuffle scan projection (a
+  * higher-order `filter` over `split(text)` — no line rows ever exist);
+  * [[dedupLines]]'s decision is global (first occurrence corpus-wide), so it
+  * must explode to `(doc, ordinal, line)` rows, shuffle them once keyed by
+  * the line string for the first-occurrence window, and reassemble with one
+  * `groupBy(id)` shuffle. Both dedup shuffles are linear in corpus size —
+  * there is no pairwise comparison anywhere — and partition by the EXACT
+  * line string, not a 64-bit hash, so there is no silent-collision class at
+  * any corpus size (the same policy as Indexing.extractDiff).
   *
   * All non-text input columns ride along unchanged (the Chunking/Packing
   * contract).
   *
-  * `idCol` is the document identity and must be UNIQUE and NON-NULL: the
-  * reassembly `groupBy(id)` would silently merge id-sharing rows into one
-  * interleaved document (and all NULL-id rows into another) — same caller
-  * contract as [[Dedup.minhashIncremental]]'s unique-id requirement.
+  * For [[dedupLines]], `idCol` is the document identity and must be UNIQUE
+  * and NON-NULL: the reassembly `groupBy(id)` would silently merge
+  * id-sharing rows into one interleaved document (and all NULL-id rows into
+  * another) — same caller contract as [[Dedup.minhashIncremental]]'s
+  * unique-id requirement. ([[filterLines]] never groups, so it has no such
+  * requirement.)
   */
 object Lines {
 
@@ -38,7 +43,7 @@ object Lines {
     Seq(idCol, textCol).foreach(c => require(df.columns.contains(c),
       s"Lines: input has no '$c' column"))
     Seq("n_lines_kept", "n_lines_dropped", OrdCol, LineCol, KeepCol, "__graft_hadtext",
-        "__graft_kept").foreach(c =>
+        "__graft_kept", "__graft_wasline").foreach(c =>
       require(!df.columns.contains(c),
         s"Lines: input already has a '$c' column — rename it first"))
   }
@@ -62,14 +67,20 @@ object Lines {
       posexplode_outer(split(col(textCol), java.util.regex.Pattern.quote(sep)))
         .as(Seq(OrdCol, LineCol))): _*)
 
+  private val WasLineCol = "__graft_wasline"
+
   /** Reassemble per-document text from marked line rows: keep lines where
-    * `__graft_keep`, join them back in ordinal order, count kept/dropped.
+    * `__graft_keep` (true only on real, surviving lines), join them back in
+    * ordinal order, count kept/dropped via the `__graft_wasline` marker
+    * (the line STRING of a dropped row has already been nulled out by the
+    * caller — a loser's content never rides the reassembly exchange, only
+    * its one-byte marker does; on boilerplate-heavy corpora most exploded
+    * rows are losers, so this halves-or-better the second shuffle).
     * A document whose every line was dropped comes back with empty text
     * (not NULL); a NULL-text document stays NULL.
     */
   private def reassemble(marked: DataFrame, df: DataFrame,
                          idCol: String, textCol: String, sep: String): DataFrame = {
-    val keep = col(KeepCol) && col(LineCol).isNotNull
     val carried = df.columns.toSeq.filter(c => c != idCol && c != textCol).map(c =>
       first(col(c)).as(c))
     val aggs = carried ++ Seq(
@@ -77,10 +88,10 @@ object Lines {
       // collect_list skips NULLs, so the when() keeps only surviving lines;
       // array_sort on (ord, line) structs restores original order (ord is
       // unique per document, so the sort is total and deterministic).
-      array_sort(collect_list(when(keep,
+      array_sort(collect_list(when(col(KeepCol),
         struct(col(OrdCol).as("o"), col(LineCol).as("l"))))).as("__graft_kept"),
-      count(when(keep, lit(1))).as("n_lines_kept"),
-      count(when(!col(KeepCol) && col(LineCol).isNotNull, lit(1))).as("n_lines_dropped"))
+      count(when(col(KeepCol), lit(1))).as("n_lines_kept"),
+      count(when(!col(KeepCol) && col(WasLineCol), lit(1))).as("n_lines_dropped"))
     val out = marked.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
       .withColumn(textCol,
         when(col(HadTextCol),
@@ -108,22 +119,51 @@ object Lines {
     checkCols(df, idCol, textCol)
     val lines = explodeLines(df, textCol, sep)
     val w = Window.partitionBy(col(LineCol)).orderBy(col(idCol), col(OrdCol))
-    val marked = lines.withColumn(KeepCol, row_number().over(w) === 1)
+    // (An aggregate-winners + join-back formulation was measured at sf10 and
+    // LOST: min(struct) plans as SortAggregate — a map-side sort as costly
+    // as the window's — and the join-back re-shuffles what the window marks
+    // in place. 1.8 s window vs 6.7 s agg+join on 13.5M lines.)
+    val marked = lines
+      .withColumn(KeepCol,
+        row_number().over(w) === 1 && col(LineCol).isNotNull)
+      .withColumn(WasLineCol, col(LineCol).isNotNull)
+      // losers' content is dead weight from here on — see reassemble()
+      .withColumn(LineCol, when(col(KeepCol), col(LineCol)))
     reassemble(marked, df, idCol, textCol, sep)
   }
 
   /** Per-line predicate filter ("drop boilerplate lines"): keep each line
     * iff `keep(line)` is true (NULL predicate results drop the line —
-    * filters are strict, as everywhere else in this API). Zero shuffles
-    * beyond the reassembly `groupBy` — the predicate evaluates inside the
-    * scan projection.
+    * filters are strict, as everywhere else in this API).
+    *
+    * ZERO shuffles, zero explode: unlike [[dedupLines]] the decision is a
+    * pure per-document function, so the whole operator is one higher-order
+    * `filter` over `split(text)` inside the scan projection — no line rows
+    * ever exist, no reassembly aggregate, and the input's partitioning is
+    * preserved untouched. (The round-12 sf10 bench caught the old
+    * explode + groupBy-reassembly shape spending its 25 s shuffling 13.5M
+    * line rows to compute what a projection computes in place.) `idCol`
+    * need not be unique here — it is only validated for API symmetry with
+    * [[dedupLines]].
     */
   def filterLines(df: DataFrame, keep: Column => Column,
                   idCol: String = "doc_id", textCol: String = "text",
                   sep: String = "\n"): DataFrame = {
     checkCols(df, idCol, textCol)
-    val lines = explodeLines(df, textCol, sep)
-    val marked = lines.withColumn(KeepCol, coalesce(keep(col(LineCol)), lit(false)))
-    reassemble(marked, df, idCol, textCol, sep)
+    val arr  = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val kept = filter(arr, l => coalesce(keep(l), lit(false)))
+    val replaced = df.columns.toSeq.map {
+      case c if c == textCol => array_join(kept, sep).as(textCol)
+      case c                 => col(c)
+    }
+    // size() on the NULL-text arrays yields NULL under Spark's default
+    // sizeOfNull=false; the explicit when() pins the (NULL text -> 0, 0)
+    // count contract. Counts stay LongType (the old aggregate's count()
+    // type), so downstream schemas are unchanged.
+    df.select(replaced ++ Seq(
+      when(col(textCol).isNull, lit(0L))
+        .otherwise(size(kept).cast("long")).as("n_lines_kept"),
+      when(col(textCol).isNull, lit(0L))
+        .otherwise((size(arr) - size(kept)).cast("long")).as("n_lines_dropped")): _*)
   }
 }

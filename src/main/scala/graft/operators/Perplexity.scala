@@ -137,11 +137,45 @@ object Perplexity {
     * `ppl` rounded to 4dp, ordered by id. Documents with fewer than two
     * tokens (no bigrams) emit no row — they have no perplexity, and a
     * curation gate should handle them by length instead.
+    *
+    * ONE scan pass: the model snapshots into a
+    * [[graft.plans.BigramLmLocal]] (vocabulary-bounded collect — bigram
+    * TYPES, not corpus rows; the same bounded contract as the k-means and
+    * codebook sidecars) and every document scores inside the native
+    * [[graft.plans.BigramPpl]] expression — no pair explosion, no model
+    * joins, no re-aggregate; the only exchange left is the output sort.
+    * Bit-identical to [[scoreJoined]] (micro log-probs pre-rounded with
+    * the same decimal discipline), which remains the formulation for a
+    * model too large to ship inside a plan.
     */
   def score(docs: DataFrame, lm: BigramLm,
             idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
       s"Perplexity.score: input has no '$c' column"))
+    val local = graft.plans.BigramLmLocal(
+      bigrams = lm.bigrams.collect()
+        .map(r => (r.getString(0) + " " + r.getString(1), r.getLong(2))).toMap,
+      contexts = lm.contexts.collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap,
+      vocab = lm.vocab, alpha = lm.alpha)
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        graft.plans.TextExpressions.bigramPpl(col(textCol), local).as("__p"))
+      .filter(col("__p.n_bigrams") > 0)
+      .select(col(idCol), col("__p.n_bigrams").as("n_bigrams"),
+        col("__p.ppl").as("ppl"))
+      .orderBy(col(idCol))
+  }
+
+  /** The broadcast-join scoring formulation — [[score]]'s parity twin
+    * (equality pinned in PerplexitySpec) and the fallback when the trained
+    * model is too large to ship as an expression payload: pair rows join
+    * the broadcast model relations and re-aggregate per document.
+    */
+  def scoreJoined(docs: DataFrame, lm: BigramLm,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
+      s"Perplexity.scoreJoined: input has no '$c' column"))
     val pairs = bigramRows(docs.filter(col(textCol).isNotNull), textCol,
       Seq(col(idCol)), lm.vocab)
     // Weighted by the per-document pair multiplicity __k: k · round6(logp)

@@ -209,6 +209,19 @@ object TextExpressions {
                        includeBigrams: Boolean = true): Column =
     ColumnShim.column(HashedNgramLogit(
       ColumnShim.expression(text), weightsMilli.toIndexedSeq, includeBigrams))
+
+  /** struct<n_bigrams bigint, ppl double> — whole-document bigram-LM
+    * perplexity in ONE scan pass ([[BigramPpl]]): the model (a
+    * [[BigramLmLocal]] snapshot with every log-prob pre-rounded to decimal
+    * micros) rides the expression into each task the same way
+    * [[hashedNgramLogit]]'s weight table does, so scoring is two hash
+    * probes per bigram occurrence — no pair rows, no joins, no
+    * re-aggregate. Bit-identical to the join formulation
+    * ([[graft.operators.Perplexity.scoreJoined]], pinned in
+    * PerplexitySpec) and therefore to the DuckDB oracle.
+    */
+  def bigramPpl(text: Column, model: BigramLmLocal): Column =
+    ColumnShim.column(BigramPpl(ColumnShim.expression(text), model))
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
@@ -1208,5 +1221,114 @@ case class KgramHashes(child: Expression, k: Int, bits: Int = 48)
     KgramHashes.compute(input.asInstanceOf[UTF8String], k, bits)
 
   override protected def withNewChildInternal(newChild: Expression): KgramHashes =
+    copy(child = newChild)
+}
+
+/** A driver-local bigram LM snapshot — the vocabulary-bounded model of
+  * [[graft.operators.Perplexity]] collected into plain JVM maps so scoring
+  * can ride INSIDE a scan expression ([[BigramPpl]]) instead of exploding
+  * pair rows through two broadcast joins and a re-aggregate. Same
+  * size-bounded-collect contract as the k-means/codebook sidecars: the
+  * model is vocabulary-bounded (bigram TYPES, not corpus size), empirically
+  * MBs for a CCNet-style SLM; a model too large to ship in a plan should
+  * use the join formulation ([[graft.operators.Perplexity.scoreJoined]]).
+  *
+  * All per-bigram log-prob micro-values are PRECOMPUTED here (seen pairs,
+  * unseen-pair-per-context, no-context constant), so the per-occurrence
+  * scoring loop is two hash probes — the `BigDecimal` HALF_UP rounding that
+  * makes scores engine-exact never runs per row.
+  */
+case class BigramLmLocal(bigrams: Map[String, Long], contexts: Map[String, Long],
+                         vocab: Set[String], alpha: Double) {
+  def v: Double = vocab.size + 1.0
+
+  /** round6(ln((n + α) / (cn + α·V))) in decimal micros — EXACTLY the
+    * column path's `log(...).cast("decimal(18,6)")`: same double ops in
+    * the same order (`Math.log`, numerator/denominator adds, one divide),
+    * then Spark's `Cast` double→decimal rounding (shortest-repr string →
+    * BigDecimal → HALF_UP at scale 6).
+    */
+  private def micros(n: Long, cn: Long): Long = {
+    val logp = java.lang.Math.log((n + alpha) / (cn + alpha * v))
+    new java.math.BigDecimal(java.lang.Double.toString(logp))
+      .setScale(6, java.math.RoundingMode.HALF_UP)
+      .movePointRight(6).longValueExact()
+  }
+
+  @transient lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](vocab.size * 2)
+    vocab.foreach(s.add); s
+  }
+  /** "w1 w2" → micros for every trained pair (space join is collision-free:
+    * tokens come from a `\s+` split). */
+  @transient lazy val seenMicros: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](bigrams.size * 2)
+    bigrams.foreach { case (k, n) =>
+      val w1 = k.substring(0, k.indexOf(' '))
+      m.put(k, micros(n, contexts.getOrElse(w1, 0L)))
+    }
+    m
+  }
+  /** w1 → micros of an UNSEEN continuation of that context. */
+  @transient lazy val unseenMicros: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](contexts.size * 2)
+    contexts.foreach { case (w1, cn) => m.put(w1, micros(0L, cn)) }
+    m
+  }
+  /** micros when w1 itself was never a context (cn = 0). */
+  @transient lazy val noCtxMicros: Long = micros(0L, 0L)
+}
+
+object BigramPpl {
+  val Unk = "<unk>"
+
+  /** One scorer for the interpreted path and [[graft.operators.Perplexity]]'s
+    * local parity checks: per-OCCURRENCE micro log-prob accumulation (long
+    * adds — exact and order-free, and identical to the join path's
+    * Σ round6(logp)·k over distinct pairs), then the column path's exact
+    * finishing arithmetic: decimal(·,6)→double via correctly-rounded
+    * BigDecimal conversion, `exp(−s/n)`, `round(…, 4)` as Spark's Round
+    * (shortest-repr string → HALF_UP at scale 4).
+    */
+  def compute(input: UTF8String, m: BigramLmLocal): InternalRow = {
+    val toks = TextExpressions.Tok.tokens(input.toString)
+    val n = toks.length - 1
+    if (n <= 0) return InternalRow(0L, null)
+    def mapped(t: String): String = if (m.vocabSet.contains(t)) t else Unk
+    var sum = 0L
+    var w1 = mapped(toks(0))
+    var i = 0
+    while (i < n) {
+      val w2 = mapped(toks(i + 1))
+      val seen = m.seenMicros.get(w1 + " " + w2)
+      sum += (if (seen != null) seen.longValue()
+              else {
+                val un = m.unseenMicros.get(w1)
+                if (un != null) un.longValue() else m.noCtxMicros
+              })
+      w1 = w2
+      i += 1
+    }
+    val s = new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 6).doubleValue()
+    val ppl = java.lang.Math.exp(-s / n)
+    val r4 = new java.math.BigDecimal(java.lang.Double.toString(ppl))
+      .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+    InternalRow(n.toLong, r4)
+  }
+}
+
+/** See [[TextExpressions.bigramPpl]]. */
+case class BigramPpl(child: Expression, model: BigramLmLocal)
+    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_bigrams", LongType, nullable = false),
+    StructField("ppl", DoubleType, nullable = true)))
+
+  override def nullSafeEval(input: Any): Any =
+    BigramPpl.compute(input.asInstanceOf[UTF8String], model)
+
+  override protected def withNewChildInternal(newChild: Expression): BigramPpl =
     copy(child = newChild)
 }

@@ -60,13 +60,40 @@ class PerplexitySpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
-  test("model joins broadcast; no sort-merge join in the scoring plan") {
+  test("score plans as a pure scan projection: no join, no aggregate exchange") {
     val docs = (0L until 50L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
       .toDF("doc_id", "text")
     val lm = Perplexity.train(docs.filter(col("doc_id") % 2 === 0))
     val plan = Perplexity.score(docs, lm).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "one-pass scoring must not join:\n" + plan)
+    assert(!plan.contains("HashAggregate") && !plan.contains("ObjectHashAggregate") &&
+      !plan.contains("SortAggregate"), "one-pass scoring must not re-aggregate:\n" + plan)
+  }
+
+  test("scoreJoined: model joins broadcast; no sort-merge join in the scoring plan") {
+    val docs = (0L until 50L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
+      .toDF("doc_id", "text")
+    val lm = Perplexity.train(docs.filter(col("doc_id") % 2 === 0))
+    val plan = Perplexity.scoreJoined(docs, lm).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), "model/vocab joins must broadcast:\n" + plan)
+  }
+
+  test("one-pass native score is bit-identical to the join formulation") {
+    val rnd = new scala.util.Random(7)
+    val vocabWords = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "of")
+    val docs = (0L until 300L).map { i =>
+      val n = rnd.nextInt(12) // includes 0- and 1-token docs (no-row cases)
+      (i, Seq.fill(n)(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+    } :+ ((300L, null.asInstanceOf[String])) :+ ((301L, ""))
+    val df = docs.toDF("doc_id", "text")
+    val lm = Perplexity.train(df.filter(col("doc_id") % 3 =!= 0), vocabSize = 5)
+    val fast = Perplexity.score(df, lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val joined = Perplexity.scoreJoined(df, lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fast == joined, "native one-pass ppl must equal the join path exactly")
+    assert(fast.nonEmpty)
   }
 
   test("native bigram counts equal the columnar zip_with twin per document") {
