@@ -62,6 +62,7 @@ object Plans {
       "q_embed_assign"     -> "pure scan projection: ONE native NearestCenter node (all centroids in one pass, centers shipped as a plan literal) inside the scan, zero shuffles beyond the output sort",
       "q_corpus_card"      -> "ONE scan, ONE partial-aggregating exchange on lang: token counts, decimal quality sums, percentile buffer and distinct-md5 all combine map-side in the same aggregate",
       "q_corpus_card_approx" -> "same single scan + ONE partial-aggregating exchange as the exact card, but NO second dedup exchange (exact countDistinct expands to one) — approx_count_distinct's HLL++ and approx_percentile's quantile sketch are mergeable partial state, O(sketch) per group instead of O(rows)",
+      "q_corpus_card_daily" -> "each day-slice reduces in ONE scan + partial-aggregating exchanges to card-sized state (sums/histogram/HLL all combine map-side; documents never ride an exchange); merge is a SINGLE pass over the states — no join, and each day subtree evaluates exactly once (scalars ride only the pos-0 histogram entry)",
       "q_pipeline_curate"  -> "one-pass native BigramPpl scoring (no model joins, no score aggregate) feeding ONE lang-partitioned window exchange for percent_rank — the bucket gate never re-scans the corpus",
       "q_quality_classifier" -> "pure scan projection: ONE native HashedNgramLogit node (the model's weight table rides the expression into every task; grams never become rows), zero shuffles beyond the output sort",
       "q_embed_pq"         -> "pure scan projection: ONE native PqEncode node (all subspace codebooks in one pass, shipped as a codegen reference object), zero shuffles beyond the output sort",

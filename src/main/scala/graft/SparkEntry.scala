@@ -974,6 +974,26 @@ object SparkEntry {
           // tighter sketch is still constant mergeable state
           approx_count_distinct(md5(col("text")), rsd = 0.01).as("n_unique_approx"))
         .orderBy("lang")),
+    "q_corpus_card_daily" -> ((s, dir) => {
+      // The ROLLING card (operators/CorpusCard.scala): the corpus arrives
+      // in three "days" (doc_id % 3 — interleaved so every slice sees all
+      // languages), each day reduces ONCE to constant-size mergeable state
+      // (exact sums + decimal quality + 50-char histogram + HLL binary),
+      // and the corpus card is the union of the states — day N never
+      // rescans days 1..N−1. The oracle recomputes the deterministic
+      // columns from the WHOLE corpus in SQL: hash-equality here IS the
+      // mergeability claim (merged day-states ≡ one-shot card; the
+      // histogram-median estimate included). The HLL estimate column is
+      // engine-specific and spec-covered instead (CorpusCardSpec bounds,
+      // parquet round trip, merge associativity).
+      val docs = Tables.load(s, dir, "documents")
+      val days = (0 until 3).map(d => docs.filter(col("doc_id") % 3 === d))
+      val merged = operators.CorpusCard.merge(
+        days.map(operators.CorpusCard.sketchSlice(_)).reduce(_ unionByName _))
+      operators.CorpusCard.finish(merged)
+        .select("lang", "n_docs", "total_tokens", "avg_quality", "p50_chars_est")
+        .orderBy("lang")
+    }),
     "q_url_canonical" -> ((s, dir) => {
       // URL-keyed dedup of crawl snapshots — the step BEFORE content dedup:
       // every doc gets a planted URL wearing the full decoration kit
@@ -2149,6 +2169,39 @@ object SparkEntry {
                 round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
                 count(DISTINCT md5(text)) AS n_unique
          FROM t GROUP BY lang ORDER BY lang""",
+    "q_corpus_card_daily" ->
+      // the WHOLE-corpus recomputation of the merged-day-states card:
+      // same token/quality twins as q_corpus_card; the histogram median is
+      // the first 50-char bucket whose running count reaches ceil(n/2),
+      // reported as the bucket midpoint. floor() before the INT cast —
+      // DuckDB's double→INT cast ROUNDS where Spark's truncates.
+      """WITH t AS (
+           SELECT lang, text, n_chars,
+                  len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS ntok,
+                  round(LEAST(CAST(len(list_filter(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+'),
+                                    x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                              / len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) * 5.0, 1.0) * 0.5
+                      + LEAST(CAST(len(regexp_split_to_array(regexp_replace(text, '^\s+|\s+$', '', 'g'), '\s+')) AS DOUBLE) / 100.0, 1.0) * 0.5,
+                      4) AS quality
+           FROM documents),
+         agg AS (
+           SELECT lang, count(*) AS n_docs,
+                  CAST(SUM(ntok) AS BIGINT) AS total_tokens,
+                  round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) / count(*), 4) AS avg_quality
+           FROM t GROUP BY lang),
+         hist AS (
+           SELECT lang, CAST(floor(n_chars / 50.0) AS INT) AS b, count(*) AS bn
+           FROM t GROUP BY 1, 2),
+         run AS (
+           SELECT lang, b, SUM(bn) OVER (PARTITION BY lang ORDER BY b) AS rn
+           FROM hist),
+         med AS (
+           SELECT r.lang, MIN(r.b) AS mb
+           FROM run r JOIN agg a ON r.lang = a.lang
+           WHERE r.rn >= ceil(a.n_docs / 2.0) GROUP BY r.lang)
+         SELECT a.lang, a.n_docs, a.total_tokens, a.avg_quality,
+                CAST(m.mb * 50 + 25 AS BIGINT) AS p50_chars_est
+         FROM agg a JOIN med m ON a.lang = m.lang ORDER BY a.lang""",
     "q_url_canonical" ->
       // identical canonicalization algebra (backref syntax \1 here vs $1
       // in Spark — each engine's own replacement grammar, same patterns)
