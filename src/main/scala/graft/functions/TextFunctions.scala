@@ -24,11 +24,27 @@ object TextFunctions {
   def tokens(text: Column): Column =
     split(regexp_replace(text, "^\\s+|\\s+$", ""), "\\s+")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  // Native one-pass counters (plans.TextExpressions.TokStats): the column
+  // forms — size(tokens(text)) and length(regexp_replace(trim(text),
+  // "\\s+", "")) — are kept below as the spec-pinned parity twins; the
+  // shipped functions read both integers off one byte-level scan with no
+  // regex and no token-array allocation (tokenCount is called per document
+  // by every length gate, token budget and corpus card in the suite).
+  def tokenCount(text: Column): Column =
+    graft.plans.TextExpressions.tokStats(text).getField("ntok")
+
+  /** `size(tokens(text))` — tokenCount's column-algebra parity twin. */
+  def tokenCountColumns(text: Column): Column = size(tokens(text))
 
   /** Mean token length = chars-without-spaces / tokens. */
-  def avgTokenLen(text: Column): Column =
-    round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCount(text), 4)
+  def avgTokenLen(text: Column): Column = {
+    val ts = graft.plans.TextExpressions.tokStats(text)
+    round(ts.getField("nonspace").cast("double") / ts.getField("ntok"), 4)
+  }
+
+  /** avgTokenLen's column-algebra parity twin. */
+  def avgTokenLenColumns(text: Column): Column =
+    round(length(regexp_replace(trim(text), "\\s+", "")).cast("double") / tokenCountColumns(text), 4)
 
   /** BPE-ish pre-tokenization: lowercase runs, Capitalized runs, single
     * digits, single symbols — the GPT-2-style regex shape that approximates

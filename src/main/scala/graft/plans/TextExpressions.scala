@@ -222,6 +222,16 @@ object TextExpressions {
     */
   def bigramPpl(text: Column, model: BigramLmLocal): Column =
     ColumnShim.column(BigramPpl(ColumnShim.expression(text), model))
+
+  /** struct<ntok int, nonspace int> — token count and non-whitespace
+    * character count in ONE codegen'd byte-level pass (see [[TokStats]]).
+    * Backs `TextFunctions.tokenCount`/`avgTokenLen`, which every
+    * length-gate, token-budget and corpus-card query calls per document:
+    * the column form paid two regex passes and a token-array allocation
+    * per call just to read off two integers.
+    */
+  def tokStats(text: Column): Column =
+    ColumnShim.column(TokStats(ColumnShim.expression(text)))
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
@@ -1330,5 +1340,63 @@ case class BigramPpl(child: Expression, model: BigramLmLocal)
     BigramPpl.compute(input.asInstanceOf[UTF8String], model)
 
   override protected def withNewChildInternal(newChild: Expression): BigramPpl =
+    copy(child = newChild)
+}
+
+object TokStats {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  /** One scorer for the interpreted and generated paths: token count and
+    * non-whitespace character count in ONE byte-level pass — no edge-strip
+    * string copy, no token array, no regex. Parity contract (pinned in
+    * TextFunctionsSpec against the column twins):
+    *  - tokens are the `Tok` segments (edge-strip by `\s`, split `\s+`), so
+    *    ntok = number of non-whitespace runs, with the degenerate
+    *    empty/all-whitespace input counting 1 (the split-of-empty [""]
+    *    artifact both the column form and the DuckDB twins share);
+    *  - nonspace = CODE POINTS outside Java-regex `\s` (= the 6 ASCII
+    *    whitespace chars; `\s` is ASCII-only without UNICODE flags), which
+    *    equals `length(regexp_replace(text, "\\s+", ""))` — continuation
+    *    bytes don't start a code point and are not counted.
+    */
+  def compute(input: UTF8String): InternalRow = {
+    val n = input.numBytes
+    var ntok = 0
+    var nonspace = 0
+    var inTok = false
+    var i = 0
+    while (i < n) {
+      val b = input.getByte(i)
+      if (b >= 0 && isWs(b)) {
+        inTok = false
+      } else {
+        if (!inTok) { ntok += 1; inTok = true }
+        if ((b & 0xc0) != 0x80) nonspace += 1
+      }
+      i += 1
+    }
+    InternalRow(if (ntok == 0) 1 else ntok, nonspace)
+  }
+}
+
+/** See [[TextExpressions.tokStats]]. */
+case class TokStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = StructType(Seq(
+    StructField("ntok", IntegerType, nullable = false),
+    StructField("nonspace", IntegerType, nullable = false)))
+
+  override def nullSafeEval(input: Any): Any =
+    TokStats.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.TokStats$$.MODULE$$.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokStats =
     copy(child = newChild)
 }

@@ -301,4 +301,37 @@ class TextFunctionsSpec extends SparkSpec {
     // bare authority, no path
     assert(n("https://H.com") == "https://h.com")
   }
+
+  test("native TokStats equals the column twins on every edge") {
+    val cases: Seq[Option[String]] = Seq(
+      Some("a b c"), Some(""), Some("   "), Some("\t\n\u000b\u000c\r"),
+      Some("solo"), Some("  edge strip  "), Some("tab\tsep\nnewline mix"),
+      Some("\u00fc\u00e9 \u00df"),          // multi-byte chars
+      Some("\ud83d\ude00 \ud83d\udc4d"),   // astral (4-byte UTF-8)
+      Some("a\u00a0b"),                       // NBSP is NOT Java \s
+      Some("x " * 300 + "tail"), None)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t.orNull) }
+      .toDF("id", "text")
+    val got = df.select($"id",
+        TextFunctions.tokenCount($"text").as("n1"),
+        TextFunctions.tokenCountColumns($"text").as("n2"),
+        TextFunctions.avgTokenLen($"text").as("a1"),
+        TextFunctions.avgTokenLenColumns($"text").as("a2"))
+      .collect()
+    got.foreach { r =>
+      assert(r.get(1) == r.get(2), s"tokenCount diverges on id=${r.getLong(0)}: $r")
+      assert(r.get(3) == r.get(4), s"avgTokenLen diverges on id=${r.getLong(0)}: $r")
+    }
+    // randomized sweep over a whitespace-rich alphabet
+    val rnd = new scala.util.Random(3)
+    val alpha = "ab \t\n\u00e9\u00a0."
+    val rand = (0 until 300).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(40))(alpha(rnd.nextInt(alpha.length))).mkString))
+      .toDF("id", "text")
+    val bad = rand.select(
+        TextFunctions.tokenCount($"text") === TextFunctions.tokenCountColumns($"text"),
+        TextFunctions.avgTokenLen($"text") <=> TextFunctions.avgTokenLenColumns($"text"))
+      .collect().count(r => !r.getBoolean(0) || !r.getBoolean(1))
+    assert(bad == 0, s"$bad/300 randomized rows diverge")
+  }
 }
