@@ -94,4 +94,35 @@ class CorpusCardSpec extends SparkSpec {
     intercept[IllegalArgumentException](CorpusCard.sketchSlice(df.drop("n_chars")))
     intercept[IllegalArgumentException](CorpusCard.sketchSlice(df, bucketWidth = 0))
   }
+
+  test("streaming rolling card: foreachBatch states merge to the whole-stream card") {
+    // The production shape for a CONTINUOUS datasheet: the ingest stream's
+    // micro-batches each write their sketch state next to the batch
+    // (foreachBatch), and the live card at any moment is merge(states) —
+    // no batch is ever rescanned. Equality against the one-shot card of
+    // everything streamed is the whole contract.
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String, String, Long)]
+    val dir = java.nio.file.Files.createTempDirectory("graft-card-stream").toString
+    val q = mem.toDF().toDF("doc_id", "lang", "text", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        CorpusCard.sketchSlice(batch)
+          .write.mode("overwrite").parquet(s"$dir/batch=$id"): Unit
+      }
+      .start()
+    val all = docs(240).as[(Long, String, String, Long)].collect().toSeq
+    try {
+      all.grouped(80).foreach { chunk =>
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val states = spark.read.parquet(s"$dir/batch=*")
+    val got = card(CorpusCard.finish(CorpusCard.merge(states)))
+    val want = card(CorpusCard.finish(CorpusCard.sketchSlice(
+      all.toDF("doc_id", "lang", "text", "n_chars"))))
+    assert(got == want, s"streamed-card $got != one-shot $want")
+  }
 }
