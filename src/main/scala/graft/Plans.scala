@@ -71,7 +71,7 @@ object Plans {
       "q_ann_adc"          -> "PQ codes from ONE native PqEncode scan; per-query distance tables computed on the BROADCAST side (PqDistTable — m·ksub·dsub flops per query, not per doc); corpus rows pay m AdcDistance lookups, candidates discarded map-side by the bounded top-k aggregate",
       "q_sample_clusters"  -> "cell assignment is ONE native NearestCenter node inside the scan; the only exchange beyond the output sort is the cell-partitioned sampling window (WindowGroupLimit prunes to n per cell map-side)",
       "q_dedup_substr"     -> "gram stream from ONE native KgramHashes node inside the scan; the dup-count aggregate exchanges 8-byte hashes ONLY (project before exchange — bodies never move), flags return via semi-join of narrow (doc, pos, h) rows; span merge is one doc-partitioned window",
-      "q_split_leakage"    -> "the component fixpoint reuses q_dedup_clusters' equi-join edge plan (no inequality join); the split CASE is pure column algebra over the component — no extra exchange beyond the CC rounds"
+      "q_split_leakage"    -> "the duplicate-pair graph resolves on the ADAPTIVE CC path: one bounded CollectLimit probe job over the equi-join edge plan (no inequality join), then the RESULT plan is ONE distinct exchange over node ids + ONE BroadcastHashJoin against the driver-resolved component mapping (LocalTableScan) — ZERO fixpoint rounds, no checkpointed loop; past the 200k-edge threshold the probe stops early and the O(log diameter) pointer-jumping loop takes over; the split CASE is pure column algebra over the component"
     )
 
     val sb = new StringBuilder

@@ -1,7 +1,11 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 
 /** Duplicate-cluster resolution: connected components over a near-duplicate
@@ -42,8 +46,78 @@ import org.apache.spark.storage.StorageLevel
   * frame. Throws IllegalStateException if `maxIter` rounds don't converge —
   * a truncated clustering is silently WRONG (it splits components), never
   * returned.
+  *
+  * ADAPTIVE SMALL-GRAPH FAST PATH: the loop's cost at the low end is pure
+  * JOB floor — ~3 jobs x O(log diameter) rounds — which dwarfs the actual
+  * union-find work whenever the edge list is small (a verified near-dup
+  * pair graph usually is: dup *pairs* are rare even when the corpus is
+  * huge). So the call first probes the edge list with ONE bounded job:
+  * `limit(localEdgeThreshold + 1).collect()` — a CollectLimit, which scans
+  * partitions incrementally and stops as soon as it has threshold+1 rows,
+  * so on a 100 TB pair graph the probe reads a few partitions and falls
+  * through to the loop; it never materializes the full edge list. If the
+  * raw edge rows fit the threshold, components are resolved driver-side
+  * (union-find, path compression) and the result is a LAZY plan: one
+  * distinct over node ids (required by the one-row-per-id contract —
+  * the loop pays the same exchange) plus one BROADCAST join against the
+  * bounded endpoint→component mapping. Per-row driver memory is two id
+  * values, so the default threshold (200k edges) is a few MB. The
+  * representative is the component's minimum id under the natural ordering
+  * of the id type (JVM `Comparable` — identical to Spark's `min` for
+  * numeric/date ids; for STRING ids with non-BMP code points the JVM's
+  * UTF-16 order can differ from Spark's binary UTF-8 order, so pin
+  * `localEdgeThreshold = 0` if astral-plane id parity with the loop
+  * matters). `maxIter` (a loop contract) is not consulted on the fast
+  * path. Set `localEdgeThreshold = 0` to force the distributed loop.
   */
 object Clusters {
+
+  /** Ascending order via JVM Comparable — matches Spark's `min` ordering
+    * for the atomic id types this is used with (see class doc caveat).
+    */
+  private val anyAsc: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
+  /** Driver-side union-find over a bounded undirected edge list: every
+    * NON-NULL endpoint id → minimum id of its component. Duplicate /
+    * reversed edges are harmless (union is idempotent); a NULL endpoint is
+    * "no neighbor" — the non-NULL side is still registered (it may be an
+    * isolated node the `nodes` frame doesn't carry), matching the loop's
+    * label-initialization semantics.
+    */
+  private def localComponents(edgeList: Array[(Any, Any)]): mutable.HashMap[Any, Any] = {
+    val index = mutable.HashMap.empty[Any, Int]
+    val ids = mutable.ArrayBuffer.empty[Any]
+    val parent = mutable.ArrayBuffer.empty[Int]
+    def idx(v: Any): Int = index.getOrElseUpdate(v, { ids += v; parent += ids.length - 1; ids.length - 1 })
+    def find(i: Int): Int = {
+      var r = i
+      while (parent(r) != r) r = parent(r)
+      var c = i
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edgeList.foreach { case (s, d) =>
+      if (s != null && d != null) {
+        val (rs, rd) = (find(idx(s)), find(idx(d)))
+        if (rs != rd) parent(rd) = rs
+      } else if (s != null) idx(s)
+      else if (d != null) idx(d)
+    }
+    val minOfRoot = mutable.HashMap.empty[Int, Any]
+    ids.indices.foreach { i =>
+      val r = find(i)
+      val v = ids(i)
+      minOfRoot.get(r) match {
+        case Some(m) if anyAsc.lteq(m, v) => ()
+        case _ => minOfRoot(r) = v
+      }
+    }
+    val out = mutable.HashMap.empty[Any, Any]
+    ids.indices.foreach(i => out(ids(i)) = minOfRoot(find(i)))
+    out
+  }
 
   /** Connected components of the graph over `nodes` ∪ edge endpoints.
     *
@@ -57,20 +131,52 @@ object Clusters {
     *              added automatically)
     * @param edges undirected pair frame; orientation and duplicates don't
     *              matter (symmetrized + de-duplicated internally)
+    * @param localEdgeThreshold raw edge rows at or below which components
+    *              resolve driver-side (see class doc); 0 forces the loop
     * @return (`idCol`, component) — component = min node id in the component
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           idCol: String = "id",
                           srcCol: String = "src", dstCol: String = "dst",
-                          maxIter: Int = 30): DataFrame = {
+                          maxIter: Int = 30,
+                          localEdgeThreshold: Int = 200000): DataFrame = {
     require(maxIter > 0, s"Clusters: maxIter must be positive, got $maxIter")
-    val sym = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .unionByName(edges.select(col(dstCol).as("s"), col(srcCol).as("d")))
-      // A NULL endpoint is "no neighbor", not a node: without this filter an
-      // edge like (1, NULL) survives the label join on its non-NULL side and
-      // re-injects a phantom NULL-id row into the output, violating the
-      // non-NULL-id contract the initial-label filter establishes.
+    require(localEdgeThreshold >= 0,
+      s"Clusters: localEdgeThreshold must be >= 0, got $localEdgeThreshold")
+    // A NULL endpoint is "no neighbor", not a node: without this filter an
+    // edge like (1, NULL) survives the label join on its non-NULL side and
+    // re-injects a phantom NULL-id row into the output, violating the
+    // non-NULL-id contract the initial-label filter establishes.
+    val pairs = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
       .filter(col("s").isNotNull && col("d").isNotNull)
+
+    // Small-graph probe: one CollectLimit job, bounded at threshold+1 rows.
+    // Probes the UNFILTERED edge frame so half-NULL edges still register
+    // their live endpoint (same as the loop's label init). The fast path
+    // needs a single endpoint id type for the mapping frame; mixed src/dst
+    // types (never the case in graft's callers) just fall through to the
+    // loop, whose union performs the normal coercion.
+    val sTpe = pairs.schema.head.dataType
+    if (localEdgeThreshold > 0 && sTpe == pairs.schema(1).dataType) {
+      val probe = edges.select(col(srcCol), col(dstCol))
+        .limit(localEdgeThreshold + 1).collect()
+      if (probe.length <= localEdgeThreshold) {
+        val comp = localComponents(probe.map(r => (r.get(0), r.get(1))))
+        val spark = nodes.sparkSession
+        val mapping = spark.createDataFrame(
+          comp.iterator.map { case (id, c) => Row(id, c) }.toSeq.asJava,
+          StructType(Seq(StructField("id", sTpe), StructField("__graft_comp", sTpe))))
+        val allIds = nodes.select(col(idCol).as("id")).filter(col("id").isNotNull)
+          .unionByName(mapping.select("id"))
+          .distinct()
+        return allIds.join(broadcast(mapping), Seq("id"), "left")
+          .select(col("id").as(idCol),
+            coalesce(col("__graft_comp"), col("id")).as("component"))
+      }
+    }
+
+    val sym = pairs
+      .unionByName(pairs.select(col("d").as("s"), col("s").as("d")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 

@@ -10,9 +10,12 @@ class ClustersSpec extends SparkSpec {
   private def nodes(ids: Long*) = ids.toDF("id")
   private def edges(pairs: (Long, Long)*) = pairs.toDF("src", "dst")
 
+  // localEdgeThreshold = 0 pins the DISTRIBUTED loop: these tests assert
+  // loop contracts (rounds, maxIter, mid-loop NULL handling). Fast-path
+  // coverage + loop parity is at the bottom of the suite.
   private def run(n: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame,
                   maxIter: Int = 30): Map[Long, Long] =
-    Clusters.connectedComponents(n, e, maxIter = maxIter)
+    Clusters.connectedComponents(n, e, maxIter = maxIter, localEdgeThreshold = 0)
       .as[(Long, Long)].collect().toMap
 
   test("chain is transitively one component labeled by its minimum") {
@@ -52,24 +55,73 @@ class ClustersSpec extends SparkSpec {
     intercept[IllegalArgumentException](run(nodes(1), edges(), maxIter = 0))
   }
 
-  test("NULL node ids are excluded up front, not dropped mid-loop") {
+  test("NULL node ids are excluded up front, not dropped mid-loop — both paths") {
     // review regression: without the entry filter a NULL id survived into
     // labels and the inner jump join silently dropped it in round 1
     val n = Seq(Some(1L), None, Some(2L)).toDF("id")
-    val comp = Clusters.connectedComponents(n, edges(1L -> 2L))
-      .as[(Long, Long)].collect().toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L))
+    for (t <- Seq(0, 200000)) {
+      val comp = Clusters.connectedComponents(n, edges(1L -> 2L), localEdgeThreshold = t)
+        .as[(Long, Long)].collect().toMap
+      assert(comp == Map(1L -> 1L, 2L -> 1L), s"threshold=$t")
+    }
   }
 
-  test("NULL edge endpoints are ignored, never re-injected as phantom nodes") {
+  test("NULL edge endpoints are ignored, never re-injected as phantom nodes — both paths") {
     import spark.implicits._
     // Review regression: an edge like (1, NULL) used to survive the label
     // join on its non-NULL side and emit a phantom (NULL, component) row.
+    // The half-NULL edges' live endpoints must still register even when
+    // absent from `nodes` (here: 4 via (4, NULL)) — on BOTH paths.
     val nodes = Seq(1L, 2L, 3L).toDF("id")
-    val edges = Seq((Some(1L), Some(2L)), (Some(1L), None), (None, Some(3L)))
+    val edges = Seq((Some(1L), Some(2L)), (Some(1L), None), (None, Some(3L)),
+        (Some(4L), None))
       .toDF("src", "dst")
-    val out = Clusters.connectedComponents(nodes, edges)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
-    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    for (t <- Seq(0, 200000)) {
+      val out = Clusters.connectedComponents(nodes, edges, localEdgeThreshold = t)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(out == Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L)), s"threshold=$t")
+    }
+  }
+
+  // ---- small-graph fast path (driver union-find + broadcast join-back) ----
+
+  test("fast path ≡ distributed loop on a mixed graph (chain, cycle, isolated, missing endpoints)") {
+    val n = nodes(1, 2, 3, 4, 9, 20)
+    val e = edges(2L -> 1L, 2L -> 3L, 3L -> 4L, 5L -> 6L, 6L -> 7L, 7L -> 5L, 8L -> 30L)
+    val fast = Clusters.connectedComponents(n, e).as[(Long, Long)].collect().toMap
+    val loop = run(n, e)
+    assert(fast == loop)
+    assert(fast == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 9L -> 9L, 20L -> 20L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 8L, 30L -> 8L))
+  }
+
+  test("fast path runs ZERO fixpoint rounds: maxIter=1 on a long chain still converges") {
+    // the same chain whose loop-path contract is "throws at maxIter=1"
+    val chain = edges(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    val comp = Clusters.connectedComponents(nodes(1, 2, 3, 4, 5, 6), chain, maxIter = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(comp.values.toSet == Set(1L))
+  }
+
+  test("probe overflow falls back to the loop (threshold below edge count)") {
+    val e = edges(1L -> 2L, 2L -> 3L, 10L -> 11L)
+    val comp = Clusters.connectedComponents(nodes(1, 2, 3, 10, 11), e,
+        localEdgeThreshold = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("fast path handles non-numeric ids (string minimum representative)") {
+    val n = Seq("delta", "alpha", "omega").toDF("id")
+    val e = Seq(("delta", "beta"), ("beta", "alpha")).toDF("src", "dst")
+    val comp = Clusters.connectedComponents(n, e)
+      .as[(String, String)].collect().toMap
+    assert(comp == Map("alpha" -> "alpha", "beta" -> "alpha", "delta" -> "alpha",
+      "omega" -> "omega"))
+  }
+
+  test("invalid localEdgeThreshold rejected") {
+    intercept[IllegalArgumentException](
+      Clusters.connectedComponents(nodes(1), edges(), localEdgeThreshold = -1))
   }
 }
