@@ -124,4 +124,15 @@ class ClustersSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Clusters.connectedComponents(nodes(1), edges(), localEdgeThreshold = -1))
   }
+
+  test("randomized parity: fast path ≡ loop on a seeded 300-edge graph (self-loops included)") {
+    val rnd = new scala.util.Random(13)
+    val e = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("src", "dst")
+    val n = (0L until 90L).toDF("id")
+    val fast = Clusters.connectedComponents(n, e).as[(Long, Long)].collect().toMap
+    val loop = Clusters.connectedComponents(n, e, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == loop)
+    assert(fast.size == 90)
+  }
 }
