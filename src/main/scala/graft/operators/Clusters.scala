@@ -52,31 +52,81 @@ import org.apache.spark.storage.StorageLevel
   * union-find work whenever the edge list is small (a verified near-dup
   * pair graph usually is: dup *pairs* are rare even when the corpus is
   * huge). So the call first probes the edge list with ONE bounded job:
-  * `limit(localEdgeThreshold + 1).collect()` — a CollectLimit, which scans
-  * partitions incrementally and stops as soon as it has threshold+1 rows,
-  * so on a 100 TB pair graph the probe reads a few partitions and falls
-  * through to the loop; it never materializes the full edge list. If the
-  * raw edge rows fit the threshold, components are resolved driver-side
-  * (union-find, path compression) and the result is a LAZY plan: one
-  * distinct over node ids (required by the one-row-per-id contract —
-  * the loop pays the same exchange) plus one BROADCAST join against the
-  * bounded endpoint→component mapping. Per-row driver memory is two id
-  * values, so the default threshold (200k edges) is a few MB. The
-  * representative is the component's minimum id under the natural ordering
-  * of the id type (JVM `Comparable` — identical to Spark's `min` for
-  * numeric/date ids; for STRING ids with non-BMP code points the JVM's
-  * UTF-16 order can differ from Spark's binary UTF-8 order, so pin
-  * `localEdgeThreshold = 0` if astral-plane id parity with the loop
-  * matters). `maxIter` (a loop contract) is not consulted on the fast
-  * path. Set `localEdgeThreshold = 0` to force the distributed loop.
+  * `limit(localEdgeThreshold + 1).collect()` — a CollectLimit, which never
+  * collects more than threshold+1 rows to the driver. How much WORK the
+  * probe does depends on the edge plan: over a scan-shaped frame
+  * CollectLimit executes partitions incrementally and stops early; when the
+  * edges come out of joins/aggregates (the usual near-dup case),
+  * producing the first output partition already runs the upstream shuffle
+  * stages, so a fall-through has paid one evaluation of the edge pipeline.
+  * The edge frame is therefore persisted (MEMORY_AND_DISK) before the
+  * probe: whatever the probe computed is reused by the loop instead of
+  * recomputed, making the fall-through's extra cost the bounded collect
+  * itself, not a second pipeline evaluation. If the raw edge rows fit the
+  * threshold, components are resolved driver-side (union-find, path
+  * compression) and the result is a LAZY plan: one distinct over node ids
+  * (required by the one-row-per-id contract — the loop pays the same
+  * exchange) plus one BROADCAST join against the bounded
+  * endpoint→component mapping. Per-row driver memory is two id values, so
+  * the default threshold (200k edges) is a few MB. The representative is
+  * the component's minimum id under the same ordering Spark's `min` uses —
+  * strings compare by code point (= binary UTF-8 order, including astral
+  * planes), other atomics via their JVM `Comparable`. The fast path is
+  * gated to id types where that equivalence holds (numeric, decimal,
+  * default-collation string, date/timestamp, boolean); binary, nested, and
+  * collated-string ids always take the distributed loop. `maxIter` (a loop
+  * contract) is not consulted on the fast path. Set
+  * `localEdgeThreshold = 0` to force the distributed loop.
   */
 object Clusters {
 
-  /** Ascending order via JVM Comparable — matches Spark's `min` ordering
-    * for the atomic id types this is used with (see class doc caveat).
+  /** Ascending order matching Spark's `min` for every fast-path id type.
+    * Strings compare by CODE POINT (== unsigned UTF-8 byte order, Spark's
+    * binary string ordering) — `String.compareTo` is UTF-16 code-unit order,
+    * which sorts non-BMP characters (surrogate range 0xD800+) BELOW
+    * U+E000..U+FFFF and would pick a different component representative
+    * than the loop for astral-plane ids. Everything else goes through JVM
+    * `Comparable`, identical to Spark's ordering for the whitelisted types
+    * (numerics incl. NaN-greatest doubles, decimal, date/timestamp both
+    * java.sql and java.time, boolean).
     */
   private val anyAsc: Ordering[Any] = new Ordering[Any] {
-    def compare(a: Any, b: Any): Int = a.asInstanceOf[Comparable[Any]].compareTo(b)
+    def compare(a: Any, b: Any): Int = (a, b) match {
+      case (x: String, y: String) => codePointCompare(x, y)
+      case _ => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    }
+  }
+
+  private def codePointCompare(x: String, y: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i)
+      val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx)
+      j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** Id types the driver-side fast path accepts: atomic types whose EXTERNAL
+    * (Row.get) representation is a `Comparable` ordering-compatible with
+    * Spark's `min` AND whose equality/hashCode make valid HashMap keys.
+    * BinaryType fails both (Array[Byte] is reference-equal and not
+    * Comparable), arrays/structs aren't Comparable, and non-default string
+    * collations order differently than the binary comparison [[anyAsc]]
+    * does — all of those fall through to the distributed loop, which orders
+    * via Spark's own expressions and is correct for every orderable type.
+    */
+  private def fastPathComparable(t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    t match {
+      case _: NumericType => true // incl. DecimalType -> java.math.BigDecimal
+      case DateType | TimestampType | TimestampNTZType | BooleanType => true
+      case s: StringType => s == StringType // default (binary) collation only
+      case _ => false
+    }
   }
 
   /** Driver-side union-find over a bounded undirected edge list: every
@@ -143,23 +193,23 @@ object Clusters {
     require(maxIter > 0, s"Clusters: maxIter must be positive, got $maxIter")
     require(localEdgeThreshold >= 0,
       s"Clusters: localEdgeThreshold must be >= 0, got $localEdgeThreshold")
-    // A NULL endpoint is "no neighbor", not a node: without this filter an
-    // edge like (1, NULL) survives the label join on its non-NULL side and
-    // re-injects a phantom NULL-id row into the output, violating the
-    // non-NULL-id contract the initial-label filter establishes.
-    val pairs = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
-      .filter(col("s").isNotNull && col("d").isNotNull)
+    val raw = edges.select(col(srcCol).as("s"), col(dstCol).as("d"))
 
     // Small-graph probe: one CollectLimit job, bounded at threshold+1 rows.
     // Probes the UNFILTERED edge frame so half-NULL edges still register
-    // their live endpoint (same as the loop's label init). The fast path
-    // needs a single endpoint id type for the mapping frame; mixed src/dst
-    // types (never the case in graft's callers) just fall through to the
-    // loop, whose union performs the normal coercion.
-    val sTpe = pairs.schema.head.dataType
-    if (localEdgeThreshold > 0 && sTpe == pairs.schema(1).dataType) {
-      val probe = edges.select(col(srcCol), col(dstCol))
-        .limit(localEdgeThreshold + 1).collect()
+    // their live endpoint (same as the loop's label init). Gated on the
+    // type whitelist (see fastPathComparable) and on a single endpoint id
+    // type for the mapping frame; mixed src/dst types (never the case in
+    // graft's callers) just fall through to the loop, whose union performs
+    // the normal coercion. The frame is persisted BEFORE the probe so a
+    // fall-through's loop reuses the partitions the probe computed instead
+    // of re-running the upstream edge pipeline (see the class doc).
+    val sTpe = raw.schema.head.dataType
+    val tryFast = localEdgeThreshold > 0 && sTpe == raw.schema(1).dataType &&
+      fastPathComparable(sTpe)
+    val rawEdges = if (tryFast) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
+    if (tryFast) {
+      val probe = rawEdges.limit(localEdgeThreshold + 1).collect()
       if (probe.length <= localEdgeThreshold) {
         val comp = localComponents(probe.map(r => (r.get(0), r.get(1))))
         val spark = nodes.sparkSession
@@ -169,11 +219,20 @@ object Clusters {
         val allIds = nodes.select(col(idCol).as("id")).filter(col("id").isNotNull)
           .unionByName(mapping.select("id"))
           .distinct()
+        // the returned plan references only `nodes` + the driver-side
+        // mapping, so the probe cache can go immediately
+        rawEdges.unpersist(blocking = false)
         return allIds.join(broadcast(mapping), Seq("id"), "left")
           .select(col("id").as(idCol),
             coalesce(col("__graft_comp"), col("id")).as("component"))
       }
     }
+
+    // A NULL endpoint is "no neighbor", not a node: without this filter an
+    // edge like (1, NULL) survives the label join on its non-NULL side and
+    // re-injects a phantom NULL-id row into the output, violating the
+    // non-NULL-id contract the initial-label filter establishes.
+    val pairs = rawEdges.filter(col("s").isNotNull && col("d").isNotNull)
 
     val sym = pairs
       .unionByName(pairs.select(col("d").as("s"), col("s").as("d")))
@@ -183,8 +242,8 @@ object Clusters {
     // Eager localCheckpoint: materialized (id, comp) with a truncated plan —
     // see the lineage-discipline note above.
     var labels = nodes.select(col(idCol).as("id"))
-      .unionByName(edges.select(col(srcCol).as("id")))
-      .unionByName(edges.select(col(dstCol).as("id")))
+      .unionByName(rawEdges.select(col("s").as("id")))
+      .unionByName(rawEdges.select(col("d").as("id")))
       .filter(col("id").isNotNull) // see the NULL-id contract above
       .distinct()
       .select(col("id"), col("id").as("comp"))
@@ -228,6 +287,7 @@ object Clusters {
       iter += 1
     }
     sym.unpersist(blocking = false)
+    rawEdges.unpersist(blocking = false) // no-op when the probe never persisted
     if (!converged) {
       throw new IllegalStateException(
         s"Clusters.connectedComponents: no fixpoint after $maxIter rounds — " +

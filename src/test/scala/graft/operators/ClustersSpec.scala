@@ -125,6 +125,38 @@ class ClustersSpec extends SparkSpec {
       Clusters.connectedComponents(nodes(1), edges(), localEdgeThreshold = -1))
   }
 
+  test("non-BMP string ids: fast-path representative matches Spark's binary min (≡ loop)") {
+    // U+1F600 is a surrogate pair in UTF-16 (0xD83D 0xDE00), which
+    // String.compareTo sorts BELOW U+FFFD; Spark's binary UTF-8 ordering
+    // (= code point order) sorts it ABOVE. The fast path must agree with
+    // the loop — i.e. pick the U+FFFD id as the component minimum.
+    val astral = "id-😀"
+    val bmp = "id-�"
+    val n = Seq(astral, bmp).toDF("id")
+    val e = Seq((astral, bmp)).toDF("src", "dst")
+    val fast = Clusters.connectedComponents(n, e).as[(String, String)].collect().toMap
+    val loop = Clusters.connectedComponents(n, e, localEdgeThreshold = 0)
+      .as[(String, String)].collect().toMap
+    assert(fast == loop)
+    assert(fast.values.toSet == Set(bmp))
+  }
+
+  test("binary ids fall through to the distributed loop (not fast-path Comparable) and resolve") {
+    // Array[Byte] is neither Comparable nor a value-equal HashMap key, so
+    // the type gate must route BinaryType ids to the loop even under the
+    // default-on threshold — previously a ClassCastException.
+    val e = Seq((Array[Byte](2), Array[Byte](1)), (Array[Byte](2), Array[Byte](3)))
+      .toDF("src", "dst")
+    val n = Seq(Array[Byte](1), Array[Byte](9)).toDF("id")
+    val out = Clusters.connectedComponents(n, e)
+      .collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getAs[Array[Byte]](1).toSeq))
+      .toMap
+    assert(out == Map(
+      Seq[Byte](1) -> Seq[Byte](1), Seq[Byte](2) -> Seq[Byte](1),
+      Seq[Byte](3) -> Seq[Byte](1), Seq[Byte](9) -> Seq[Byte](9)))
+  }
+
   test("randomized parity: fast path ≡ loop on a seeded 300-edge graph (self-loops included)") {
     val rnd = new scala.util.Random(13)
     val e = Seq.fill(300)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)).toDF("src", "dst")
