@@ -1146,12 +1146,16 @@ object SparkEntry {
     "q_line_filter" -> ((s, dir) => {
       // Per-line boilerplate filter over the same planted 2-word lines:
       // drop every line containing the stopword "the" (the C4 rule shape —
-      // predicate per line, reassemble survivors in order). Zero shuffle
-      // beyond reassembly (operators/Lines.scala).
+      // predicate per line, reassemble survivors in order). Zero shuffle,
+      // zero explode, and since r14 zero interpreted lambdas: the rules run
+      // through the native one-pass FilterLines expression
+      // (plans/TextExpressions.scala; the HOF twin paid 2.1× at sf0.1 in
+      // per-element lambda dispatch — column twin parity in LinesSpec).
       val aug = Tables.load(s, dir, "documents")
         .select(col("doc_id"),
           regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", "$1\n").as("text"))
-      operators.Lines.filterLines(aug, l => !l.rlike("\\bthe\\b"))
+      operators.Lines.filterLinesFast(aug,
+          plans.FilterLines.LineRules(blockWords = Seq("the")))
         .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
         .orderBy("doc_id")
     }),

@@ -16,7 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset (same contract as Bench's SPARK_GRAFT_BENCH_ONLY):
+    // builder-side targeted oracle checks after touching one operator. The
+    // driver's gate runs without the env var and always dumps everything.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
+    SparkEntry.queries
+      .filter { case (name, _) =>
+        only.forall(_.exists(tok => name == tok || name.startsWith(tok))) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case scala.util.control.NonFatal(e) =>

@@ -232,6 +232,19 @@ object TextExpressions {
     */
   def tokStats(text: Column): Column =
     ColumnShim.column(TokStats(ColumnShim.expression(text)))
+
+  /** struct<text, n_kept, n_dropped> — per-line boilerplate filtering
+    * (split by `sep`, drop lines failing [[FilterLines.LineRules]], rejoin
+    * survivors in order) in ONE codegen'd byte-level pass. The higher-order
+    * `filter(split(text), λ)` twin evaluates its lambda INTERPRETED per
+    * line — boxing + expression-tree dispatch per element made q_line_filter
+    * 2.1× slower than its r12 exploded form at sf0.1 even though the plan
+    * shape (zero-shuffle scan projection) was right. Parity with the
+    * column-algebra predicate ([[graft.operators.Lines.rulesPredicate]]) is
+    * pinned in LinesSpec.
+    */
+  def filterLines(text: Column, sep: String, rules: FilterLines.LineRules): Column =
+    ColumnShim.column(FilterLines(ColumnShim.expression(text), sep, rules))
 }
 
 case class MinHashState(child: Expression, k: Int, w: Int, bands: Int, seed: Long)
@@ -1398,5 +1411,194 @@ case class TokStats(child: Expression)
       s"${ev.value} = graft.plans.TokStats$$.MODULE$$.compute($a);")
 
   override protected def withNewChildInternal(newChild: Expression): TokStats =
+    copy(child = newChild)
+}
+
+object FilterLines {
+
+  /** Declarative per-line keep rules — the C4/RefinedWeb boilerplate algebra
+    * (Raffel et al. 2020 §2.2's line filters are exactly this shape). A line
+    * is KEPT iff every enabled rule holds:
+    *
+    *  - `minChars`/`maxChars`: code-point length bounds (inclusive);
+    *  - `minTokens`: at least this many whitespace-separated tokens
+    *    (Java-regex ASCII `\s` runs; an empty line has 0 tokens);
+    *  - `blockWords`: the line contains NONE of these as a whole word —
+    *    Java-regex `\b<word>\b` semantics with the ASCII `\w` class, so the
+    *    words themselves must be ASCII `[A-Za-z0-9_]+` (validated; use
+    *    `blockSubstrings` for phrases or non-ASCII needles);
+    *  - `blockSubstrings`: the line contains none of these literally;
+    *  - `requireEndPunct`: the line's last code point is one of `. ! ? "`
+    *    (the C4 terminal-punctuation rule).
+    */
+  case class LineRules(minChars: Int = 0, maxChars: Int = Int.MaxValue,
+                       minTokens: Int = 0,
+                       blockWords: Seq[String] = Nil,
+                       blockSubstrings: Seq[String] = Nil,
+                       requireEndPunct: Boolean = false) {
+    require(minChars >= 0 && minTokens >= 0,
+      s"LineRules: minChars/minTokens must be >= 0, got $minChars/$minTokens")
+    require(maxChars >= minChars,
+      s"LineRules: maxChars=$maxChars < minChars=$minChars")
+    blockWords.foreach(w => require(
+      w.nonEmpty && w.forall(ch =>
+        (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') ||
+        (ch >= '0' && ch <= '9') || ch == '_'),
+      s"LineRules: blockWords must be non-empty ASCII [A-Za-z0-9_]+ (\\b semantics), got '$w'" +
+        " — use blockSubstrings for anything else"))
+    blockSubstrings.foreach(s => require(s.nonEmpty,
+      "LineRules: blockSubstrings must be non-empty"))
+  }
+
+  /** Byte-level precompile of (sep, rules) — built once per expression
+    * instance (driver side), shipped as a codegen reference object, shared
+    * across rows. */
+  final class Compiled(sep: String, rules: LineRules) extends Serializable {
+    val sepBytes: Array[Byte] = sep.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val words: Array[Array[Byte]] =
+      rules.blockWords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val subs: Array[Array[Byte]] =
+      rules.blockSubstrings.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+    val minChars: Int = rules.minChars
+    val maxChars: Int = rules.maxChars
+    val minTokens: Int = rules.minTokens
+    val requireEndPunct: Boolean = rules.requireEndPunct
+  }
+
+  // Java-regex ASCII classes: \w = [A-Za-z0-9_], \s = [ \t\n\x0B\f\r].
+  // Bytes >= 0x80 (negative) are neither — consistent with the decoded
+  // regex view, where any non-ASCII code point is non-word non-space.
+  private def isWordByte(b: Byte): Boolean =
+    (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '_'
+  private def isWsByte(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  private def matchesAt(b: Array[Byte], i: Int, pat: Array[Byte]): Boolean = {
+    var k = 0
+    while (k < pat.length) {
+      if (b(i + k) != pat(k)) return false
+      k += 1
+    }
+    true
+  }
+
+  // Byte-wise search is code-point exact: a valid UTF-8 needle's first byte
+  // is ASCII or a lead byte, neither of which equals a continuation byte,
+  // so matches only start on code-point boundaries.
+  private def containsNeedle(b: Array[Byte], s: Int, e: Int, pat: Array[Byte],
+                             wordBounded: Boolean): Boolean = {
+    var i = s
+    val last = e - pat.length
+    while (i <= last) {
+      if (matchesAt(b, i, pat) &&
+          (!wordBounded ||
+            ((i == s || !isWordByte(b(i - 1))) &&
+             (i + pat.length == e || !isWordByte(b(i + pat.length)))))) return true
+      i += 1
+    }
+    false
+  }
+
+  private def keepLine(b: Array[Byte], s: Int, e: Int, c: Compiled): Boolean = {
+    // one byte pass: code points ((b & 0xC0) != 0x80 starts one) + token runs
+    var cp = 0
+    var toks = 0
+    var inTok = false
+    var i = s
+    while (i < e) {
+      val x = b(i)
+      if ((x & 0xc0) != 0x80) cp += 1
+      if (x >= 0 && isWsByte(x)) inTok = false
+      else if (!inTok) { toks += 1; inTok = true }
+      i += 1
+    }
+    if (cp < c.minChars || cp > c.maxChars || toks < c.minTokens) return false
+    if (c.requireEndPunct) {
+      // the punctuation set is ASCII, so "last code point" == last byte
+      // whenever it matches (a multi-byte final char ends in a continuation
+      // byte, which can't equal any of them)
+      if (e == s) return false
+      val last = b(e - 1)
+      if (!(last == '.' || last == '!' || last == '?' || last == '"')) return false
+    }
+    var w = 0
+    while (w < c.words.length) {
+      if (containsNeedle(b, s, e, c.words(w), wordBounded = true)) return false
+      w += 1
+    }
+    var u = 0
+    while (u < c.subs.length) {
+      if (containsNeedle(b, s, e, c.subs(u), wordBounded = false)) return false
+      u += 1
+    }
+    true
+  }
+
+  /** One scorer for the interpreted and generated paths. Line segmentation
+    * matches `split(text, quote(sep), -1)`: the separator is a LITERAL,
+    * non-overlapping occurrences scanned left to right, trailing empty
+    * segments preserved, and the empty input is one empty line. Survivors
+    * rejoin in order with the same separator — output bytes are a subset of
+    * input bytes, so the assembly buffer never exceeds the input length.
+    */
+  def compute(input: UTF8String, c: Compiled): InternalRow = {
+    val bytes = input.getBytes
+    val n = bytes.length
+    val sep = c.sepBytes
+    val out = new Array[Byte](n)
+    var outLen = 0
+    var kept = 0L
+    var dropped = 0L
+    var lineStart = 0
+    var done = false
+    while (!done) {
+      var sepPos = -1
+      var i = lineStart
+      val lim = n - sep.length
+      while (sepPos < 0 && i <= lim) {
+        if (matchesAt(bytes, i, sep)) sepPos = i else i += 1
+      }
+      val e = if (sepPos >= 0) sepPos else n
+      if (keepLine(bytes, lineStart, e, c)) {
+        if (kept > 0) {
+          System.arraycopy(sep, 0, out, outLen, sep.length)
+          outLen += sep.length
+        }
+        System.arraycopy(bytes, lineStart, out, outLen, e - lineStart)
+        outLen += e - lineStart
+        kept += 1
+      } else dropped += 1
+      if (sepPos >= 0) lineStart = sepPos + sep.length else done = true
+    }
+    InternalRow(UTF8String.fromBytes(java.util.Arrays.copyOf(out, outLen)), kept, dropped)
+  }
+}
+
+/** See [[TextExpressions.filterLines]]. */
+case class FilterLines(child: Expression, sep: String, rules: FilterLines.LineRules)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(sep.nonEmpty, "FilterLines: sep must be non-empty")
+
+  override def inputTypes = ColumnShim.stringInput
+  override def dataType: DataType = StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("n_dropped", LongType, nullable = false)))
+
+  @transient private lazy val compiled = new FilterLines.Compiled(sep, rules)
+
+  override def nullSafeEval(input: Any): Any =
+    FilterLines.compute(input.asInstanceOf[UTF8String], compiled)
+
+  override protected def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                                   ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) = {
+    val ref = ctx.addReferenceObj("graftLineRules", compiled,
+      classOf[FilterLines.Compiled].getName)
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.FilterLines$$.MODULE$$.compute($a, $ref);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): FilterLines =
     copy(child = newChild)
 }

@@ -135,4 +135,90 @@ class LinesSpec extends SparkSpec {
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(out == expected)
   }
+
+  // ---- filterLinesFast: native one-pass rules expression -------------------
+
+  private def rules(minChars: Int = 0, maxChars: Int = Int.MaxValue, minTokens: Int = 0,
+                    blockWords: Seq[String] = Nil, blockSubstrings: Seq[String] = Nil,
+                    requireEndPunct: Boolean = false) =
+    graft.plans.FilterLines.LineRules(minChars, maxChars, minTokens,
+      blockWords, blockSubstrings, requireEndPunct)
+
+  private def runBoth(docs: Seq[(Long, String)], r: graft.plans.FilterLines.LineRules,
+                      sep: String = "\n") = {
+    val df = docs.toDF("doc_id", "text")
+    val fast = Lines.filterLinesFast(df, r, sep = sep)
+      .orderBy("doc_id").select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val hof = Lines.filterLines(df, Lines.rulesPredicate(r), sep = sep)
+      .orderBy("doc_id").select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(fast == hof, s"native ≠ column twin for $r")
+    fast
+  }
+
+  test("filterLinesFast: word blocklist is \\b-bounded (blocks 'the', not 'theory')") {
+    val out = runBoth(
+      Seq((1L, "the start\ntheory holds\nend of the line\nclean line")),
+      rules(blockWords = Seq("the")))
+    assert(out == Seq((1L, "theory holds\nclean line", 2L, 2L)))
+  }
+
+  test("filterLinesFast: length + token + end-punctuation rules; NULL text row survives") {
+    val docs = Seq(
+      (1L, "Too short.\nThis line is long enough to pass the gate.\nno terminal punct here\nOk."),
+      (2L, null.asInstanceOf[String]))
+    val df = docs.toDF("doc_id", "text")
+    val out = Lines.filterLinesFast(df,
+        rules(minChars = 12, minTokens = 3, requireEndPunct = true))
+      .orderBy("doc_id").select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "This line is long enough to pass the gate.", 1L, 3L),
+      (2L, null, 0L, 0L)))
+  }
+
+  test("filterLinesFast: code-point lengths and blocklists are UTF-8 exact (non-BMP)") {
+    // "😀😀😀" is 3 code points (12 UTF-8 bytes, 6 UTF-16 units): a
+    // maxChars=3 gate must keep it; the substring blocklist must match the
+    // multi-byte needle only on real occurrences.
+    val out = runBoth(
+      Seq((1L, "😀😀😀\nabcd\nnoise™here\nok")),
+      rules(maxChars = 4, blockSubstrings = Seq("™")))
+    assert(out == Seq((1L, "😀😀😀\nabcd\nok", 3L, 1L)))
+  }
+
+  test("filterLinesFast: empty input, trailing separators, multi-char separator") {
+    // empty text is ONE empty line (split artifact both paths share)
+    assert(runBoth(Seq((1L, "")), rules()) == Seq((1L, "", 1L, 0L)))
+    assert(runBoth(Seq((1L, "")), rules(minChars = 1)) == Seq((1L, "", 0L, 1L)))
+    // trailing separators yield empty segments that the rules see
+    assert(runBoth(Seq((1L, "ab\n\n")), rules(minChars = 1)) == Seq((1L, "ab", 1L, 2L)))
+    // multi-char literal separator (no regex interpretation)
+    assert(runBoth(Seq((1L, "keep||drop me||keep2")), rules(blockWords = Seq("drop")),
+      sep = "||") == Seq((1L, "keep||keep2", 2L, 1L)))
+  }
+
+  test("filterLinesFast randomized parity against the column-twin predicate") {
+    val rnd = new scala.util.Random(29)
+    val words = Vector("the", "quick", "brown", "fox", "spam", "x", "théâtre", "ok.", "")
+    val docs: Seq[(Long, String)] = (0L until 150L).map { i =>
+      val nLines = rnd.nextInt(6)
+      val lines = Seq.fill(nLines)(
+        Seq.fill(rnd.nextInt(5))(words(rnd.nextInt(words.size))).mkString(" "))
+      (i, lines.mkString("\n"))
+    }
+    runBoth(docs, rules(minChars = 2, maxChars = 18, minTokens = 1,
+      blockWords = Seq("spam", "x"), blockSubstrings = Seq("théâ")))
+    runBoth(docs, rules(requireEndPunct = true))
+    runBoth(docs, rules(minTokens = 2, blockWords = Seq("the")))
+  }
+
+  test("LineRules validation: non-ASCII or empty block words rejected") {
+    intercept[IllegalArgumentException](rules(blockWords = Seq("café")))
+    intercept[IllegalArgumentException](rules(blockWords = Seq("")))
+    intercept[IllegalArgumentException](rules(blockWords = Seq("two words")))
+    intercept[IllegalArgumentException](rules(blockSubstrings = Seq("")))
+    intercept[IllegalArgumentException](rules(minChars = 5, maxChars = 4))
+  }
 }
