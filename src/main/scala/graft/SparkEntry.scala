@@ -2652,6 +2652,31 @@ object SparkEntry {
     })
   )
 
+  /** Force-build every memoized stored artifact for (session, dir) — the
+    * BM25 postings index, the stored and in-memory IVF indexes, and the
+    * markdown tree. Bench calls this during warmup so its timed samples
+    * measure PROBES: previously the first interleaved sample of
+    * q_text_bm25_indexed / q_ann_ivf_stored paid the one-time build, whose
+    * write I/O also bled into NEIGHBORING samples' timings — r13's
+    * highest-variance published rows (2.4–6.8 s spread at sf10) were
+    * exactly these. Build failures are the caller's to tolerate (Bench
+    * wraps per-artifact; a query needing a failed build will report its
+    * own error).
+    */
+  def prewarmStoredArtifacts(s: SparkSession, dir: String): Unit = {
+    val builds: Seq[(String, () => Any)] = Seq(
+      "bm25 index" -> (() => storedBm25Index(s, dir)),
+      "ivf stored index" -> (() => storedIvfIndex(s, dir, nlist = 8)),
+      "ivf in-memory index" -> (() => memoIvfIndex(s, dir, nlist = 8)),
+      "markdown tree" -> (() => mdTree(s, dir)))
+    builds.foreach { case (what, run) =>
+      try { run(); () }
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[prewarm] $what failed: ${e.getMessage}")
+      }
+    }
+  }
+
   /** Materialize the q_md_source markdown tree (memoized like the stored
     * indexes; the collect is bounded to 200 rows by the doc_id filter —
     * this is test-fixture generation, not a data path).

@@ -344,9 +344,14 @@ object Dedup {
     val corpusMatches = corpus.select(h.as("__graft_h"))
       .join(broadcast(posHashes), Seq("__graft_h"), "left_semi")
       .distinct()
-    val vsCorpus = flagged.filter(!col("__graft_maybe"))
-      .unionByName(flagged.filter(col("__graft_maybe"))
-        .join(broadcast(corpusMatches), Seq("__graft_h"), "left_anti"))
+    // ONE anti-join over the whole batch, not a (!maybe) ∪ (maybe ⋉̸ matches)
+    // union: corpusMatches ⊆ posHashes ⊆ {h : might_contain(h)} and the
+    // bloom has no false negatives, so a maybe=false row can never be in
+    // corpusMatches — the anti-join keeps it unconditionally, exactly as
+    // the old !maybe leg did. Same survivors, one batch scan instead of
+    // two plus a union (r13 flagged the family as job-floor-dominated at
+    // the low end).
+    val vsCorpus = flagged.join(broadcast(corpusMatches), Seq("__graft_h"), "left_anti")
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__graft_h")).orderBy(col(idCol))
