@@ -1159,6 +1159,36 @@ object SparkEntry {
         .select("doc_id", "text", "n_lines_kept", "n_lines_dropped")
         .orderBy("doc_id")
     }),
+    "q_html_extract" -> ((s, dir) => {
+      // Raw-HTML→text extraction — the stage BEFORE line cleaning in every
+      // CommonCrawl-style pipeline (SURVEY §2 #105). The corpus has no
+      // HTML, so both sides plant the SAME page around each document:
+      // title/nav boilerplate, a full-text content paragraph, a link-led
+      // paragraph and a doc_id-length-varied short paragraph (so keep
+      // decisions vary per doc and exercise every gate), a tracking
+      // script with a '<' inside, comment junk wrapping a fake block tag,
+      // and a link-only footer. The operator (plans/HtmlExpressions.scala,
+      // one native scan pass; column twin parity in HtmlExtractSpec) must
+      // keep exactly the content-like blocks.
+      val id = col("doc_id").cast("string")
+      val page = concat(
+        lit("<html><head><title>Doc "), id,
+        lit("</title><style>p{margin:0}</style></head><body>"),
+        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></nav>"),
+        lit("<h1>Doc "), id, lit("</h1>"),
+        lit("<div><p>"), col("text"), lit("</p>"),
+        lit("<p><a href=\"/ref\">"), substring(col("text"), 1, 20), lit("</a> "),
+        expr("substr(text, 21, CAST(doc_id % 40 AS INT))"), lit("</p>"),
+        lit("<p>"), expr("substr(text, 1, CAST(doc_id % 60 AS INT))"), lit("</p></div>"),
+        lit("<script>var t = \"x < y\";</script><!-- junk <p>hidden</p> -->"),
+        lit("<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+      val pages = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), page.as("html"))
+      operators.HtmlExtract.extract(pages)
+        .select("doc_id", "html", "n_blocks", "n_kept")
+        .orderBy("doc_id")
+    }),
     "q_pipeline_ingest" -> ((s, dir) => {
       // The round-7 ingest-cleaning layer composed in ONE declarative plan:
       // canonical normalization (every 3rd doc upper-cased + noise — the
@@ -1755,6 +1785,47 @@ object SparkEntry {
                 count(*) FILTER (WHERE rn = 1) AS n_lines_kept,
                 count(*) FILTER (WHERE rn > 1) AS n_lines_dropped
          FROM w GROUP BY doc_id ORDER BY doc_id""",
+    "q_html_extract" ->
+      // the same planted page + the same step algebra (see the query and
+      // plans/HtmlExpressions.scala) in DuckDB regexp functions
+      """WITH page AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style></head><body>'
+             || '<nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
+             || '<h1>Doc ' || doc_id || '</h1>'
+             || '<div><p>' || text || '</p>'
+             || '<p><a href="/ref">' || substr(text, 1, 20) || '</a> ' || substr(text, 21, CAST(doc_id % 40 AS INT)) || '</p>'
+             || '<p>' || substr(text, 1, CAST(doc_id % 60 AS INT)) || '</p></div>'
+             || '<script>var t = "x < y";</script><!-- junk <p>hidden</p> -->'
+             || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>' AS h
+           FROM documents WHERE text IS NOT NULL),
+         san AS (
+           SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g') AS h
+           FROM page),
+         blk AS (
+           SELECT doc_id,
+             unnest(string_split_regex(h, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|hr|nav|footer|header|section|article|table|tr|td|th|blockquote)\b[^>]*>')) AS b,
+             unnest(range(1, len(string_split_regex(h, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|hr|nav|footer|header|section|article|table|tr|td|th|blockquote)\b[^>]*>')) + 1)) AS ord
+           FROM san),
+         scored AS (
+           SELECT doc_id, ord,
+             trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS t,
+             coalesce(list_sum(list_transform(regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1), x -> length(x))), 0) AS lc
+           FROM blk),
+         gated AS (
+           SELECT doc_id, ord, t,
+             (length(t) >= 25
+              AND (CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END) >= 3
+              AND lc * 100 < length(t) * 50) AS keep
+           FROM scored)
+         SELECT doc_id,
+                coalesce(string_agg(t, chr(10) ORDER BY ord) FILTER (WHERE keep), '') AS html,
+                count(*) FILTER (WHERE length(t) > 0) AS n_blocks,
+                count(*) FILTER (WHERE keep) AS n_kept
+         FROM gated GROUP BY doc_id ORDER BY doc_id""",
     "q_line_filter" ->
       """WITH aug AS (
            SELECT doc_id, regexp_replace(text, '(\S+\s+\S+)\s+', '\1' || chr(10), 'g') AS t
