@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Diagnostic main: run named SparkEntry queries once (noop write, warm
+  * session) and print per-query Spark JOB and STAGE counts plus wall time —
+  * the decomposition evidence behind BASELINE.md's low-end job-floor
+  * arguments (a 2-second query that is 4 jobs of launch floor needs a
+  * different fix than a 2-second query that is one slow stage).
+  *
+  * Usage: runMain graft.PlanDiag <sfDir> <query>[,<query>...]
+  */
+object PlanDiag {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names) = args
+    val spark = Tables.harnessSession()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = { jobs.incrementAndGet(); () }
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = { stages.incrementAndGet(); () }
+    })
+    // experimental plan variants measured against registered queries before
+    // deciding a rewrite (kept here, out of the SparkEntry contract)
+    val experiments: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "x_corpus_window" -> ((s, dir) =>
+        operators.Dedup.exactCorpusOnePass(Tables.load(s, dir, "documents"))
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id")))
+    def query(n: String) = SparkEntry.queries.getOrElse(n, experiments(n))
+    // warm each query once so the measured pass is JIT/cache-warm like Bench
+    val qs = names.split(",").map(_.trim).filter(_.nonEmpty)
+    qs.foreach { n =>
+      query(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+    }
+    qs.foreach { n =>
+      // listener events are async (listenerBus is private[spark]): a short
+      // sleep drains the bus well enough for a diagnostics count
+      Thread.sleep(500)
+      jobs.set(0); stages.set(0)
+      val t0 = System.nanoTime()
+      query(n)(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(500)
+      println(f"[plandiag] $n%-24s jobs=${jobs.get}%-3d stages=${stages.get}%-3d ${sec}%.3f s")
+    }
+    spark.stop()
+  }
+}

@@ -645,7 +645,12 @@ object SparkEntry {
       operators.Dedup.exact(Tables.load(s, dir, "documents"))
         .orderBy("keep_id")),
     "q_dedup_corpus" -> ((s, dir) =>
-      operators.Dedup.exactCorpus(Tables.load(s, dir, "documents"))
+      // one-pass window form (r14): the join form's winner set stops
+      // broadcasting past ~10M docs, at which point it ships bodies
+      // through the join exchange AND double-scans — see
+      // Dedup.exactCorpusOnePass's cost note (sf10: 1.0 s/4 jobs vs
+      // 1.6 s/7 jobs, same survivors, oracle unchanged)
+      operators.Dedup.exactCorpusOnePass(Tables.load(s, dir, "documents"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
     "q_pipeline_corpus" -> ((s, dir) => {

@@ -124,26 +124,39 @@ object Dedup {
   }
 
   /** The corpus surviving exact dedup: one representative (min id) per
-    * distinct content hash. Semi-join against the winners — document bodies
-    * never shuffle.
+    * distinct content hash, via semi-join against the winners. Bodies stay
+    * out of every exchange ONLY while the winner set broadcasts — see
+    * [[exactCorpusOnePass]]'s cost note for when that stops being true;
+    * this form is the right one for genuinely broadcastable winner sets
+    * (high-duplication or bounded corpora).
     */
   def exactCorpus(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val keep = exact(docs, idCol, textCol).select(col("keep_id"))
     docs.join(keep, docs(idCol) === keep("keep_id"), "left_semi")
   }
 
-  /** [[exactCorpus]] for COMPUTED upstreams: one `row_number` window over
-    * the content hash instead of aggregate + semi-join. Same survivors
-    * (min-id per hash), different cost shape: the join form never ships
-    * bodies through an exchange but consumes its input subtree TWICE
-    * (aggregate + probe — Catalyst's exchange reuse is defeated by the two
-    * sides' divergent pruning), which doubles any expensive chain feeding
-    * it; the window form evaluates the input ONCE and ships each body
-    * through one hash exchange. Raw-scan input → use [[exactCorpus]]
-    * (re-scanning parquet is cheaper than shuffling bodies); a pipeline
-    * stage that already shuffles bodies to exist (line dedup, normalize
-    * chains) → use this (measured on q_pipeline_ingest at sf1: 2.3 s →
-    * the duplicated line-dedup subtree gone).
+  /** [[exactCorpus]] as one `row_number` window over the content hash
+    * instead of aggregate + semi-join. Same survivors (min-id per hash),
+    * different cost shape — and usually the better one:
+    *
+    *  - this form evaluates the input subtree ONCE and ships each body
+    *    through exactly one hash(text) exchange;
+    *  - the join form consumes its input TWICE (aggregate + probe —
+    *    exchange reuse is defeated by the sides' divergent pruning), and —
+    *    the part its doc used to overclaim — only keeps bodies out of
+    *    exchanges while the winner set BROADCASTS. Past the broadcast
+    *    threshold (any low-dup corpus beyond ~10M docs; sf10's 6M winner
+    *    ids already are) the semi-join plans as SortMergeJoin and the
+    *    full-width doc rows go through the join exchange anyway: two
+    *    narrow exchanges + one body-width exchange + a double scan,
+    *    strictly worse than this form. Measured at sf10: 1.0 s / 4 jobs
+    *    (window) vs 1.6 s / 7 jobs (join).
+    *
+    * So: computed upstreams always use this (the join form would
+    * double-evaluate them — q_pipeline_ingest at sf1 measured 2.3 s of
+    * duplicated line-dedup subtree); raw scans use this too past broadcast
+    * scale (r14, q_dedup_corpus switched); [[exactCorpus]] remains for
+    * broadcastable winner sets, where bodies never move at all.
     */
   def exactCorpusOnePass(docs: DataFrame, idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
