@@ -205,8 +205,15 @@ object Similarity {
       .map(_.getSeq[Double](0).toArray)
   }
 
+  /** @param storedCellLayout true when `assigned` is a [[writeIvfIndex]]
+    *        table scan (bucketed BY CELL): scan parallelism is then capped
+    *        at the number of non-empty buckets ≤ nlist, which
+    *        [[topKBatch]] must compensate for when nlist < the session's
+    *        core count — see the guard there.
+    */
   final case class IvfIndex(assigned: DataFrame, centers: Array[Array[Double]],
-                            idCol: String, vecCol: String) {
+                            idCol: String, vecCol: String,
+                            storedCellLayout: Boolean = false) {
     /** Top-k for a query vector already in the corpus: probe the `nprobe`
       * cells whose centroids are nearest the query's own vector.
       */
@@ -293,8 +300,23 @@ object Similarity {
         transform(slice(array_sort(scoredCells), 1, nprobe), s => s("cell")).as("__cells"))
       val probePairs = withCells.select(col(queryIdCol), explode(col("__cells")).as("cell"))
       val qVecs = withCells.select(col(queryIdCol), col("__qvec"))
+      // Stored-layout parallelism guard: a writeIvfIndex table is bucketed
+      // by `cell`, so its scan has ≤ nlist NON-EMPTY partitions — and this
+      // join chain does all its candidate scoring in the scan's stage. At
+      // production nlist that's fine (nlistFor keeps cells ≫ cores), but a
+      // small-nlist index meeting a big probe batch concentrates the whole
+      // quadratic scoring on nlist cores (sf10 measured: 100.8 s vs the
+      // identical in-memory plan's 18.9 s — 8 cells on 32 cores). One
+      // round-robin exchange of the NARROW assignment (id, vec, cell)
+      // redistributes the scoring; taken only when the stored layout is
+      // actually degenerate.
+      val spark0 = assigned.sparkSession
+      val spread =
+        if (storedCellLayout && centers.length < spark0.sparkContext.defaultParallelism)
+          assigned.repartition(spark0.sparkContext.defaultParallelism)
+        else assigned
       rankPerQuery(
-        assigned
+        spread
           .join(broadcast(probePairs), Seq("cell"))
           .join(broadcast(qVecs), Seq(queryIdCol))
           .filter(if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
@@ -344,7 +366,7 @@ object Similarity {
     require(cRows.zipWithIndex.forall { case (r, i) => r.getInt(0) == i },
       s"Similarity.loadIvfIndex: '${table}_centroids' cell ids are not dense 0..n-1 — rebuild the index")
     val centers = cRows.map(_.getSeq[Double](1).toArray)
-    IvfIndex(assigned, centers, idCol, vecCol)
+    IvfIndex(assigned, centers, idCol, vecCol, storedCellLayout = true)
   }
 
   /** All-pairs embedding near-duplicates above a cosine threshold, candidates
