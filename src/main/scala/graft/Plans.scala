@@ -20,6 +20,8 @@ object Plans {
       "q_agg_pricing"      -> "partial_ aggregation before the exchange (map-side combine)",
       "q_agg_topcust"      -> "shuffle agg on o_custkey then broadcast dim join",
       "q_dedup_exact"      -> "hash shuffles, not text bodies: project before exchange",
+      "q_dedup_corpus"     -> "ONE body-width hashpartitioning(sha2) exchange feeding the first-occurrence window — no join operator, no second scan (the aggregate+semi-join form double-scans AND ships bodies through its SortMergeJoin exchange once the winner set outgrows broadcast range; see Dedup.exactCorpusOnePass)",
+      "q_html_extract"     -> "pure scan projection: exactly ONE native HtmlTextExtract node (strip/segment/score/rejoin in one pass; subexpression elimination must dedup the three field extractions), zero shuffles beyond the output sort",
       "q_dedup_minhash"    -> "per-row signature in one WholeStageCodegen span",
       "q_index_diff"       -> "both snapshots pre-aggregate to (slug, values) before the full-outer join — index-width shuffle only, no document bodies",
       "q_pipeline_corpus"  -> "gates fuse into the scans (native text expressions inside codegen); only (hash, min id) aggregates shuffle, bodies never move",
@@ -45,7 +47,7 @@ object Plans {
       "q_mix_sources"      -> "pure scan projection — per-source md5 CASE inside the scan, zero shuffles beyond the output sort",
       "q_text_chunks"      -> "tokenize → sequence → posexplode(Generate) → slice, all inside the scan stage; NO exchange anywhere before the output sort",
       "q_line_dedup"       -> "TWO linear exchanges only: hashpartitioning(line) for the first-occurrence window, then hashpartitioning(doc_id) for reassembly — no join operator anywhere; loser rows ship a NULLed line string into the reassembly exchange (content only rides for winners)",
-      "q_line_filter"      -> "ZERO shuffles, zero Generate: per-line filtering is a pure per-document function, so the whole operator is a higher-order filter over split(text) inside the scan projection — no explode, no aggregate, no exchange before the output sort (the sf10 bench caught the explode+reassembly form at 25 s for what a projection does in 5)",
+      "q_line_filter"      -> "ZERO shuffles, zero Generate, and exactly ONE native FilterLines node evaluated once (subexpression elimination must dedup the three field extractions): split→rules→rejoin is a single byte pass inside the scan projection — no explode, no aggregate, no per-line interpreted lambda (the r13 HOF form paid 2.1x at sf0.1 in lambda dispatch; the r12 explode+reassembly form paid 25 s at sf10 in shuffle), no exchange before the output sort",
       "q_text_normalize"   -> "pure scan projection: UnicodeNormalize + lower + regexp inside the scan, zero shuffles beyond the output sort",
       "q_dedup_exact_inc"  -> "corpus side map-side only (bloom agg subquery + broadcast semi-join probe); BroadcastHashJoins for the candidate check; the ONLY full exchange is the new batch's window on its content hash",
       "q_ann_batch"        -> "queries BROADCAST once, corpus scanned ONCE for all queries, candidates discarded MAP-SIDE by the bounded top-k aggregate (ObjectHashAggregate partial keeps ≤ k per query per partition — the exchange carries the answer, not the candidates)",
@@ -67,7 +69,7 @@ object Plans {
       "q_quality_classifier" -> "pure scan projection: ONE native HashedNgramLogit node (the model's weight table rides the expression into every task; grams never become rows), zero shuffles beyond the output sort",
       "q_embed_pq"         -> "pure scan projection: ONE native PqEncode node (all subspace codebooks in one pass, shipped as a codegen reference object), zero shuffles beyond the output sort",
       "q_text_bm25_indexed" -> "term filter prunes the stored buckets (bucket pruning in the scan); df aggregate + posting join consume the stored term-partitioning with NO exchange — the only shuffle is the per-document score aggregate over slim scored rows",
-      "q_ann_ivf_stored"   -> "stored cell-bucketed corpus read through the bucketing-aware scan (probe join consumes the stored partitioning); probe pairs + query tables broadcast; candidates discarded map-side by the bounded top-k aggregate",
+      "q_ann_ivf_stored"   -> "stored cell-bucketed corpus read through the bucketing-aware scan; probe pairs + query tables broadcast; candidates discarded map-side by the bounded top-k aggregate — plus the degenerate-layout guard: when nlist < session cores, ONE round-robin exchange of the narrow assignment precedes the probe join (a cell-bucketed scan has ≤ nlist non-empty partitions; without the exchange the whole scoring stage runs on nlist cores — sf10 measured 100.8 s vs 19.2 s)",
       "q_ann_adc"          -> "PQ codes from ONE native PqEncode scan; per-query distance tables computed on the BROADCAST side (PqDistTable — m·ksub·dsub flops per query, not per doc); corpus rows pay m AdcDistance lookups, candidates discarded map-side by the bounded top-k aggregate",
       "q_sample_clusters"  -> "cell assignment is ONE native NearestCenter node inside the scan; the only exchange beyond the output sort is the cell-partitioned sampling window (WindowGroupLimit prunes to n per cell map-side)",
       "q_dedup_substr"     -> "gram stream from ONE native KgramHashes node inside the scan; the dup-count aggregate exchanges 8-byte hashes ONLY (project before exchange — bodies never move), flags return via semi-join of narrow (doc, pos, h) rows; span merge is one doc-partitioned window",
