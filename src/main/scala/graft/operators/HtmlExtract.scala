@@ -25,19 +25,20 @@ object HtmlExtract {
   def extract(df: DataFrame, rules: HtmlRules = HtmlRules(),
               htmlCol: String = "html"): DataFrame = {
     require(df.columns.contains(htmlCol), s"HtmlExtract: input has no '$htmlCol' column")
-    Seq("n_blocks", "n_kept").foreach(c => require(!df.columns.contains(c),
+    Seq("n_blocks", "n_kept", "__graft_html").foreach(c => require(!df.columns.contains(c),
       s"HtmlExtract: input already has a '$c' column — rename it first"))
     val st = graft.plans.HtmlExpressions.htmlExtract(col(htmlCol), rules)
-    // st appears three times but is deterministic — whole-stage codegen's
-    // subexpression elimination evaluates it once per row (same note as
-    // Lines.filterLinesFast)
+    // struct aliased in one select, fields extracted in a second, so the
+    // non-cheap expression is never inlined per consumer (the PiiStats
+    // pattern; plan pinned in PlanPropertiesSpec)
     val replaced = df.columns.toSeq.map {
-      case c if c == htmlCol => st.getField("text").as(htmlCol)
+      case c if c == htmlCol => col("__graft_html.text").as(htmlCol)
       case c                 => col(c)
     }
-    df.select(replaced ++ Seq(
-      coalesce(st.getField("n_blocks"), lit(0L)).as("n_blocks"),
-      coalesce(st.getField("n_kept"), lit(0L)).as("n_kept")): _*)
+    df.select(df.columns.map(col).toSeq :+ st.as("__graft_html"): _*)
+      .select(replaced ++ Seq(
+        coalesce(col("__graft_html.n_blocks"), lit(0L)).as("n_blocks"),
+        coalesce(col("__graft_html.n_kept"), lit(0L)).as("n_kept")): _*)
   }
 
   /** Column-algebra twin of the native expression — the step algebra

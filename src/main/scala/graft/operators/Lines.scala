@@ -184,17 +184,21 @@ object Lines {
                       idCol: String = "doc_id", textCol: String = "text",
                       sep: String = "\n"): DataFrame = {
     checkCols(df, idCol, textCol)
+    require(!df.columns.contains("__graft_flt"),
+      "Lines: input already has a '__graft_flt' column — rename it first")
     val st = graft.plans.TextExpressions.filterLines(col(textCol), sep, rules)
-    // st appears three times but is deterministic: whole-stage codegen's
-    // subexpression elimination evaluates it once per row (checked in the
-    // bench — not 3× the single-field cost)
+    // struct aliased in one select, fields extracted in a second, so the
+    // non-cheap expression is never inlined per consumer (the PiiStats /
+    // q_text_repetition pattern — CollapseProject keeps the two Projects
+    // apart for non-cheap expressions; plan pinned in PlanPropertiesSpec)
     val replaced = df.columns.toSeq.map {
-      case c if c == textCol => st.getField("text").as(textCol)
+      case c if c == textCol => col("__graft_flt.text").as(textCol)
       case c                 => col(c)
     }
-    df.select(replaced ++ Seq(
-      coalesce(st.getField("n_kept"), lit(0L)).as("n_lines_kept"),
-      coalesce(st.getField("n_dropped"), lit(0L)).as("n_lines_dropped")): _*)
+    df.select(df.columns.map(col).toSeq :+ st.as("__graft_flt"): _*)
+      .select(replaced ++ Seq(
+        coalesce(col("__graft_flt.n_kept"), lit(0L)).as("n_lines_kept"),
+        coalesce(col("__graft_flt.n_dropped"), lit(0L)).as("n_lines_dropped")): _*)
   }
 
   /** Column-algebra twin of [[filterLinesFast]]'s rules — a keep-predicate

@@ -104,6 +104,25 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("q_line_filter / q_html_extract: ONE native node, zero shuffles beyond the output sort") {
+    for ((q, node) <- Seq("q_line_filter" -> "filterlines", "q_html_extract" -> "htmltextextract")) {
+      val p = plan(q)
+      val count = s"(?i)$node".r.findAllIn(p).length
+      assert(count == 1,
+        s"$q: expected exactly 1 $node node (field extraction must not inline the scan expression per column), found $count:\n$p")
+      assert("(?i)exchange".r.findAllIn(p).length == 1,
+        s"$q must be scan-projection-only plus the final orderBy exchange:\n$p")
+    }
+  }
+
+  test("q_dedup_corpus: one-pass window form — no join operator, two exchanges (window + sort)") {
+    val p = plan("q_dedup_corpus")
+    assert(!"(?i)join".r.findAllIn(p).hasNext,
+      s"q_dedup_corpus must not contain a join (the agg+semi-join form double-scans and ships bodies through its SMJ exchange past broadcast range):\n$p")
+    assert("(?i)exchange".r.findAllIn(p).length == 2,
+      s"q_dedup_corpus must have exactly the window hash exchange and the output sort exchange:\n$p")
+  }
+
   test("q_pii_redact evaluates PiiStats once: a single node in the plan") {
     val p = plan("q_pii_redact")
     val count = "(?i)piistats".r.findAllIn(p).length
