@@ -640,6 +640,28 @@ object SparkEntry {
 
   // ---- LLM-pipeline: dedup / text / similarity (SURVEY §2 #32-#42) -------
 
+  /** The deterministic HTML page q_html_extract / q_pipeline_html plant
+    * around each document (both DuckDB oracles concatenate the identical
+    * page in SQL): title/nav boilerplate, the full text as a content
+    * paragraph, a link-led and a doc_id-length-varied paragraph (keep
+    * decisions vary per doc), a script with a literal '<', comment junk
+    * wrapping a fake block tag, and a link-only footer.
+    */
+  private def plantedHtmlPage: org.apache.spark.sql.Column = {
+    val id = col("doc_id").cast("string")
+    concat(
+      lit("<html><head><title>Doc "), id,
+      lit("</title><style>p{margin:0}</style></head><body>"),
+      lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></nav>"),
+      lit("<h1>Doc "), id, lit("</h1>"),
+      lit("<div><p>"), col("text"), lit("</p>"),
+      lit("<p><a href=\"/ref\">"), substring(col("text"), 1, 20), lit("</a> "),
+      expr("substr(text, 21, CAST(doc_id % 40 AS INT))"), lit("</p>"),
+      lit("<p>"), expr("substr(text, 1, CAST(doc_id % 60 AS INT))"), lit("</p></div>"),
+      lit("<script>var t = \"x < y\";</script><!-- junk <p>hidden</p> -->"),
+      lit("<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a></footer></body></html>"))
+  }
+
   private def pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_exact" -> ((s, dir) =>
       operators.Dedup.exact(Tables.load(s, dir, "documents"))
@@ -1175,23 +1197,33 @@ object SparkEntry {
       // and a link-only footer. The operator (plans/HtmlExpressions.scala,
       // one native scan pass; column twin parity in HtmlExtractSpec) must
       // keep exactly the content-like blocks.
-      val id = col("doc_id").cast("string")
-      val page = concat(
-        lit("<html><head><title>Doc "), id,
-        lit("</title><style>p{margin:0}</style></head><body>"),
-        lit("<nav><a href=\"/\">Home</a> <a href=\"/about\">About us</a> <a href=\"/contact\">Contact</a></nav>"),
-        lit("<h1>Doc "), id, lit("</h1>"),
-        lit("<div><p>"), col("text"), lit("</p>"),
-        lit("<p><a href=\"/ref\">"), substring(col("text"), 1, 20), lit("</a> "),
-        expr("substr(text, 21, CAST(doc_id % 40 AS INT))"), lit("</p>"),
-        lit("<p>"), expr("substr(text, 1, CAST(doc_id % 60 AS INT))"), lit("</p></div>"),
-        lit("<script>var t = \"x < y\";</script><!-- junk <p>hidden</p> -->"),
-        lit("<footer><a href=\"/terms\">Terms</a> <a href=\"/privacy\">Privacy</a></footer></body></html>"))
       val pages = Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
-        .select(col("doc_id"), page.as("html"))
+        .select(col("doc_id"), plantedHtmlPage.as("html"))
       operators.HtmlExtract.extract(pages)
         .select("doc_id", "html", "n_blocks", "n_kept")
+        .orderBy("doc_id")
+    }),
+    "q_pipeline_html" -> ((s, dir) => {
+      // Raw-web ingest pipeline as ONE declarative plan: planted HTML page
+      // → native block extraction (#105) → native per-line rules filter
+      // (#63) → exact dedup of the cleaned remnants (one-pass window
+      // form; post-filter many pages collapse to identical or empty text,
+      // one min-id survivor each). All three text stages are scan
+      // expressions, so everything before the dedup window is a single
+      // codegen'd projection over ONE scan — no intermediate
+      // materialization, no extra exchange (the r14 composition claim for
+      // the new operators).
+      val pages = Tables.load(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), plantedHtmlPage.as("html"))
+      val extracted = operators.HtmlExtract.extract(pages)
+      val cleaned = operators.Lines.filterLinesFast(extracted,
+        plans.FilterLines.LineRules(blockWords = Seq("the")),
+        idCol = "doc_id", textCol = "html")
+      operators.Dedup.exactCorpusOnePass(cleaned, idCol = "doc_id", textCol = "html")
+        .select("doc_id", "html", "n_blocks", "n_kept",
+          "n_lines_kept", "n_lines_dropped")
         .orderBy("doc_id")
     }),
     "q_pipeline_ingest" -> ((s, dir) => {
@@ -1831,6 +1863,68 @@ object SparkEntry {
                 count(*) FILTER (WHERE length(t) > 0) AS n_blocks,
                 count(*) FILTER (WHERE keep) AS n_kept
          FROM gated GROUP BY doc_id ORDER BY doc_id""",
+    "q_pipeline_html" ->
+      // the q_html_extract algebra composed with the q_line_filter line
+      // rule and the min-id-per-text dedup window — the same three stages
+      // the Spark plan fuses
+      """WITH page AS (
+           SELECT doc_id,
+             '<html><head><title>Doc ' || doc_id || '</title><style>p{margin:0}</style></head><body>'
+             || '<nav><a href="/">Home</a> <a href="/about">About us</a> <a href="/contact">Contact</a></nav>'
+             || '<h1>Doc ' || doc_id || '</h1>'
+             || '<div><p>' || text || '</p>'
+             || '<p><a href="/ref">' || substr(text, 1, 20) || '</a> ' || substr(text, 21, CAST(doc_id % 40 AS INT)) || '</p>'
+             || '<p>' || substr(text, 1, CAST(doc_id % 60 AS INT)) || '</p></div>'
+             || '<script>var t = "x < y";</script><!-- junk <p>hidden</p> -->'
+             || '<footer><a href="/terms">Terms</a> <a href="/privacy">Privacy</a></footer></body></html>' AS h
+           FROM documents WHERE text IS NOT NULL),
+         san AS (
+           SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(h,
+             '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+             '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+             '(?s)<!--.*?-->', ' ', 'g') AS h
+           FROM page),
+         blk AS (
+           SELECT doc_id,
+             unnest(string_split_regex(h, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|hr|nav|footer|header|section|article|table|tr|td|th|blockquote)\b[^>]*>')) AS b,
+             unnest(range(1, len(string_split_regex(h, '(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|hr|nav|footer|header|section|article|table|tr|td|th|blockquote)\b[^>]*>')) + 1)) AS ord
+           FROM san),
+         scored AS (
+           SELECT doc_id, ord,
+             trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), '\s+', ' ', 'g')) AS t,
+             coalesce(list_sum(list_transform(regexp_extract_all(b, '(?is)<a\b[^>]*>(.*?)</a>', 1), x -> length(x))), 0) AS lc
+           FROM blk),
+         gated AS (
+           SELECT doc_id, ord, t,
+             (length(t) >= 25
+              AND (CASE WHEN length(t) = 0 THEN 0 ELSE len(string_split(t, ' ')) END) >= 3
+              AND lc * 100 < length(t) * 50) AS keep
+           FROM scored),
+         ext AS (
+           SELECT doc_id,
+                  coalesce(string_agg(t, chr(10) ORDER BY ord) FILTER (WHERE keep), '') AS html,
+                  count(*) FILTER (WHERE length(t) > 0) AS n_blocks,
+                  count(*) FILTER (WHERE keep) AS n_kept
+           FROM gated GROUP BY doc_id),
+         lines AS (
+           SELECT doc_id,
+             unnest(string_split(html, chr(10))) AS line,
+             unnest(range(1, len(string_split(html, chr(10))) + 1)) AS lord
+           FROM ext),
+         cleaned AS (
+           SELECT doc_id,
+                  coalesce(string_agg(line, chr(10) ORDER BY lord)
+                    FILTER (WHERE NOT regexp_matches(line, '\bthe\b')), '') AS html,
+                  count(*) FILTER (WHERE NOT regexp_matches(line, '\bthe\b')) AS n_lines_kept,
+                  count(*) FILTER (WHERE regexp_matches(line, '\bthe\b')) AS n_lines_dropped
+           FROM lines GROUP BY doc_id),
+         deduped AS (
+           SELECT c.doc_id, c.html, e.n_blocks, e.n_kept,
+                  c.n_lines_kept, c.n_lines_dropped,
+                  row_number() OVER (PARTITION BY c.html ORDER BY c.doc_id) AS rn
+           FROM cleaned c JOIN ext e USING (doc_id))
+         SELECT doc_id, html, n_blocks, n_kept, n_lines_kept, n_lines_dropped
+         FROM deduped WHERE rn = 1 ORDER BY doc_id""",
     "q_line_filter" ->
       """WITH aug AS (
            SELECT doc_id, regexp_replace(text, '(\S+\s+\S+)\s+', '\1' || chr(10), 'g') AS t

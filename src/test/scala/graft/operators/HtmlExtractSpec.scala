@@ -98,9 +98,14 @@ class HtmlExtractSpec extends SparkSpec {
       "<a href='/u'>", "</a>", "<script>", "</script>", "<style>", "</style>",
       "<!--", "-->", "<b>", "</b>", "<", ">", " ", "  ",
       "plain words here", "the quick brown fox", "x", "née café", "😀 emoji",
-      "1234", "terms of use", "longer run of ordinary content words to pass gates")
-    val pages: Seq[(Long, String)] = (0L until 120L).map { i =>
-      (i, Seq.fill(3 + rnd.nextInt(25))(frags(rnd.nextInt(frags.size))).mkString)
+      "1234", "terms of use", "longer run of ordinary content words to pass gates",
+      // adversarial: case-variant tags, unclosed opens, tag-like non-tags,
+      // boundary-failing names, attr-bearing separators, stray closers
+      "<P>", "</DIV>", "<ScRiPt>", "</sTyLe>", "<a", "<scr", "<pre>", "</pre>",
+      "<p class=\"x y\">", "<tablex>", "<h7>", "<h1>", "</a", "<!-- unclosed",
+      "<a href=>click me</a>", "<div", "words<b>glued</b>words")
+    val pages: Seq[(Long, String)] = (0L until 200L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(30))(frags(rnd.nextInt(frags.size))).mkString)
     }
     runBoth(pages)
     runBoth(pages, HtmlRules(minChars = 5, minWords = 1, maxLinkDensityPct = 30))

@@ -212,6 +212,38 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L)))
   }
 
+  test("the raw-web cleaning chain (HtmlExtract → line rules) runs unchanged in a streaming query") {
+    implicit val sqlCtx = spark.sqlContext
+    // Both r14 operators are stateless scan expressions, so the whole
+    // html→text→line-filter ingest front composes into a stream with no
+    // second implementation — the same claim the quality-gate test pins.
+    val mem = MemoryStream[(Long, String)]
+    val pages = mem.toDF().toDF("doc_id", "html")
+    val cleaned = graft.operators.Lines.filterLinesFast(
+      graft.operators.HtmlExtract.extract(pages),
+      graft.plans.FilterLines.LineRules(blockWords = Seq("spam")),
+      idCol = "doc_id", textCol = "html")
+    val q = cleaned.writeStream.format("memory").queryName("cleaned_pages")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "<nav><a href='/'>Home</a> <a href='/x'>About link here</a></nav>" +
+          "<p>real content paragraph with plenty of words here.</p>" +
+          "<p>spam filled paragraph with plenty of words to pass gates.</p>" +
+          "<script>x()</script>"),
+        (2L, "<p>short</p>"))
+      q.processAllAvailable()
+      val out = spark.table("cleaned_pages")
+        .select("doc_id", "html", "n_blocks", "n_kept", "n_lines_kept", "n_lines_dropped")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+        .toSeq.sortBy(_._1)
+      assert(out == Seq(
+        (1L, "real content paragraph with plenty of words here.", 3L, 2L, 1L, 1L),
+        (2L, "", 1L, 0L, 1L, 0L)))
+    } finally q.stop()
+  }
+
   test("the batch text-quality expressions run unchanged inside a streaming query") {
     implicit val sqlCtx = spark.sqlContext
     // The whole curation scoring layer is stateless scan projections, so the
