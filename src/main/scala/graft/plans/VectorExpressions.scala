@@ -585,7 +585,11 @@ case class PqDistTable(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
 }
 
 object AdcDistance {
-  def compute(codes: ArrayData, table: ArrayData, ksub: Int): java.lang.Double = {
+  // returns PRIMITIVE double: this runs once per (query, candidate) pair —
+  // 4×10⁸ times in the sf10 bench — and unlike CosineSim it has no null
+  // outcome (malformed inputs THROW), so there is nothing for a box to
+  // signal; the interpreted path's nullSafeEval boxes at its own boundary
+  def compute(codes: ArrayData, table: ArrayData, ksub: Int): Double = {
     val m = codes.numElements()
     require(table.numElements() == m * ksub,
       s"graft.AdcDistance: table has ${table.numElements()} entries, codes expect ${m * ksub}")
@@ -597,7 +601,7 @@ object AdcDistance {
       acc += table.getDouble(mm * ksub + c)
       mm += 1
     }
-    java.lang.Double.valueOf(acc)
+    acc
   }
 }
 
