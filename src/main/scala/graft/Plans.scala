@@ -22,6 +22,8 @@ object Plans {
       "q_dedup_exact"      -> "hash shuffles, not text bodies: project before exchange",
       "q_dedup_corpus"     -> "ONE body-width hashpartitioning(sha2) exchange feeding the first-occurrence window — no join operator, no second scan (the aggregate+semi-join form double-scans AND ships bodies through its SortMergeJoin exchange once the winner set outgrows broadcast range; see Dedup.exactCorpusOnePass)",
       "q_html_extract"     -> "pure scan projection: exactly ONE native HtmlTextExtract node (strip/segment/score/rejoin in one pass; subexpression elimination must dedup the three field extractions), zero shuffles beyond the output sort",
+      "q_pipeline_html"    -> "the whole page→blocks→line-rules front is ONE codegen'd projection over ONE scan (one HtmlTextExtract node, one FilterLines node, no intermediate exchange); the only shuffles are the dedup window's content-hash exchange and the output sort — no join operator anywhere",
+      "q_events_funnel"    -> "ONE scan, ONE hashpartitioning(user_id) exchange: both funnel stages are conditional min aggregates in the SAME aggregate (the textbook two-filtered-aggregates + join form scanned events twice and shuffled three times — r14's worst initial sf10 ratio)",
       "q_dedup_minhash"    -> "per-row signature in one WholeStageCodegen span",
       "q_index_diff"       -> "both snapshots pre-aggregate to (slug, values) before the full-outer join — index-width shuffle only, no document bodies",
       "q_pipeline_corpus"  -> "gates fuse into the scans (native text expressions inside codegen); only (hash, min id) aggregates shuffle, bodies never move",
