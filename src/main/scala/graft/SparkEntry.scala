@@ -273,17 +273,20 @@ object SparkEntry {
       Tables.load(s, dir, "lineitem")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,4)") - dec(col("l_discount"), 4)))
-            .cast("double").as("sum_disc_price"),
+          plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
+          plans.Decimal128.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          plans.Decimal128.sum128(
+            plans.Decimal128.mul(
+              plans.Decimal128.scaled(col("l_extendedprice"), 2),
+              lit(10000L) - plans.Decimal128.scaled(col("l_discount"), 4)), 6)
+            .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
     "q_agg_topcust" -> ((s, dir) => {
       val c = Tables.catalog(s, dir)
       c("orders").df
         .groupBy("o_custkey")
-        .agg(sum(dec(col("o_totalprice"))).cast("double").as("revenue"),
+        .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),
              count(lit(1)).as("order_cnt"))
         .join(broadcast(c("customer").df), col("o_custkey") === col("c_custkey"))
         .select("c_custkey", "c_name", "revenue", "order_cnt")
@@ -295,7 +298,7 @@ object SparkEntry {
         .join(broadcast(c("nation").df), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_mktsegment", "n_name")
         .agg(count(lit(1)).as("cust_cnt"),
-             sum(dec(col("c_acctbal"))).cast("double").as("sum_acctbal"))
+             plans.Decimal128.sumMoney(col("c_acctbal")).as("sum_acctbal"))
         .orderBy("c_mktsegment", "n_name")
     }),
     "q_window_rank" -> ((s, dir) => {
@@ -339,7 +342,7 @@ object SparkEntry {
         .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
                  col("event_type"))
         .agg(count(lit(1)).as("event_cnt"),
-             sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+             plans.Decimal128.sumMoney(col("value"), 6).as("sum_value"))
         .orderBy("hour", "event_type")),
     "q_events_resample" -> ((s, dir) =>
       // Regular-grid resample with gap fill + LOCF (operators/Resample
@@ -461,7 +464,7 @@ object SparkEntry {
       // sidestep the Spark nulls-first vs DuckDB nulls-last sort divergence.
       Tables.load(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
-        .agg(sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+        .agg(plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
              count(lit(1)).as("cnt"),
              grouping(col("l_returnflag")).as("g1"),
              grouping(col("l_linestatus")).as("g2"))
@@ -960,7 +963,7 @@ object SparkEntry {
       operators.Skew.saltedJoin(orders, customer, "o_custkey", "c_custkey")
         .groupBy(col("c_mktsegment"))
         .agg(count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).cast("double").as("total_price"))
+          plans.Decimal128.sumMoney(col("o_totalprice")).as("total_price"))
         .orderBy("c_mktsegment")
     }),
     "q_corpus_card" -> ((s, dir) =>
@@ -975,8 +978,9 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(functions.TextFunctions.tokenCount(col("text")).cast("long"))
             .as("total_tokens"),
-          round(sum(functions.TextFunctions.qualityScore(col("text"))
-              .cast("decimal(18,6)")).cast("double") / count(col("text")), 4)
+          round(plans.Decimal128.sumMoney(
+              functions.TextFunctions.qualityScore(col("text")), 6)
+              / count(col("text")), 4)
             .as("avg_quality"),
           round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"),
           countDistinct(md5(col("text"))).as("n_unique"))
@@ -997,8 +1001,9 @@ object SparkEntry {
           count(lit(1)).as("n_docs"),
           sum(functions.TextFunctions.tokenCount(col("text")).cast("long"))
             .as("total_tokens"),
-          round(sum(functions.TextFunctions.qualityScore(col("text"))
-              .cast("decimal(18,6)")).cast("double") / count(col("text")), 4)
+          round(plans.Decimal128.sumMoney(
+              functions.TextFunctions.qualityScore(col("text")), 6)
+              / count(col("text")), 4)
             .as("avg_quality"),
           percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("p50_chars_approx"),
           // rsd 1%: the default 5% is a WORST-CASE bound that small groups

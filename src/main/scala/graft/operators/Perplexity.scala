@@ -185,14 +185,15 @@ object Perplexity {
       .join(broadcast(lm.bigrams), Seq("w1", "w2"), "left")
       .join(broadcast(lm.contexts), Seq("w1"), "left")
       .withColumn("__logp",
-        log((coalesce(col("n"), lit(0L)) + lit(lm.alpha)) /
-            (coalesce(col("cn"), lit(0L)) + lit(lm.alpha) * lit(lm.v)))
-          .cast("decimal(18,6)"))
+        graft.plans.Decimal128.scaled(
+          log((coalesce(col("n"), lit(0L)) + lit(lm.alpha)) /
+              (coalesce(col("cn"), lit(0L)) + lit(lm.alpha) * lit(lm.v))), 6))
       .groupBy(col(idCol))
-      .agg(sum(col("__logp") * col("__k")).as("__s"),
+      .agg(graft.plans.Decimal128.sum128(
+          graft.plans.Decimal128.mul(col("__logp"), col("__k")), 6).as("__s"),
         sum(col("__k")).as("n_bigrams"))
       .withColumn("ppl",
-        round(exp(-col("__s").cast("double") / col("n_bigrams")), 4))
+        round(exp(-col("__s") / col("n_bigrams")), 4))
       .select(col(idCol), col("n_bigrams"), col("ppl"))
       .orderBy(col(idCol))
   }

@@ -50,7 +50,7 @@ object Resample {
     val byBucket = events
       .groupBy((keys :+ bucket.as("bucket")): _*)
       .agg(count(lit(1)).as("n_events"),
-        sum(col(valueCol).cast("decimal(18,6)")).cast("double").as("sum_value"))
+        graft.plans.Decimal128.sumMoney(col(valueCol), 6).as("sum_value"))
       // feeds both the span aggregate and the join leg; without the
       // materialization the corpus would bucket-aggregate twice (the
       // Tfidf/Vocab two-consumer trap)

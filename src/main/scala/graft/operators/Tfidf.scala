@@ -133,9 +133,10 @@ object Tfidf {
     val w = idf * (col("n") * (lit(k1) + lit(1.0))) /
       (col("n") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("__graft_ntok") / avgdl))
     posts.join(dfreq, "term")
-      .withColumn("__w", w.cast("decimal(18,6)"))
+      .withColumn("__w", graft.plans.Decimal128.scaled(w, 6))
       .groupBy(col(idCol))
-      .agg(sum(col("__w")).cast("double").as("score"), count(lit(1)).as("n_terms"))
+      .agg(graft.plans.Decimal128.sum128(col("__w"), 6).as("score"),
+        count(lit(1)).as("n_terms"))
       .orderBy(desc("score"), col(idCol))
   }
 
