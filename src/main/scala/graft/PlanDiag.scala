@@ -25,7 +25,29 @@ object PlanDiag {
     val experiments: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
       "x_corpus_window" -> ((s, dir) =>
         operators.Dedup.exactCorpusOnePass(Tables.load(s, dir, "documents"))
-          .select("doc_id", "lang", "n_chars").orderBy("doc_id")))
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+      // q_agg_pricing with PLAIN double sums — the scan+groupby floor a
+      // money-exact aggregate cannot beat (A/B for Decimal128's constant)
+      "x_pricing_double" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "lineitem")
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+               sum(col("l_extendedprice")).as("sum_base_price"),
+               sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+               count(lit(1)).as("count_order"))
+          .orderBy("l_returnflag", "l_linestatus")
+      }),
+      // q_events_window's pre-r15 decimal-sum form (A/B for Decimal128)
+      "x_events_window_dec" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "events")
+          .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+                   col("event_type"))
+          .agg(count(lit(1)).as("event_cnt"),
+               sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+          .orderBy("hour", "event_type")
+      }))
     def query(n: String) = SparkEntry.queries.getOrElse(n, experiments(n))
     // warm each query once so the measured pass is JIT/cache-warm like Bench
     val qs = names.split(",").map(_.trim).filter(_.nonEmpty)

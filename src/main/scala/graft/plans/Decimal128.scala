@@ -101,7 +101,10 @@ object Decimal128 {
     } else slowScaledLong(d, scale)
   }
 
-  private def slowScaledLong(d: Double, scale: Int): java.lang.Long = {
+  /** Public only for generated code (the codegen fast path inlines the
+    * primitive checks and falls back here).
+    */
+  def slowScaledLong(d: Double, scale: Int): java.lang.Long = {
     if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
     val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
       .setScale(scale, java.math.RoundingMode.HALF_UP)
@@ -156,12 +159,22 @@ case class DoubleToScaledLong(child: Expression, scale: Int)
   override def nullSafeEval(input: Any): Any =
     Decimal128.toScaledLong(input.asInstanceOf[Double], scale)
 
+  // The fast path (exact scale-s doubles — every money column) is inlined
+  // primitively: no per-row boxing, branch-predictable, whole-stage-codegen
+  // friendly. Only the slow path pays the allocating call.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, d => {
+      val p = java.lang.Double.toString(math.pow(10, scale)) // exact for s<=15
+      val m = ctx.freshName("scaledM")
       val r = ctx.freshName("scaledRes")
       s"""
-         |java.lang.Long $r = graft.plans.Decimal128$$.MODULE$$.toScaledLong($d, $scale);
-         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |double $m = Math.rint($d * $p);
+         |if (Math.abs($m) <= 1.0995116e12 && $m / $p == $d && Math.ulp($d) * $p <= 0.25) {
+         |  ${ev.value} = (long) $m;
+         |} else {
+         |  java.lang.Long $r = graft.plans.Decimal128$$.MODULE$$.slowScaledLong($d, $scale);
+         |  if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+         |}
        """.stripMargin
     })
 
