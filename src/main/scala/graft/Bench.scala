@@ -54,21 +54,23 @@ object Bench {
         System.err.println(s"[bench] warmup skip '$t': ${e.getMessage}")
       }
     }
-    // Pre-build the memoized stored artifacts (BM25/IVF indexes, md tree):
-    // the build is a ONE-TIME cost the production shape amortizes away, so
-    // timed samples should measure probes — and an in-run build's write I/O
-    // also contaminated whatever query happened to run NEXT to it (r13's
-    // q_text_bm25_indexed sf10 spread: 2.4–6.8 s across runs).
-    SparkEntry.prewarmStoredArtifacts(spark, sfDir)
-
     // Optional subset: SPARK_GRAFT_BENCH_ONLY="q_text,q_dedup" keeps queries
     // whose name equals or starts with any listed token — the sf10 scale runs
     // bench the 26-query heavy set without paying 3 passes over all ~100.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .filter(_.nonEmpty)
-    val names = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.exists(tok => n == tok || n.startsWith(tok))))
+    def kept(n: String): Boolean = only.forall(_.exists(tok => n == tok || n.startsWith(tok)))
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(kept)
+
+    // Pre-build the memoized stored artifacts (BM25/IVF indexes, md tree):
+    // the build is a ONE-TIME cost the production shape amortizes away, so
+    // timed samples should measure probes — and an in-run build's write I/O
+    // also contaminated whatever query happened to run NEXT to it (r13's
+    // q_text_bm25_indexed sf10 spread: 2.4–6.8 s across runs). Only the
+    // artifacts whose consuming query survives the subset filter build —
+    // per-family subset runs skip the others' builds and write I/O.
+    SparkEntry.prewarmStoredArtifacts(spark, sfDir, kept)
     // Interleaved sampling: all queries, Samples passes over the whole list.
     // A query that failed in an earlier pass is skipped (deterministic error).
     val samples = scala.collection.mutable.Map(names.map(_ -> List.empty[Double]): _*)

@@ -2843,16 +2843,24 @@ object SparkEntry {
     * wraps per-artifact; a query needing a failed build will report its
     * own error).
     */
-  def prewarmStoredArtifacts(s: SparkSession, dir: String): Unit = {
-    val builds: Seq[(String, () => Any)] = Seq(
-      "bm25 index" -> (() => storedBm25Index(s, dir)),
-      "ivf stored index" -> (() => storedIvfIndex(s, dir, nlist = 8)),
-      "ivf in-memory index" -> (() => memoIvfIndex(s, dir, nlist = 8)),
-      "markdown tree" -> (() => mdTree(s, dir)))
-    builds.foreach { case (what, run) =>
-      try { run(); () }
-      catch { case scala.util.control.NonFatal(e) =>
-        System.err.println(s"[prewarm] $what failed: ${e.getMessage}")
+  /** Pre-build the memoized stored artifacts whose CONSUMING query passes
+    * `keep` — per-family bench subsets must not pay index builds (and their
+    * write I/O, which contaminates neighboring timed samples) for queries
+    * the subset filters out.
+    */
+  def prewarmStoredArtifacts(s: SparkSession, dir: String,
+                             keep: String => Boolean = _ => true): Unit = {
+    val builds: Seq[(String, String, () => Any)] = Seq(
+      ("bm25 index", "q_text_bm25_indexed", () => storedBm25Index(s, dir)),
+      ("ivf stored index", "q_ann_ivf_stored", () => storedIvfIndex(s, dir, nlist = 8)),
+      ("ivf in-memory index", "q_ann_ivf", () => memoIvfIndex(s, dir, nlist = 8)),
+      ("markdown tree", "q_md_source", () => mdTree(s, dir)))
+    builds.foreach { case (what, consumer, run) =>
+      if (keep(consumer)) {
+        try { run(); () }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"[prewarm] $what failed: ${e.getMessage}")
+        }
       }
     }
   }

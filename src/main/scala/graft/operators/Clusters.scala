@@ -208,6 +208,13 @@ object Clusters {
     val tryFast = localEdgeThreshold > 0 && sTpe == raw.schema(1).dataType &&
       fastPathComparable(sTpe)
     val rawEdges = if (tryFast) raw.persist(StorageLevel.MEMORY_AND_DISK) else raw
+    // Everything below runs under try/finally: a throw anywhere between the
+    // persist and the return (probe collect, driver union-find, a loop
+    // round) must not leak the cached edge frame (or sym) for the session
+    // lifetime. Unpersist of an already-unpersisted frame is a no-op, so
+    // the happy paths pay nothing for the cleanup being in finally.
+    var symCached: DataFrame = null
+    try {
     if (tryFast) {
       val probe = rawEdges.limit(localEdgeThreshold + 1).collect()
       if (probe.length <= localEdgeThreshold) {
@@ -220,7 +227,8 @@ object Clusters {
           .unionByName(mapping.select("id"))
           .distinct()
         // the returned plan references only `nodes` + the driver-side
-        // mapping, so the probe cache can go immediately
+        // mapping, so the probe cache can go immediately (finally re-runs
+        // the unpersist as a no-op)
         rawEdges.unpersist(blocking = false)
         return allIds.join(broadcast(mapping), Seq("id"), "left")
           .select(col("id").as(idCol),
@@ -238,6 +246,7 @@ object Clusters {
       .unionByName(pairs.select(col("d").as("s"), col("s").as("d")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    symCached = sym
 
     // Eager localCheckpoint: materialized (id, comp) with a truncated plan —
     // see the lineage-discipline note above.
@@ -286,13 +295,17 @@ object Clusters {
       }
       iter += 1
     }
-    sym.unpersist(blocking = false)
-    rawEdges.unpersist(blocking = false) // no-op when the probe never persisted
     if (!converged) {
       throw new IllegalStateException(
         s"Clusters.connectedComponents: no fixpoint after $maxIter rounds — " +
         "the graph has a component with a longer shortest-path chain; raise maxIter")
     }
+    // `labels` is localCheckpoint-materialized: unpersisting its inputs in
+    // finally cannot recompute anything.
     labels.select(col("id").as(idCol), col("comp").as("component"))
+    } finally {
+      rawEdges.unpersist(blocking = false) // no-op when the probe never persisted
+      if (symCached ne null) symCached.unpersist(blocking = false)
+    }
   }
 }

@@ -48,16 +48,19 @@ object HtmlExtract {
     * twin, not a hot path.
     */
   def extractColumns(html: Column, rules: HtmlRules = HtmlRules()): Column = {
+    // (?![A-Za-z0-9_]) after tag names, not \b — Java's \b is Unicode-aware
+    // while the native scanner and the RE2 oracle use ASCII boundaries;
+    // the lookahead makes the twin byte-for-byte identical on e.g. '<aé'.
     val sanitized = regexp_replace(
       regexp_replace(
-        regexp_replace(html, "(?is)<script\\b[^>]*>.*?</script>", " "),
-        "(?is)<style\\b[^>]*>.*?</style>", " "),
+        regexp_replace(html, "(?is)<script(?![A-Za-z0-9_])[^>]*>.*?</script>", " "),
+        "(?is)<style(?![A-Za-z0-9_])[^>]*>.*?</style>", " "),
       "(?s)<!--.*?-->", " ")
     val blocks = split(sanitized, graft.plans.HtmlTextExtract.blockSplitPattern)
     val marked = transform(blocks, b => {
       val cleaned = trim(regexp_replace(regexp_replace(b, "<[^>]*>", " "), "\\s+", " "))
       val linkChars = aggregate(
-        regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1)),
+        regexp_extract_all(b, lit("(?is)<a(?![A-Za-z0-9_])[^>]*>(.*?)</a>"), lit(1)),
         lit(0), (acc, x) => acc + length(x))
       val len = length(cleaned)
       val words = when(len === 0, 0).otherwise(size(split(cleaned, " ")))

@@ -204,17 +204,22 @@ object Lines {
   /** Column-algebra twin of [[filterLinesFast]]'s rules — a keep-predicate
     * for [[filterLines]] computing exactly what the native expression
     * computes (LinesSpec pins the parity): code-point length bounds,
-    * ASCII-`\s` token-run count, `\b`-bounded word blocklist, literal
+    * ASCII-`\s` token-run count, ASCII-boundary word blocklist, literal
     * substring blocklist, terminal-punctuation requirement.
     */
   def rulesPredicate(rules: graft.plans.FilterLines.LineRules): Column => Column = l => {
     val cp = length(l)
     val toks = size(filter(split(l, "\\s+"), x => x =!= lit("")))
+    // ASCII lookarounds and \z, not \b/$: Java's \b treats non-ASCII
+    // letters as word chars (native uses ASCII byte boundaries — 'thé'
+    // would hide blockWord 'the' from \b only) and $ matches before a
+    // trailing \r where the native checks the literal last byte.
     val conds = Seq(cp >= rules.minChars, cp <= rules.maxChars, toks >= rules.minTokens) ++
       rules.blockWords.map(wd =>
-        !l.rlike("\\b" + java.util.regex.Pattern.quote(wd) + "\\b")) ++
+        !l.rlike("(?<![A-Za-z0-9_])" + java.util.regex.Pattern.quote(wd) +
+          "(?![A-Za-z0-9_])")) ++
       rules.blockSubstrings.map(sb => !l.contains(lit(sb))) ++
-      (if (rules.requireEndPunct) Seq(l.rlike("[.!?\"]$")) else Nil)
+      (if (rules.requireEndPunct) Seq(l.rlike("[.!?\"]\\z")) else Nil)
     conds.reduce(_ && _)
   }
 }

@@ -62,8 +62,12 @@ object HtmlTextExtract {
     "table", "tr", "td", "th", "blockquote")
 
   /** The exact split pattern (shared by the column twin and the oracle). */
+  // ASCII lookahead, NOT \b: Java's \b is Unicode-aware (a non-ASCII letter
+  // after the tag name would suppress the boundary) while the native byte
+  // scanner and the RE2/DuckDB oracle treat any non-ASCII byte as a
+  // boundary. The lookahead pins all three to identical ASCII semantics.
   val blockSplitPattern: String =
-    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|hr|nav|footer|header|section|article|table|tr|td|th|blockquote)\\b[^>]*>"
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|br|hr|nav|footer|header|section|article|table|tr|td|th|blockquote)(?![A-Za-z0-9_])[^>]*>"
 
   private def isWordByte(b: Byte): Boolean =
     (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') || (b >= '0' && b <= '9') || b == '_'

@@ -103,7 +103,11 @@ class HtmlExtractSpec extends SparkSpec {
       // boundary-failing names, attr-bearing separators, stray closers
       "<P>", "</DIV>", "<ScRiPt>", "</sTyLe>", "<a", "<scr", "<pre>", "</pre>",
       "<p class=\"x y\">", "<tablex>", "<h7>", "<h1>", "</a", "<!-- unclosed",
-      "<a href=>click me</a>", "<div", "words<b>glued</b>words")
+      "<a href=>click me</a>", "<div", "words<b>glued</b>words",
+      // non-ASCII letter DIRECTLY after a tag name: ASCII boundary (native,
+      // RE2 oracle, and the lookahead twin) says tag; Java \b said no-tag
+      "<aé href='x'>linké</a>", "<pé>", "<divé>", "<scripté>not stripped</script>",
+      "<styleé>kept text</style>", "<h1é>")
     val pages: Seq[(Long, String)] = (0L until 200L).map { i =>
       (i, Seq.fill(3 + rnd.nextInt(30))(frags(rnd.nextInt(frags.size))).mkString)
     }

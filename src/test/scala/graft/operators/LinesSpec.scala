@@ -201,7 +201,13 @@ class LinesSpec extends SparkSpec {
 
   test("filterLinesFast randomized parity against the column-twin predicate") {
     val rnd = new scala.util.Random(29)
-    val words = Vector("the", "quick", "brown", "fox", "spam", "x", "théâtre", "ok.", "")
+    // 'thé'/'spamé'/'éx': non-ASCII letters ABUTTING block-word needles —
+    // Java \b would treat é as a word char and miss the boundary the
+    // native ASCII scanner (and RE2 oracle) sees; 'ok.\r' ends a line in
+    // \r, where Java $ matches before the terminator but \z and the
+    // native last-byte check do not.
+    val words = Vector("the", "quick", "brown", "fox", "spam", "x", "théâtre", "ok.", "",
+      "thé", "spamé", "éx", "éthe", "ok.\r")
     val docs: Seq[(Long, String)] = (0L until 150L).map { i =>
       val nLines = rnd.nextInt(6)
       val lines = Seq.fill(nLines)(
