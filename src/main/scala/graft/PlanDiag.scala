@@ -26,6 +26,27 @@ object PlanDiag {
       "x_corpus_window" -> ((s, dir) =>
         operators.Dedup.exactCorpusOnePass(Tables.load(s, dir, "documents"))
           .select("doc_id", "lang", "n_chars").orderBy("doc_id")),
+      // q_asof_bucketed decomposition: input-scan floor and no-final-sort
+      "x_asof_scan" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir, "events")
+        ev.filter(col("event_type") === "purchase").select("event_id", "user_id", "ts")
+          .unionByName(ev.filter(col("event_type") === "view")
+            .select(col("event_id"), col("user_id"), col("ts")))
+      }),
+      "x_asof_noorder" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("vts"),
+            col("event_id").as("view_id"))
+        operators.AsOf.asOfJoinBucketed(purchases, views, "user_id", "v_user", "ts", "vts",
+            payload = Seq("view_id"), toleranceMillis = 3600_000L, bucketMillis = 3600_000L,
+            tieBreak = Some("view_id"))
+          .select(col("event_id"), col("view_id").as("asof_view_id"))
+      }),
       // q_agg_pricing with PLAIN double sums — the scan+groupby floor a
       // money-exact aggregate cannot beat (A/B for Decimal128's constant)
       "x_pricing_double" -> ((s, dir) => {

@@ -182,15 +182,40 @@ object AsOf {
           col(rightTs).as(TS),
           lit(if (strict) 2 else 0).as(SIDE),
           struct(carried.map(col): _*).as(R)): _*)
-    // bucketed form: each right row also serves the next bucket's early left
-    // rows. Replicate with ONE Generate (explode of [b, b+1]) rather than a
-    // self-union: a union re-evaluates the whole right subtree per branch
-    // unless exchange reuse happens to fire (it needs byte-identical pruned
-    // plans), while explode is a single pass by construction.
+    // Bucketed form: bucket b's right rows must also serve bucket b+1's
+    // early left rows (a match may reach one boundary back). Only ONE of
+    // them can ever win there — the bucket's last right row under the
+    // window's own ordering — so instead of replicating ALL right rows
+    // into b+1 (the pre-r15 explode form, which shipped and sorted 2|R|
+    // rows), a partial-aggregating max_by reduces each (key, bucket) to
+    // its single boundary row and shifts that into b+1. The big exchange
+    // then carries |L| + |R| + G rows (G = #(key,bucket) groups) and the
+    // boundary aggregate's own exchange carries G post-combine rows. The
+    // right subtree does evaluate twice (union + aggregate) — a narrow,
+    // filter-pruned scan, measured cheaper than shipping+sorting |R|
+    // replicas at sf10 (2.8 s → see BASELINE.md).
+    //
+    // Equivalence: any left row t' in bucket b+1 satisfies t' >= start(b+1)
+    // > ts of every bucket-b right row, so the replicated set's running
+    // last at t' is exactly the bucket's max by (TS, tieBreak) — the
+    // boundary row. max_by's struct comparison is lexicographic with null
+    // fields smallest, matching the window's `tieBreak asc_nulls_first`;
+    // cross-boundary TS ties are impossible (different buckets), so the
+    // side tag never has to break one.
     val rTagged =
-      if (bucketMillis.isDefined)
-        rBase.withColumn(BKT, explode(array(col(BKT), col(BKT) + 1)))
-      else rBase
+      if (bucketMillis.isDefined) {
+        val ord = tieBreak match {
+          case Some(t) => struct(col(TS), col(R).getField(t))
+          case None    => struct(col(TS))
+        }
+        val boundary = rBase
+          .groupBy(col(K), col(BKT))
+          .agg(max_by(col(R), ord).as(R), max(col(TS)).as(TS))
+          .select(
+            lit(null).cast(lStruct).as(L), col(K), (col(BKT) + 1).as(BKT),
+            col(TS), lit(if (strict) 2 else 0).as(SIDE), col(R))
+        rBase.unionByName(boundary)
+      } else rBase
 
     val partKeys = col(K) +: (if (bucketMillis.isDefined) Seq(col(BKT)) else Nil)
     // tie-break: right rows sharing (key, ts) order ascending by the named
