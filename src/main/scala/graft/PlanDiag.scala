@@ -47,6 +47,24 @@ object PlanDiag {
             tieBreak = Some("view_id"))
           .select(col("event_id"), col("view_id").as("asof_view_id"))
       }),
+      // q_line_dedup decomposition: explode-only, then explode+window-mark
+      "x_ld_explode" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", "$1\n").as("text"))
+          .select(col("doc_id"), posexplode_outer(split(col("text"), "\n")))
+      }),
+      "x_ld_window" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val lines = Tables.load(s, dir, "documents")
+          .select(col("doc_id"),
+            regexp_replace(col("text"), "(\\S+\\s+\\S+)\\s+", "$1\n").as("text"))
+          .select(col("doc_id"), posexplode_outer(split(col("text"), "\n")).as(Seq("ord", "line")))
+        val w = Window.partitionBy(col("line")).orderBy(col("doc_id"), col("ord"))
+        lines.withColumn("keep", row_number().over(w) === 1)
+      }),
       // q_agg_pricing with PLAIN double sums — the scan+groupby floor a
       // money-exact aggregate cannot beat (A/B for Decimal128's constant)
       "x_pricing_double" -> ((s, dir) => {
