@@ -139,4 +139,55 @@ class NativeCorePropertySpec extends AnyFunSuite {
       assert(got == expect, s"iter=$iter text='$text'")
     }
   }
+
+  // ---- Decimal128 scaled-long conversion vs the toString/HALF_UP model ----
+
+  private def refScaled(d: Double, scale: Int): java.lang.Long = {
+    if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d)) return null
+    val bd = new java.math.BigDecimal(java.lang.Double.toString(d))
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+    if (bd.precision > 18) null else java.lang.Long.valueOf(bd.unscaledValue.longValue)
+  }
+
+  test("Decimal128.toScaledLong equals the shortest-string HALF_UP model on raw-bit doubles") {
+    val rnd = new scala.util.Random(98127L)
+    for (scale <- Seq(0, 2, 4, 6); iter <- 0 until 4000) {
+      // three regimes: arbitrary bit patterns (subnormals, NaN payloads,
+      // huge exponents -> slow path + overflow nulls), money-like exact
+      // cents (the fast path), and fast-path boundary magnitudes
+      val d = rnd.nextInt(3) match {
+        case 0 => java.lang.Double.longBitsToDouble(rnd.nextLong())
+        case 1 => (rnd.nextLong() % 200000000000L) / 100.0
+        case _ => (rnd.nextLong() % (1L << 42)).toDouble / math.pow(10, rnd.nextInt(7))
+      }
+      assert(Decimal128.toScaledLong(d, scale) == refScaled(d, scale),
+        s"scale=$scale iter=$iter d=$d bits=${java.lang.Double.doubleToRawLongBits(d)}")
+    }
+  }
+
+  test("Int128 add/merge chains equal BigInteger arithmetic across the lo-word wrap") {
+    val rnd = new scala.util.Random(55321L)
+    for (iter <- 0 until 300) {
+      val xs = Seq.fill(rnd.nextInt(60) + 1)(
+        // magnitudes up to ~9e17 so a short chain crosses the 2^63 wrap
+        (rnd.nextLong() % 900000000000000000L))
+      var hi = 0L; var lo = 0L
+      var ref = java.math.BigInteger.ZERO
+      xs.foreach { x =>
+        hi = Decimal128.addHi(hi, lo, x); lo = lo + x
+        ref = ref.add(java.math.BigInteger.valueOf(x))
+      }
+      // split the same xs into two partials and merge — the map/merge path
+      val (a, b) = xs.splitAt(xs.size / 2)
+      var h1 = 0L; var l1 = 0L; a.foreach { x => h1 = Decimal128.addHi(h1, l1, x); l1 += x }
+      var h2 = 0L; var l2 = 0L; b.foreach { x => h2 = Decimal128.addHi(h2, l2, x); l2 += x }
+      val mh = Decimal128.mergeHi(h1, l1, h2, l2); val ml = l1 + l2
+      val got = java.math.BigInteger.valueOf(hi).shiftLeft(64)
+        .add(new java.math.BigInteger(java.lang.Long.toUnsignedString(lo)))
+      assert(got == ref, s"iter=$iter chain sum")
+      assert(mh == hi && ml == lo, s"iter=$iter merge path")
+      assert(Decimal128.toDouble(hi, lo, 4) ==
+        new java.math.BigDecimal(ref, 4).doubleValue(), s"iter=$iter toDouble")
+    }
+  }
 }
