@@ -283,14 +283,21 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
     "q_agg_topcust" -> ((s, dir) => {
+      // Top-k BEFORE the dim join: the aggregate's 10 winners broadcast
+      // against the customer scan, instead of broadcasting the WHOLE
+      // customer dim to decorate 1.5M aggregate rows and then discarding
+      // all but 10. Exact: o_custkey == c_custkey, so the pre-join
+      // (revenue, o_custkey) order is the oracle's (revenue, c_custkey)
+      // order. At 100 TB the dim outgrows any broadcast; 10 rows never do.
       val c = Tables.catalog(s, dir)
-      c("orders").df
+      val top = c("orders").df
         .groupBy("o_custkey")
         .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),
              count(lit(1)).as("order_cnt"))
-        .join(broadcast(c("customer").df), col("o_custkey") === col("c_custkey"))
+        .orderBy(desc("revenue"), col("o_custkey")).limit(10)
+      broadcast(top).join(c("customer").df, col("o_custkey") === col("c_custkey"))
         .select("c_custkey", "c_name", "revenue", "order_cnt")
-        .orderBy(desc("revenue"), col("c_custkey")).limit(10)
+        .orderBy(desc("revenue"), col("c_custkey"))
     }),
     "q_agg_mktseg_nation" -> ((s, dir) => {
       val c = Tables.catalog(s, dir)
