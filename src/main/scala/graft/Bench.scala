@@ -29,7 +29,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Tables.harnessSession() // the shared harness session (one tuning source)
+    val spark = Tables.harnessSessionFor(sfDir) // shared harness tuning, split scaled to the data
 
     def once(name: String): Double = {
       val t0 = System.nanoTime()

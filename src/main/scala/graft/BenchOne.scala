@@ -11,7 +11,7 @@ object BenchOne {
     val name = args(0)
     val samples = if (args.length > 1) args(1).toInt else 3
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Tables.harnessSession()
+    val spark = Tables.harnessSessionFor(sfDir)
     require(SparkEntry.queries.contains(name),
       s"unknown query '$name'; known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     for (i <- 1 to samples) {

@@ -13,7 +13,7 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkLi
 object PlanDiag {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args
-    val spark = Tables.harnessSession()
+    val spark = Tables.harnessSessionFor(sfDir)
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
     spark.sparkContext.addSparkListener(new SparkListener {

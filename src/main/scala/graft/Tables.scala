@@ -96,6 +96,28 @@ object Tables {
   def harnessSession(master: String = defaultMaster): SparkSession =
     build(master, Some(sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1048576")))
 
+  /** [[harnessSession]] with the split size SCALED TO THE DATA:
+    * `clamp(total parquet bytes / 1024, 1 MB, 32 MB)`. The fixed 1 MB split
+    * is right through sf1 (≤180 MB on disk) but superlinear at sf100 —
+    * 17 GB at 1 MB splits is ~11k scan tasks for lineitem alone, and the
+    * round-15 sf100 probe measured q_agg_pricing at 47 s of which ~40 s was
+    * task-launch floor (7.8 s at 16 MB splits, identical plan; 9.5 s at
+    * 8.5 MB — hence /1024, which lands sf100 at 17 MB). ~1024 splits ≈ 32
+    * waves of 32 cores: parallelism without scheduler dominance. The env
+    * override still wins — per-round artifacts stay reproducible.
+    */
+  def harnessSessionFor(sfDir: String, master: String = defaultMaster): SparkSession = {
+    val split = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", {
+      val total = try {
+        val d = new java.io.File(sfDir)
+        Option(d.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
+          .map(_.length()).sum).getOrElse(0L)
+      } catch { case scala.util.control.NonFatal(_) => 0L }
+      math.max(1L << 20, math.min(32L << 20, total / 1024)).toString
+    })
+    build(master, Some(split))
+  }
+
   private def defaultMaster: String =
     s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]"
 

@@ -34,7 +34,7 @@ object StreamBench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val nFiles = sys.env.getOrElse("SPARK_GRAFT_STREAM_FILES", "32").toInt
     val fpt = sys.env.getOrElse("SPARK_GRAFT_STREAM_FPT", "4").toInt
-    val spark = graft.Tables.harnessSession()
+    val spark = graft.Tables.harnessSessionFor(sfDir)
     spark.sparkContext.setLogLevel("WARN")
 
     val work = java.nio.file.Files.createTempDirectory("graft-streambench").toFile
