@@ -129,18 +129,24 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(count == 1, s"expected exactly 1 PiiStats (4-field extraction must not inline the expression per field), found $count:\n$p")
   }
 
-  test("q_asof_bucketed replicates with ONE Generate into ONE window exchange; no union re-evaluation") {
+  test("q_asof_bucketed: boundary-row carry — partial-agg boundary, no replication Generate") {
     val p = plan("q_asof_bucketed")
-    val gens = "Generate".r.findAllIn(p).length
-    assert(gens == 1,
-      s"bucket replication must be a single explode([b, b+1]) Generate — a self-union re-evaluates the right subtree; found $gens:\n$p")
+    // r15 boundary form: bucket b's single winning right row (a map-side
+    // combining max_by per (key, bucket)) is shifted into b+1 instead of
+    // replicating EVERY right row — no explode Generate anywhere.
+    assert(!p.contains("Generate"),
+      s"boundary form must not replicate right rows (no Generate):\n$p")
+    // exchanges: the (key, bucket) window exchange + the boundary
+    // aggregate's post-combine exchange (G rows), and no more
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashEx == 1,
-      s"exactly ONE hashpartitioning exchange (the (key, bucket) window; tieBreak dedup rides its sort instead of a groupBy shuffle); found $hashEx:\n$p")
-    // both sides come off the events table; the Generate form must keep it
-    // at two scans (a self-union without exchange reuse would make three)
+    assert(hashEx == 2,
+      s"expected the window exchange + the G-row boundary-agg exchange, found $hashEx:\n$p")
+    // the boundary aggregate must combine map-side (partial before its exchange)
+    assert(p.contains("partial_max"),
+      s"boundary max_by must be a partial (map-side combining) aggregate:\n$p")
+    // left + right + the boundary aggregate's own pass over the right scan
     val scans = "Scan parquet".r.findAllIn(p).length
-    assert(scans == 2, s"expected 2 parquet scans (left + right), found $scans:\n$p")
+    assert(scans == 3, s"expected 3 parquet scans (left, right, boundary agg), found $scans:\n$p")
   }
 
   test("q_corpus_card_approx: one exchange — sketches replace the exact card's dedup expansion") {
