@@ -143,7 +143,7 @@ object Indexing {
     // value arrays are already sorted by snapshotValues). An earlier version
     // compared xxhash64(to_json(entries)) — a 64-bit proxy whose collisions
     // would silently drop M entries at corpus scale.
-    o.join(n, Seq("slug"), "full_outer")
+    o.hint("shuffle_hash").join(n, Seq("slug"), "full_outer")
       .withColumn("status",
         when(col("in_old").isNull, "A")
           .when(col("in_new").isNull, "D")
