@@ -91,6 +91,26 @@ object StreamBench {
       val dedupBatchRate = medianRate(q2)
       q2.stop()
 
+      // ---- 2b. the same dedup on the RocksDB state store -----------------
+      // The 100 TB state path: HDFS-backed stores hold state on-heap (every
+      // key resident in the executor JVM — a day of 10^9 event-ids OOMs),
+      // RocksDB spills to local SSD with constant heap. Same query, same
+      // data; the delta is the state-backend constant a deployment pays for
+      // state that outgrows memory.
+      val ckptDedupR = new java.io.File(work, "ckpt_dedup_rocks").toString
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val t1b = System.nanoTime()
+      val q2b = EventStreams.dedupedStream(source(spark), Seq("event_id"))
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckptDedupR)
+        .start()
+      q2b.processAllAvailable()
+      val dedupRocksSec = (System.nanoTime() - t1b) / 1e9
+      val dedupRocksBatchRate = medianRate(q2b)
+      q2b.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
       // ---- 3. checkpoint recovery ----------------------------------------
       // First half of the slices through a fresh checkpointed query, stop;
       // reveal the rest; restart and time (a) first committed batch — the
@@ -134,6 +154,7 @@ object StreamBench {
         s"""{"metric":"stream_bench","sf":"$sfDir","rows":$totalRows,"files":${parts.length},"files_per_trigger":$fpt,""" +
         s""""hourly_sink_sec":${fmt(hourlySec)},"hourly_rows_per_sec":${fmt(totalRows / hourlySec)},"hourly_batch_rows_per_sec":${fmt(hourlyBatchRate)},""" +
         s""""dedup_sec":${fmt(dedupSec)},"dedup_rows_per_sec":${fmt(totalRows / dedupSec)},"dedup_batch_rows_per_sec":${fmt(dedupBatchRate)},""" +
+        s""""dedup_rocksdb_sec":${fmt(dedupRocksSec)},"dedup_rocksdb_rows_per_sec":${fmt(totalRows / dedupRocksSec)},"dedup_rocksdb_batch_rows_per_sec":${fmt(dedupRocksBatchRate)},""" +
         s""""recovery_first_commit_sec":${fmt(firstCommit)},"recovery_catchup_sec":${fmt(catchupSec)}}"""
       println(line)
     } finally {
