@@ -47,6 +47,17 @@ object PlanDiag {
             tieBreak = Some("view_id"))
           .select(col("event_id"), col("view_id").as("asof_view_id"))
       }),
+      // q_dedup_semantic decomposition: quantizer fit+assign only
+      "x_sem_fit" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(s, dir, "embeddings")
+        val aug = emb.unionByName(
+          emb.filter(col("vec_id") % 50 === 0)
+            .withColumn("vec_id", col("vec_id") + 1000000000L))
+        val n = emb.count()
+        val nlist = operators.Similarity.nlistFor(n + n / 50)
+        operators.Similarity.ivfIndex(aug, nlist).assigned.select("vec_id", "cell")
+      }),
       // q_line_dedup decomposition: explode-only, then explode+window-mark
       "x_ld_explode" -> ((s, dir) => {
         import org.apache.spark.sql.functions._

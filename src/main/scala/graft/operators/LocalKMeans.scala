@@ -39,7 +39,10 @@ object LocalKMeans {
     var r = 0
     while (r < restarts) {
       val centers = fitOnce(points, k, seed + r, maxIter, tol)
-      val cost = points.foldLeft(0.0)((acc, p) => acc + sqDist(p, centers(nearest(p, centers))))
+      // cost eval is an n·k·dim pass PER RESTART — with the serial fold it
+      // (plus seeding) dominated fit wall time once Lloyd went parallel
+      val cost = parSum(points.length)(i =>
+        sqDist(points(i), centers(nearest(points(i), centers))))
       if (cost < bestCost) { bestCost = cost; best = centers }
       r += 1
     }
@@ -65,13 +68,15 @@ object LocalKMeans {
     val d2 = Array.fill(points.length)(Double.PositiveInfinity)
     var c = 1
     while (c < k) {
-      var i = 0
-      var sum = 0.0
-      while (i < points.length) {
+      // the D² update is the other n·k·dim serial pass — parallel per-point
+      // updates (index-disjoint) + fixed-chunk ordered partial sums, so the
+      // result is deterministic for a given version regardless of thread
+      // count (chunk size and merge order are fixed; the chunked float sum
+      // differs from the old serial fold only in last-bit rounding)
+      val sum = parSum(points.length) { i =>
         val d = sqDist(points(i), centers(c - 1))
         if (d < d2(i)) d2(i) = d
-        sum += d2(i)
-        i += 1
+        d2(i)
       }
       centers(c) =
         if (sum == 0.0) points(rnd.nextInt(points.length)).clone() // all points covered
@@ -93,17 +98,45 @@ object LocalKMeans {
       java.util.stream.IntStream.range(0, points.length).parallel().forEach { i =>
         assign(i) = nearest(points(i), centers)
       }
+      // mean accumulation: per-chunk local (sums, counts) merged in chunk
+      // order — the measured remaining serial cost per iteration (~0.14 s of
+      // the 0.15 s at 100k×64×50) once assignment went parallel. Chunking is
+      // fixed, so the result is thread-count-independent (the chunked float
+      // sum differs from a serial fold only in last-bit rounding).
+      val chunk = 4096
+      val nChunks = (points.length + chunk - 1) / chunk
+      val chunkSums = new Array[Array[Array[Double]]](nChunks)
+      val chunkCounts = new Array[Array[Long]](nChunks)
+      java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+        val ls = Array.ofDim[Double](k, dim)
+        val lc = new Array[Long](k)
+        var i = ci * chunk
+        val hi = math.min(i + chunk, points.length)
+        while (i < hi) {
+          val a = assign(i)
+          val p = points(i)
+          val s = ls(a)
+          var j = 0
+          while (j < dim) { s(j) += p(j); j += 1 }
+          lc(a) += 1
+          i += 1
+        }
+        chunkSums(ci) = ls
+        chunkCounts(ci) = lc
+      }
       val sums = Array.ofDim[Double](k, dim)
       val counts = new Array[Long](k)
-      var i = 0
-      while (i < points.length) {
-        val a = assign(i)
-        val p = points(i)
-        val s = sums(a)
-        var j = 0
-        while (j < dim) { s(j) += p(j); j += 1 }
-        counts(a) += 1
-        i += 1
+      var ci = 0
+      while (ci < nChunks) {
+        var a = 0
+        while (a < k) {
+          val s = sums(a); val ls = chunkSums(ci)(a)
+          var j = 0
+          while (j < dim) { s(j) += ls(j); j += 1 }
+          counts(a) += chunkCounts(ci)(a)
+          a += 1
+        }
+        ci += 1
       }
       moved = 0.0
       c = 0
@@ -120,6 +153,28 @@ object LocalKMeans {
       iter += 1
     }
     centers
+  }
+
+  /** Parallel sum of `f(i)` over `0 until n`: fixed 4096-wide chunks summed
+    * serially inside and merged in chunk order — deterministic for any
+    * thread count. `f` may carry index-disjoint side effects (the D²
+    * update); chunks partition the index space so they never race.
+    */
+  private def parSum(n: Int)(f: Int => Double): Double = {
+    val chunk = 4096
+    val nChunks = (n + chunk - 1) / chunk
+    val partial = new Array[Double](nChunks)
+    java.util.stream.IntStream.range(0, nChunks).parallel().forEach { ci =>
+      var i = ci * chunk
+      val hi = math.min(i + chunk, n)
+      var s = 0.0
+      while (i < hi) { s += f(i); i += 1 }
+      partial(ci) = s
+    }
+    var t = 0.0
+    var c = 0
+    while (c < nChunks) { t += partial(c); c += 1 }
+    t
   }
 
   private def nearest(p: Array[Double], centers: Array[Array[Double]]): Int = {
