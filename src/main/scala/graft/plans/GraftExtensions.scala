@@ -35,6 +35,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `graft_bigram_counts(text)` → struct<nbg, entries array<struct<w1, w2, n>>>
   *  - `graft_quantize8(vec)`      → struct<scale double, codes array<tinyint>> (int8 SQ)
   *  - `graft_topk(score, id, k)`  → AGGREGATE: array<struct<score, id>> top-k by score desc, id asc ties (k literal int)
+  *  - `graft_url_canonical(url)`  → string (crawl-dedup URL canonical form; tracking params stripped)
+  *  - `graft_money_sum(x, scale)` → AGGREGATE: double — exact `sum(cast(x as decimal(18,scale)))` via the 128-bit fixed-point accumulator (scale literal int)
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -177,6 +179,23 @@ object GraftExtensions {
         // AggregateExpression itself (the same contract Spark's built-in
         // registry entries rely on)
         TopKByScore(children.head, children(1), litInt(children(2), "graft_topk", "k"))
+      }),
+    (
+      new FunctionIdentifier("graft_url_canonical"),
+      new ExpressionInfo(classOf[UrlCanonical].getName, "graft_url_canonical"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "graft_url_canonical(url) takes exactly 1 argument")
+        UrlCanonical(children.head, graft.functions.TextFunctions.trackingParamPattern)
+      }),
+    (
+      new FunctionIdentifier("graft_money_sum"),
+      new ExpressionInfo(classOf[Decimal128Sum].getName, "graft_money_sum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "graft_money_sum(x, scale) takes exactly 2 arguments")
+        val s = litInt(children(1), "graft_money_sum", "scale")
+        // AGGREGATE: the exact double `sum(cast(x as decimal(18,s)))
+        // .cast(double)` yields, via the 128-bit fixed-point accumulator
+        Decimal128Sum(DoubleToScaledLong(children.head, s), s)
       })
   )
 

@@ -203,4 +203,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(sqlOut == winOut && sqlOut.size == 15)
   }
+
+  test("graft_url_canonical and graft_money_sum from SQL match the DSL natives") {
+    import spark.implicits._
+    Seq((1L, "HTTPS://A.B:443/P?utm_x=1&id=2", 1.15),
+        (1L, "http://h:80/q#frag", 2.30),
+        (2L, "not a url", 0.145))
+      .toDF("g", "u", "v").createOrReplaceTempView("r15_rows")
+    val url = spark.sql("SELECT graft_url_canonical(u) FROM r15_rows ORDER BY u")
+      .collect().map(_.getString(0)).toSeq
+    val dsl = spark.table("r15_rows").orderBy("u")
+      .select(graft.functions.TextFunctions.normalizeUrl($"u"))
+      .collect().map(_.getString(0)).toSeq
+    assert(url == dsl)
+    val sums = spark.sql(
+      "SELECT g, graft_money_sum(v, 2) AS s FROM r15_rows GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val ref = spark.sql(
+      "SELECT g, CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) FROM r15_rows GROUP BY g ORDER BY g")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(sums == ref)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_money_sum(v, g) FROM r15_rows GROUP BY g").collect()
+    }
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
 }
