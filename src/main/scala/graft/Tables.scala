@@ -124,6 +124,7 @@ object Tables {
   private def build(master: String, maxPartitionBytes: Option[String]): SparkSession = {
     var builder = SparkSession.builder()
       .master(master)
+      .withExtensions(new graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -208,6 +209,63 @@ object Tables {
       safe("documents")(SourceDef("documents", t("documents"), slugField = "doc_id")),
       safe("embeddings")(SourceDef("embeddings", t("embeddings"), slugField = "vec_id"))
     )).flatten
+    registerRelyConstraints(defs)
     new Catalog(defs)
+  }
+
+  /** Scan identity + base-scan column names of a frame backed by exactly one
+    * file scan (None for multi-scan/in-memory frames). */
+  private def scanInfo(df: DataFrame): Option[(String, Set[String])] = {
+    val scans = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation => lr
+    }
+    scans match {
+      case Seq(one) =>
+        graft.plans.Constraints.scanTag(one).map(t => (t, one.output.map(_.name).toSet))
+      case _ => None
+    }
+  }
+
+  /** Feed the RELY constraint registry ([[graft.plans.Constraints]]) from
+    * the catalog's declared shape, powering the RI-aware optimizer rules
+    * (graft.plans.RiRules):
+    *  - a `slugField` that is a real scan column is a declared unique key
+    *    (the reference treats slugs as identities — find(), cursor
+    *    pagination and index diffs all assume uniqueness already);
+    *  - `belongsTo`/`hasOne` declare an FK from this table's localKey to the
+    *    target's key; `hasMany` declares the inverse (FK lives on the
+    *    target). Only keys that are real scan columns pointing at the
+    *    parent's declared unique key register — and, like RELY constraints
+    *    everywhere, a declaration the data violates yields the declared
+    *    semantics, not the data's.
+    */
+  private def registerRelyConstraints(defs: Seq[SourceDef]): Unit = {
+    import graft.plans.Constraints
+    val info: Map[String, (String, Set[String])] =
+      defs.flatMap(d => scanInfo(d.df).map(d.name -> _)).toMap
+    val byName = defs.map(d => d.name -> d).toMap
+    def fk(childTable: String, childCol: String,
+           parentTable: String, parentCol: String): Option[(String, Constraints.Fk)] =
+      for {
+        (ctag, ccols) <- info.get(childTable)
+        (ptag, pcols) <- info.get(parentTable)
+        pd <- byName.get(parentTable)
+        if ccols(childCol) && pcols(parentCol) && pd.slugField == parentCol
+      } yield ctag -> Constraints.Fk(childCol, ptag, parentCol)
+    val fks: Seq[(String, Constraints.Fk)] = defs.flatMap { d =>
+      d.relations.values.toSeq.flatMap {
+        case BelongsTo(_, to, localKey, foreignKey) => fk(d.name, localKey, to, foreignKey)
+        case HasOne(_, to, localKey, foreignKey)    => fk(d.name, localKey, to, foreignKey)
+        case HasMany(_, to, localKey, foreignKey)   => fk(to, foreignKey, d.name, localKey)
+        case _                                      => None
+      }
+    }
+    defs.foreach { d =>
+      info.get(d.name).foreach { case (tag, cols) =>
+        val uniques: Set[String] = if (cols(d.slugField)) Set(d.slugField) else Set.empty
+        Constraints.register(tag, Constraints.TableConstraints(
+          uniques, fks.collect { case (t, f) if t == tag => f }))
+      }
+    }
   }
 }

@@ -40,8 +40,16 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // RI-aware optimizer rules (RiRules.scala), fed by the Constraints RELY
+    // registry the catalog populates from its declared relations. Injected
+    // into the operator-optimization fixed point so they cooperate with
+    // CollapseProject / column pruning / limit pushdown.
+    ext.injectOptimizerRule(_ => CollectSizeToCount)
+    ext.injectOptimizerRule(_ => TopNThroughRiJoin)
+    ext.injectOptimizerRule(_ => RiJoinElimination)
+  }
 }
 
 object GraftExtensions {

@@ -1096,24 +1096,13 @@ object CompressionRatio {
 }
 
 object HashedNgramLogit {
-  // MessageDigest per executor thread, same discipline as WinnowFps.
-  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
-
   /** Feature bucket: first 6 digest bytes big-endian (= the first 12
     * lowercase-hex chars parsed base 16 — 48 bits, always positive) mod d.
     * Shared by the scorer, the columnar twin, the local trainer, and —
     * by construction — the DuckDB oracle.
     */
-  def bucket(gram: String, d: Int): Int = {
-    val md = md5.get()
-    md.reset()
-    val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val v = ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
-            ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
-            ((dig(4) & 0xffL) << 8)  |  (dig(5) & 0xffL)
-    (v % d).toInt
-  }
+  def bucket(gram: String, d: Int): Int =
+    (FastMd5.hash48(gram) % d).toInt
 
   /** Gram bucket stream for one text — the trainer's feature extractor,
     * guaranteed identical to the scorer's because both share [[bucket]]
@@ -1136,21 +1125,24 @@ object HashedNgramLogit {
     * counts zero grams, matching the oracle's empty-token filter.
     */
   def compute(input: UTF8String, weights: Array[Long], includeBigrams: Boolean): InternalRow = {
-    val toks0 = TextExpressions.Tok.tokens(input.toString)
-    val toks = if (toks0.length == 1 && toks0(0).isEmpty) Array.empty[String] else toks0
+    // byte-level pass: unigrams hash IN PLACE from the document's UTF-8
+    // bytes, bigrams through FastMd5's scratch concat — no String/digest
+    // allocation per gram (the sf10 classifier profile was dominated by
+    // MessageDigest machinery; hashes bit-identical, Md5ParitySpec).
+    val (bytes, starts, ends, ntok) = FastMd5.tokenize(input)
     val d = weights.length
     var n = 0
     var sum = 0L
     var i = 0
-    while (i < toks.length) {
-      sum += weights(bucket(toks(i), d))
+    while (i < ntok) {
+      sum += weights((FastMd5.hash48(bytes, starts(i), ends(i) - starts(i)) % d).toInt)
       n += 1
       i += 1
     }
     if (includeBigrams) {
       i = 0
-      while (i < toks.length - 1) {
-        sum += weights(bucket(toks(i) + " " + toks(i + 1), d))
+      while (i < ntok - 1) {
+        sum += weights((FastMd5.hashGram(bytes, starts, ends, i, 2, 48) % d).toInt)
         n += 1
         i += 1
       }
@@ -1188,45 +1180,19 @@ object KgramHashes {
     * array (the columnar/oracle `range` twin produces no rows there).
     */
   def compute(input: UTF8String, k: Int, bits: Int): ArrayData = {
-    val toks0 = TextExpressions.Tok.tokens(input.toString)
-    val toks = if (toks0.length == 1 && toks0(0).isEmpty) Array.empty[String] else toks0
-    val n = toks.length - k + 1
+    // byte-level token spans + in-place FastMd5 grams: no String, no
+    // StringBuilder, no MessageDigest — bit-identical hashes (Md5ParitySpec)
+    val (bytes, starts, ends, ntok) = FastMd5.tokenize(input)
+    val n = ntok - k + 1
     if (n <= 0) return new GenericArrayData(Array.empty[Any])
     val out = new Array[Any](n)
-    val sb = new java.lang.StringBuilder
     var i = 0
     while (i < n) {
-      sb.setLength(0)
-      var j = i
-      while (j < i + k) {
-        if (j > i) sb.append(' ')
-        sb.append(toks(j))
-        j += 1
-      }
       out(i) = java.lang.Long.valueOf(
-        hashHead(sb.toString, bits))
+        FastMd5.hashGram(bytes, starts, ends, i, k, bits))
       i += 1
     }
     new GenericArrayData(out)
-  }
-
-  private val md5 = ThreadLocal.withInitial[java.security.MessageDigest](() =>
-    java.security.MessageDigest.getInstance("MD5"))
-
-  /** Big-endian head of md5: 6 bytes (bits=48, the DuckDB-twin value) or
-    * 8 bytes (bits=64, the low-collision production value). Same digest —
-    * widening costs nothing per row.
-    */
-  private def hashHead(gram: String, bits: Int): Long = {
-    val md = md5.get()
-    md.reset()
-    val dig = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val h48 =
-      ((dig(0) & 0xffL) << 40) | ((dig(1) & 0xffL) << 32) |
-      ((dig(2) & 0xffL) << 24) | ((dig(3) & 0xffL) << 16) |
-      ((dig(4) & 0xffL) << 8)  |  (dig(5) & 0xffL)
-    if (bits == 48) h48
-    else (h48 << 16) | ((dig(6) & 0xffL) << 8) | (dig(7) & 0xffL)
   }
 }
 

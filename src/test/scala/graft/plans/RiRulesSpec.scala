@@ -1,0 +1,234 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, Join, LogicalPlan}
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.api.Relations
+
+/** The RI-aware optimizer rules (RiRules.scala): rewrite fires on the right
+  * shapes (plan assertions), never on the wrong ones (negative cases), and
+  * always preserves results (parity against the same query in a session
+  * without the rules — including the null-FK edge an INNER join's implicit
+  * null-drop creates, exercised on planted tables since the star schema's
+  * FKs are never null).
+  */
+class RiRulesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Session with the graft optimizer rules active (isolated SessionState —
+    * the shared spec session stays rule-free, so parity comparisons are
+    * meaningful). */
+  private lazy val opt: SparkSession = {
+    val s = spark.newSession()
+    s.experimental.extraOptimizations =
+      Seq(CollectSizeToCount, TopNThroughRiJoin, RiJoinElimination)
+    Tables.catalog(s, dir) // registers the star schema's RELY constraints
+    s
+  }
+
+  private def optimized(df: DataFrame): LogicalPlan =
+    df.queryExecution.optimizedPlan
+
+  private def hasTopNBelowJoin(df: DataFrame): Boolean =
+    optimized(df).collect { case j: Join =>
+      j.children.exists(_.collectFirst { case g: GlobalLimit => g }.isDefined)
+    }.exists(identity)
+
+  private def hasCollect(df: DataFrame): Boolean =
+    optimized(df).toString.contains("collect_list") ||
+      optimized(df).toString.contains("collect_set")
+
+  /** Same query built in both sessions must agree (sorted row sets). */
+  private def assertParity(build: SparkSession => DataFrame): Unit = {
+    val expect = build(spark).collect().toSeq.sortBy(_.toString)
+    val got    = build(opt).collect().toSeq.sortBy(_.toString)
+    assert(got == expect, s"rule changed results:\nexpect=$expect\ngot=$got")
+  }
+
+  private def joinQ(s: SparkSession): DataFrame = {
+    val c = Tables.catalog(s, dir)
+    Relations.flatJoin(c("orders").df, c("customer").df, "o_custkey", "c_custkey")
+      .select("o_orderkey", "o_totalprice", "c_name")
+      .orderBy("o_orderkey").limit(7)
+  }
+
+  test("TopNThroughRiJoin: inner FK join pushes the top-N to the FK side") {
+    assert(hasTopNBelowJoin(joinQ(opt)), optimized(joinQ(opt)).toString)
+    assert(!hasTopNBelowJoin(joinQ(spark)))
+    assertParity(joinQ)
+  }
+
+  test("TopNThroughRiJoin: sort key on the PK side substitutes through the equi pair") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      Relations.flatJoin(c("customer").df, c("orders").df, "c_custkey", "o_custkey")
+        .select("c_custkey", "c_name", "o_orderkey")
+        .orderBy("c_custkey", "o_orderkey").limit(9)
+    }
+    assert(hasTopNBelowJoin(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("TopNThroughRiJoin: a real predicate on the PK side blocks the rewrite") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      Relations.flatJoin(c("orders").df,
+          c("customer").df.filter(col("c_acctbal") > 0), "o_custkey", "c_custkey")
+        .select("o_orderkey", "c_name").orderBy("o_orderkey").limit(7)
+    }
+    assert(!hasTopNBelowJoin(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("TopNThroughRiJoin: non-FK equi join does not push") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      // nationkey = nationkey is a real join but not a declared FK→unique pair
+      c("customer").df.join(c("supplier").df,
+          col("c_nationkey") === col("s_nationkey"))
+        .select("c_custkey", "s_suppkey").orderBy("c_custkey").limit(7)
+    }
+    assert(!hasTopNBelowJoin(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("TopNThroughRiJoin: left outer with unique right key pushes on uniqueness alone") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      // right side filtered — fine under LEFT OUTER (null-extension, not loss)
+      c("orders").df.join(c("customer").df.filter(col("c_acctbal") > 0),
+          col("o_custkey") === col("c_custkey"), "left")
+        .select("o_orderkey", "c_name").orderBy("o_orderkey").limit(7)
+    }
+    assert(hasTopNBelowJoin(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("TopNThroughRiJoin: INNER pushdown drops null-FK rows before limiting") {
+    val tmp = java.nio.file.Files.createTempDirectory("ri_nullfk").toString
+    val s = opt
+    import s.implicits._
+    // parent 1..3; child rows 1..6 where even ids have NULL fk — the top-2
+    // by id (1,2) includes a null-FK row the inner join must exclude, so a
+    // pushed limit that ignored nulls would return (1) only.
+    Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("pk", "pname")
+      .write.mode("overwrite").parquet(s"$tmp/parent")
+    Seq((1L, Some(1L)), (2L, None), (3L, Some(2L)), (4L, None),
+        (5L, Some(3L)), (6L, Some(1L)))
+      .map { case (id, fk) => (id, fk.map(java.lang.Long.valueOf).orNull) }
+      .toDF("id", "fk").write.mode("overwrite").parquet(s"$tmp/child")
+    val parent = s.read.parquet(s"$tmp/parent")
+    val child  = s.read.parquet(s"$tmp/child")
+    Constraints.register(Constraints.tagOf(child).get,
+      Constraints.TableConstraints(Set.empty,
+        Seq(Constraints.Fk("fk", Constraints.tagOf(parent).get, "pk"))))
+    Constraints.register(Constraints.tagOf(parent).get,
+      Constraints.TableConstraints(Set("pk"), Nil))
+    val q = child.join(parent, col("fk") === col("pk"))
+      .select("id", "pname").orderBy("id").limit(2)
+    assert(hasTopNBelowJoin(q), optimized(q).toString)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(1L, 3L))
+  }
+
+  test("CollectSizeToCount: size(collect_list) over groupBy becomes count") {
+    def q(s: SparkSession): DataFrame =
+      Tables.load(s, dir, "orders").groupBy("o_custkey")
+        .agg(size(collect_list(col("o_orderkey"))).as("n"))
+        .orderBy("o_custkey")
+    assert(!hasCollect(q(opt)), optimized(q(opt)).toString)
+    assert(hasCollect(q(spark)))
+    assertParity(q)
+  }
+
+  test("CollectSizeToCount: collect_set becomes count(DISTINCT)") {
+    def q(s: SparkSession): DataFrame =
+      Tables.load(s, dir, "orders").groupBy("o_custkey")
+        .agg(size(collect_set(col("o_orderstatus"))).as("n"))
+        .orderBy("o_custkey")
+    assert(!hasCollect(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("CollectSizeToCount: the nested-relation attach shape (left join + coalesce)") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      Relations.nested(c("customer").df, c("customer").relations("orders"),
+          c("orders").df.select("o_custkey", "o_orderkey"))
+        .select(col("c_custkey"), size(col("orders")).as("order_cnt"))
+        .orderBy("c_custkey")
+    }
+    assert(!hasCollect(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("CollectSizeToCount: flatten(collect_list(arr)) cascades to sum(count)") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      Relations.nested(c("region").df, c("region").relations("customers"),
+          c("customer").df.select("c_custkey", "c_nationkey"),
+          through = Some(c("nation").df))
+        .select(col("r_name"), size(col("customers")).as("cust_cnt"))
+        .orderBy("r_name")
+    }
+    assert(!hasCollect(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("CollectSizeToCount: an array consumed beyond size() is untouched") {
+    def q(s: SparkSession): DataFrame =
+      Tables.load(s, dir, "orders").groupBy("o_custkey")
+        .agg(collect_list(col("o_orderkey")).as("ids"))
+        .select(col("o_custkey"), size(col("ids")).as("n"), col("ids"))
+        .orderBy("o_custkey")
+    assert(hasCollect(q(opt)), optimized(q(opt)).toString)
+    assertParity(q)
+  }
+
+  test("RiJoinElimination: inner FK join consumed one-sided drops the join") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      // c_custkey is the dropped side's KEY — substituted, join still gone
+      Relations.flatJoin(c("orders").df, c("customer").df, "o_custkey", "c_custkey")
+        .select("o_orderkey", "o_totalprice", "c_custkey")
+    }
+    assert(optimized(q(opt)).collectFirst { case j: Join => j }.isEmpty,
+      optimized(q(opt)).toString)
+    assert(optimized(q(spark)).collectFirst { case j: Join => j }.isDefined)
+    assertParity(q)
+  }
+
+  test("RiJoinElimination: referencing a non-key column keeps the join") {
+    def q(s: SparkSession): DataFrame = {
+      val c = Tables.catalog(s, dir)
+      Relations.flatJoin(c("orders").df, c("customer").df, "o_custkey", "c_custkey")
+        .select("o_orderkey", "c_name")
+    }
+    assert(optimized(q(opt)).collectFirst { case j: Join => j }.isDefined)
+    assertParity(q)
+  }
+
+  test("RiJoinElimination: eliminated INNER join still drops null-FK rows") {
+    val tmp = java.nio.file.Files.createTempDirectory("ri_elim").toString
+    val s = opt
+    import s.implicits._
+    Seq((1L, "p1"), (2L, "p2")).toDF("pk", "pname")
+      .write.mode("overwrite").parquet(s"$tmp/parent")
+    Seq((1L, Some(1L)), (2L, None), (3L, Some(2L)))
+      .map { case (id, fk) => (id, fk.map(java.lang.Long.valueOf).orNull) }
+      .toDF("id", "fk").write.mode("overwrite").parquet(s"$tmp/child")
+    val parent = s.read.parquet(s"$tmp/parent")
+    val child  = s.read.parquet(s"$tmp/child")
+    Constraints.register(Constraints.tagOf(child).get,
+      Constraints.TableConstraints(Set.empty,
+        Seq(Constraints.Fk("fk", Constraints.tagOf(parent).get, "pk"))))
+    Constraints.register(Constraints.tagOf(parent).get,
+      Constraints.TableConstraints(Set("pk"), Nil))
+    val q = child.join(parent, col("fk") === col("pk")).select("id", "fk")
+    assert(optimized(q).collectFirst { case j: Join => j }.isEmpty,
+      optimized(q).toString)
+    assert(q.collect().map(_.getLong(0)).toSeq.sorted == Seq(1L, 3L))
+  }
+}
