@@ -193,11 +193,16 @@ object TopNThroughRiJoin extends Rule[LogicalPlan] {
         val base: LogicalPlan =
           if (j.joinType == Inner) Filter(IsNotNull(pushKey), side) else side
         val limited = Limit(Literal(n), Sort(substOrder, global = true, base))
+        // Hint the n-row side as the broadcast build; the OTHER side's
+        // pre-existing hint is preserved (overwriting only the pushed
+        // side's — a stale dimension-broadcast hint there would fight the
+        // n-row build choice, but the user's hint on the probe side is
+        // still their call).
         val bcast = Some(HintInfo(strategy = Some(BROADCAST)))
         if (pushSideIsLeft)
-          j.copy(left = limited, hint = JoinHint(bcast, None))
+          j.copy(left = limited, hint = j.hint.copy(leftHint = bcast))
         else
-          j.copy(right = limited, hint = JoinHint(None, bcast))
+          j.copy(right = limited, hint = j.hint.copy(rightHint = bcast))
       }
     }
   }
@@ -209,19 +214,15 @@ object TopNThroughRiJoin extends Rule[LogicalPlan] {
     val (pushKey, otherKey) = if (pushLeft) (lKey, rKey) else (rKey, lKey)
     val pushPlan  = if (pushLeft) j.left else j.right
     val otherPlan = if (pushLeft) j.right else j.left
-    // join-key equivalence: an inner/outer equi pair makes the two key
-    // attrs value-equal on every output row, so a sort key on one side can
-    // be evaluated on the other — but only when the types match exactly
-    // (equality via the normalizer's string cast does not license
-    // cross-type ORDERING claims).
-    val substOrder =
-      if (pushKey.dataType == otherKey.dataType)
-        order.map(_.transform {
-          case a: Attribute if a.exprId == otherKey.exprId => pushKey
-        }.asInstanceOf[SortOrder])
-      else order
     val pushOutput = pushPlan.outputSet
-    if (!substOrder.forall(_.references.subsetOf(pushOutput))) return None
+    // declared FK push→other, with the other (parent) side bare up to
+    // null-key drops — the totality fact both the INNER validity check and
+    // the LEFT OUTER substitution license need.
+    lazy val fkTotal = (for {
+      pkSide <- descendToScan(otherPlan)
+      fkSide <- descendToScan(pushPlan)
+    } yield isDeclaredFkJoin(fkSide, pushKey, pkSide, otherKey) &&
+        filtersOnlyNullKeyDrops(pkSide, otherKey)).getOrElse(false)
     val valid = j.joinType match {
       case LeftOuter if pushLeft =>
         // unique right key ⇒ ≤1 match per left row ⇒ exactly one output row
@@ -233,14 +234,37 @@ object TopNThroughRiJoin extends Rule[LogicalPlan] {
       case Inner =>
         // declared FK (totality) + unique parent + parent bare up to
         // null-key drops ⇒ each surviving push-side row joins exactly once.
-        (for {
-          pkSide <- descendToScan(otherPlan)
-          fkSide <- descendToScan(pushPlan)
-        } yield isDeclaredFkJoin(fkSide, pushKey, pkSide, otherKey) &&
-            filtersOnlyNullKeyDrops(pkSide, otherKey)).getOrElse(false)
+        fkTotal
       case _ => false
     }
-    if (valid) Some(substOrder) else None
+    if (!valid) return None
+    // No substitution needed when every sort key already lives on the push
+    // side — always sound once the join is valid.
+    if (order.forall(_.references.subsetOf(pushOutput))) return Some(order)
+    // Otherwise try evaluating sort keys on the other side's join key via
+    // the equi pair. This needs VALUE equality on EVERY OUTPUT ROW, not just
+    // matched rows:
+    //  - INNER: every output row satisfies pushKey = otherKey — sound.
+    //  - LEFT OUTER: an unmatched left row outputs NULL for the right key
+    //    while its own key may be non-null, so substitution is only sound
+    //    when no retained row can be unmatched-with-non-null-key: declared
+    //    FK totality + a bare (null-key-drop-only) right side. Then a
+    //    non-null left key always matches (keys equal) and a null left key
+    //    never does (both keys NULL — same sort position).
+    // Types must also match exactly: equality through the normalizer's
+    // string cast does not license cross-type ORDERING claims.
+    if (pushKey.dataType != otherKey.dataType) return None
+    val substLicensed = j.joinType match {
+      case Inner                 => true
+      case LeftOuter if pushLeft => fkTotal
+      case _                     => false
+    }
+    if (!substLicensed) return None
+    val substOrder = order.map(_.transform {
+      case a: Attribute if a.exprId == otherKey.exprId => pushKey
+    }.asInstanceOf[SortOrder])
+    if (substOrder.forall(_.references.subsetOf(pushOutput))) Some(substOrder)
+    else None
   }
 }
 
@@ -479,15 +503,25 @@ object RiJoinElimination extends Rule[LogicalPlan] {
         val substitutable = dropRefs.isEmpty ||
           (sameType && dropRefs.forall(_.exprId == dropKey.exprId))
         if (!substitutable) return None
+        // declared FK keep→drop with the dropped (parent) side bare up to
+        // null-key drops: needed for INNER validity, and for substituting
+        // the dropped key under LEFT OUTER.
+        lazy val fkTotal = (for {
+          pkSide <- descendToScan(drop)
+          fkSide <- descendToScan(keep)
+        } yield isDeclaredFkJoin(fkSide, keepKey, pkSide, dropKey) &&
+            filtersOnlyNullKeyDrops(pkSide, dropKey)).getOrElse(false)
         val valid = j.joinType match {
           case LeftOuter if keepLeft =>
-            descendToScan(drop).exists(side => isDeclaredUnique(side, dropKey))
-          case Inner =>
-            (for {
-              pkSide <- descendToScan(drop)
-              fkSide <- descendToScan(keep)
-            } yield isDeclaredFkJoin(fkSide, keepKey, pkSide, dropKey) &&
-                filtersOnlyNullKeyDrops(pkSide, dropKey)).getOrElse(false)
+            // Uniqueness alone preserves row count, but an UNMATCHED left
+            // row outputs NULL for the dropped key while the kept key may
+            // be non-null — so when the projection references the dropped
+            // key, substitution additionally needs FK totality + a bare
+            // dropped side (then non-null keys always match ⇒ keys equal;
+            // null keys never match ⇒ both NULL — substitution exact).
+            descendToScan(drop).exists(side => isDeclaredUnique(side, dropKey)) &&
+              (dropRefs.isEmpty || fkTotal)
+          case Inner => fkTotal
           case _ => false
         }
         if (!valid) return None
