@@ -131,7 +131,23 @@ object SparkEntry {
       Tables.catalog(s, dir).from("customer")
         .orderBy("c_acctbal", "desc").pageSize(20)
         .cursor(Cursor.encode(Cursor("c_acctbal", "5000.0", "750")), "after")
-        .execDf().select("c_custkey", "c_name", "c_acctbal"))
+        .execDf().select("c_custkey", "c_name", "c_acctbal")),
+    "q_page_join" -> ((s, dir) => {
+      // Cursor pagination over a belongsTo join — the reference's SSG page
+      // pattern (reference src/QueryBuilder.ts:330 + src/utils/pagenation.ts:21:
+      // page through a source with a relation attached). The keyset predicate
+      // pushes to the orders scan, and TopNThroughRiJoin (plans/RiRules.scala)
+      // computes the top-20 on the orders side BEFORE the join (plan pinned in
+      // RiRulesSpec), so page cost is O(page) however large the dimension —
+      // the 100 TB shape for paged joined listings.
+      val c = Tables.catalog(s, dir)
+      val joined = Relations.flatJoin(c("orders").df, c("customer").df,
+        "o_custkey", "c_custkey", broadcastForeign = true)
+      Pagination.pageDf(joined, orderField = "o_totalprice", slugField = "o_orderkey",
+          descending = false, pageSize = 20,
+          cursor = Some(Cursor("o_totalprice", "50000.0", "1000")), direction = After)
+        .select("o_orderkey", "o_totalprice", "c_name")
+    })
   )
 
   private def paginationOracle: Map[String, String] = Map(
@@ -150,7 +166,12 @@ object SparkEntry {
     "q_page_desc_after" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
          WHERE c_acctbal < 5000.0 OR (c_acctbal = 5000.0 AND c_custkey < 750)
-         ORDER BY c_acctbal DESC, c_custkey DESC LIMIT 20"""
+         ORDER BY c_acctbal DESC, c_custkey DESC LIMIT 20""",
+    "q_page_join" ->
+      """SELECT o_orderkey, o_totalprice, c_name
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE o_totalprice > 50000.0 OR (o_totalprice = 50000.0 AND o_orderkey > 1000)
+         ORDER BY o_totalprice, o_orderkey LIMIT 20"""
   )
 
   // ---- relation joins (SURVEY §2 #12-#17) --------------------------------

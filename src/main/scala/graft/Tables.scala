@@ -232,12 +232,20 @@ object Tables {
     *  - a `slugField` that is a real scan column is a declared unique key
     *    (the reference treats slugs as identities — find(), cursor
     *    pagination and index diffs all assume uniqueness already);
-    *  - `belongsTo`/`hasOne` declare an FK from this table's localKey to the
+    *  - `belongsTo` declares an FK from this table's localKey to the
     *    target's key; `hasMany` declares the inverse (FK lives on the
     *    target). Only keys that are real scan columns pointing at the
     *    parent's declared unique key register — and, like RELY constraints
     *    everywhere, a declaration the data violates yields the declared
     *    semantics, not the data's.
+    *  - `hasOne` registers ONLY a uniqueness fact on the target's
+    *    foreignKey — hasOne is 0-or-1, so it promises at most one match,
+    *    never existence. Deriving FK totality from it (as rounds ≤17 did)
+    *    would let [[graft.plans.RiJoinElimination]] /
+    *    [[graft.plans.TopNThroughRiJoin]] keep INNER-join rows an optional
+    *    relation actually drops. Callers whose hasOne IS total can declare
+    *    the FK explicitly via [[graft.plans.Constraints.register]], and
+    *    audit any declaration with [[graft.plans.Constraints.validateRely]].
     */
   private def registerRelyConstraints(defs: Seq[SourceDef]): Unit = {
     import graft.plans.Constraints
@@ -255,14 +263,20 @@ object Tables {
     val fks: Seq[(String, Constraints.Fk)] = defs.flatMap { d =>
       d.relations.values.toSeq.flatMap {
         case BelongsTo(_, to, localKey, foreignKey) => fk(d.name, localKey, to, foreignKey)
-        case HasOne(_, to, localKey, foreignKey)    => fk(d.name, localKey, to, foreignKey)
         case HasMany(_, to, localKey, foreignKey)   => fk(to, foreignKey, d.name, localKey)
         case _                                      => None
       }
     }
+    // hasOne's only promise: ≤1 target row per key value, i.e. the target's
+    // foreignKey is unique (no totality — see the Scaladoc above).
+    val hasOneUniques: Map[String, Set[String]] = defs
+      .flatMap(_.relations.values.collect {
+        case HasOne(_, to, _, foreignKey) => to -> foreignKey })
+      .groupBy(_._1).map { case (t, kvs) => t -> kvs.map(_._2).toSet }
     defs.foreach { d =>
       info.get(d.name).foreach { case (tag, cols) =>
-        val uniques: Set[String] = if (cols(d.slugField)) Set(d.slugField) else Set.empty
+        val uniques: Set[String] =
+          (Set(d.slugField) ++ hasOneUniques.getOrElse(d.name, Set.empty)).filter(cols)
         Constraints.register(tag, Constraints.TableConstraints(
           uniques, fks.collect { case (t, f) if t == tag => f }))
       }

@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
 
 /** RELY constraint registry feeding the RI-aware optimizer rules
   * ([[RiRules]]): declared-but-unvalidated uniqueness and foreign-key facts
@@ -84,4 +85,81 @@ object Constraints {
     * globally meaningful), so specs that plant conflicting declarations
     * reset between cases. */
   def clear(): Unit = registry.clear()
+
+  /** One RELY declaration the data contradicts (see [[validateRely]]). */
+  final case class RelyViolation(tag: String, constraint: String, detail: String) {
+    override def toString: String = s"[$tag] $constraint: $detail"
+  }
+
+  /** Audit every registered RELY declaration against the actual data.
+    *
+    * RELY constraints are TRUSTED, never checked, during optimization — a
+    * declaration the data violates silently yields the declared semantics
+    * (dropped rows from an eliminated join, a wrong top-N). This is the
+    * explicit, on-demand audit for that trust contract: run it after loads
+    * or schema changes, before relying on the RI rules in production.
+    *
+    *  - unique col `u`: `count(*) == count(u) == approx-free count(DISTINCT u)`
+    *    (uniqueness AND non-null, the exact fact [[RiRules]] consumes);
+    *  - FK `c → parent.p`: no non-null `c` value without a matching parent
+    *    row (referential totality), checked with a LEFT ANTI join on the
+    *    distinct child keys — O(|child|) one shuffle, never a fan-out.
+    *
+    * Tags are root-path lists (see [[scanTag]]), so the audit re-reads each
+    * table directly from its paths. Cost is one pass per table plus one
+    * anti-join per FK — an explicit audit job, never on the query path.
+    * Returns all violations found (empty = every declaration holds).
+    * `tagFilter` restricts the audit to a subset of registered tables (the
+    * registry is process-global — a service auditing one newly loaded
+    * catalog shouldn't re-scan every table ever registered).
+    */
+  def validateRely(spark: SparkSession,
+                   tagFilter: String => Boolean = _ => true): Seq[RelyViolation] = {
+    def read(tag: String): Option[DataFrame] =
+      try Some(spark.read.parquet(tag.split(","): _*))
+      catch { case scala.util.control.NonFatal(_) => None }
+    registry.toSeq.filter(kv => tagFilter(kv._1)).sortBy(_._1).flatMap { case (tag, tc) =>
+      read(tag) match {
+        case None =>
+          Seq(RelyViolation(tag, "scan", "registered paths are not readable"))
+        case Some(df) =>
+          val cols = df.columns.toSet
+          val uniqueViolations = tc.uniqueCols.toSeq.sorted.flatMap { u =>
+            if (!cols(u)) Seq(RelyViolation(tag, s"unique($u)", "column missing"))
+            else {
+              val r = df.agg(count(lit(1)).as("n"), count(col(u)).as("nn"),
+                countDistinct(col(u)).as("nd")).head()
+              val (n, nn, nd) = (r.getLong(0), r.getLong(1), r.getLong(2))
+              (if (nn < n) Seq(RelyViolation(tag, s"unique($u)",
+                s"${n - nn} null values (declared unique cols are non-null)")) else Nil) ++
+              (if (nd < nn) Seq(RelyViolation(tag, s"unique($u)",
+                s"${nn - nd} duplicate values")) else Nil)
+            }
+          }
+          val fkViolations = tc.fks.flatMap { f =>
+            (read(f.parentTag), cols(f.childCol)) match {
+              case (_, false) =>
+                Seq(RelyViolation(tag, s"fk(${f.childCol})", "child column missing"))
+              case (None, _) =>
+                Seq(RelyViolation(tag, s"fk(${f.childCol})",
+                  s"parent ${f.parentTag} not readable"))
+              case (Some(parent), _) if !parent.columns.contains(f.parentCol) =>
+                Seq(RelyViolation(tag, s"fk(${f.childCol})",
+                  s"parent column ${f.parentCol} missing"))
+              case (Some(parent), _) =>
+                val orphans = df.select(col(f.childCol).as("__k"))
+                  .filter(col("__k").isNotNull).distinct()
+                  .join(parent.select(col(f.parentCol).cast(
+                    df.schema(f.childCol).dataType).as("__k")), Seq("__k"), "left_anti")
+                  .count()
+                if (orphans > 0)
+                  Seq(RelyViolation(tag, s"fk(${f.childCol} → ${f.parentTag}.${f.parentCol})",
+                    s"$orphans child key values have no parent row"))
+                else Nil
+            }
+          }
+          uniqueViolations ++ fkViolations
+      }
+    }
+  }
 }

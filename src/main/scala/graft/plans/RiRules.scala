@@ -356,9 +356,15 @@ object CollectSizeToCount extends Rule[LogicalPlan] {
     case Flatten(inner) => inner match {
       case ae @ AggregateExpression(cl: CollectList, _, false, None, _)
           if cl.child.dataType.isInstanceOf[ArrayType] =>
-        Some(AggregateExpression(Sum(Size(cl.child, legacySizeOfNull = false)
-          .asInstanceOf[Expression]), ae.mode, isDistinct = false,
-          None, NamedExpression.newExprId))
+        // Coalesce to 0: a group whose arr values are ALL NULL collects an
+        // empty list (collect_list skips nulls), so size(flatten(…)) is 0 —
+        // but Sum over all-NULL inputs is NULL. (Count, used by the other
+        // shapes, never returns NULL — no wrapper needed there.)
+        Some(Coalesce(Seq(
+          AggregateExpression(Sum(Size(cl.child, legacySizeOfNull = false)
+            .asInstanceOf[Expression]), ae.mode, isDistinct = false,
+            None, NamedExpression.newExprId),
+          Literal(0L, LongType))))
       case _ => None
     }
     case _ => None

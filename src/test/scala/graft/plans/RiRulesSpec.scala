@@ -210,6 +210,127 @@ class RiRulesSpec extends SparkSpec {
     assertParity(q)
   }
 
+  // ---- r17 LEFT OUTER soundness fixes (regression pins) -------------------
+  // A planted child/parent pair where LEFT OUTER can produce unmatched rows
+  // two ways: a NULL fk, and (when the parent is filtered) a dropped parent.
+  // `filteredParent = true` plants totality-violating data (fk=2's parent is
+  // filtered out), so any rewrite that fires there returns wrong rows.
+  private def plantLeftOuter(): (DataFrame, DataFrame) = {
+    val tmp = java.nio.file.Files.createTempDirectory("ri_louter").toString
+    val s = opt
+    import s.implicits._
+    Seq((1L, "p1"), (2L, "p2"), (3L, "p3")).toDF("pk", "pname")
+      .write.mode("overwrite").parquet(s"$tmp/parent")
+    Seq((1L, Some(3L)), (2L, Some(2L)), (3L, None), (4L, Some(1L)))
+      .map { case (id, fk) => (id, fk.map(java.lang.Long.valueOf).orNull) }
+      .toDF("id", "fk").write.mode("overwrite").parquet(s"$tmp/child")
+    val parent = s.read.parquet(s"$tmp/parent")
+    val child  = s.read.parquet(s"$tmp/child")
+    Constraints.register(Constraints.tagOf(child).get,
+      Constraints.TableConstraints(Set.empty,
+        Seq(Constraints.Fk("fk", Constraints.tagOf(parent).get, "pk"))))
+    Constraints.register(Constraints.tagOf(parent).get,
+      Constraints.TableConstraints(Set("pk"), Nil))
+    (child, parent)
+  }
+
+  test("TopNThroughRiJoin: LEFT OUTER sort-key substitution is blocked when the right side is filtered") {
+    val (child, parent) = plantLeftOuter()
+    // fk=2's parent is filtered away → that row's output pk is NULL, not 2.
+    // Substituting pk→fk in the pushed sort would order it as 2 (r17 hole).
+    val q = child.join(parent.filter(col("pname") =!= "p2"),
+        col("fk") === col("pk"), "left")
+      .select("id", "pk").orderBy(col("pk").asc, col("id").asc).limit(2)
+    assert(!hasTopNBelowJoin(q), optimized(q).toString)
+    // nulls-first asc: the two unmatched rows (id=3 null fk, id=2 dropped
+    // parent) are the correct top-2.
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
+  test("TopNThroughRiJoin: LEFT OUTER sort-key substitution pushes with parity when FK totality holds") {
+    val (child, parent) = plantLeftOuter()
+    val q = child.join(parent, col("fk") === col("pk"), "left")
+      .select("id", "pk").orderBy(col("pk").asc, col("id").asc).limit(2)
+    assert(hasTopNBelowJoin(q), optimized(q).toString)
+    // nulls-first asc: the null-fk row (id=3, pk NULL) then fk=1 (id=4).
+    assert(q.collect().map(r => (r.getLong(0), Option(r.get(1)))).toSeq ==
+      Seq((3L, None), (4L, Some(1L))))
+  }
+
+  test("TopNThroughRiJoin: a pre-existing hint on the probe side survives the rewrite") {
+    val (child, parent) = plantLeftOuter()
+    import org.apache.spark.sql.catalyst.plans.logical.BROADCAST
+    val q = child.join(parent.hint("broadcast"), col("fk") === col("pk"))
+      .select("id", "pname").orderBy("id").limit(2)
+    assert(hasTopNBelowJoin(q), optimized(q).toString)
+    val j = optimized(q).collectFirst { case j: Join => j }.get
+    assert(j.hint.rightHint.flatMap(_.strategy).contains(BROADCAST),
+      s"user's probe-side hint was clobbered: ${j.hint}")
+    assert(j.hint.leftHint.flatMap(_.strategy).contains(BROADCAST),
+      s"pushed n-row side should be the broadcast build: ${j.hint}")
+  }
+
+  test("RiJoinElimination: LEFT OUTER dropped-key substitution is blocked when the right side is filtered") {
+    val (child, parent) = plantLeftOuter()
+    val q = child.join(parent.filter(col("pname") =!= "p2"),
+        col("fk") === col("pk"), "left")
+      .select("id", "pk")
+    assert(optimized(q).collectFirst { case j: Join => j }.isDefined,
+      optimized(q).toString)
+    // id=2's parent is filtered → pk NULL (fk substitution would say 2)
+    assert(q.collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq ==
+      Seq((1L, Some(3L)), (2L, None), (3L, None), (4L, Some(1L))))
+  }
+
+  test("RiJoinElimination: LEFT OUTER dropped-key substitution eliminates with parity when FK totality holds") {
+    val (child, parent) = plantLeftOuter()
+    val q = child.join(parent, col("fk") === col("pk"), "left").select("id", "pk")
+    assert(optimized(q).collectFirst { case j: Join => j }.isEmpty,
+      optimized(q).toString)
+    assert(q.collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1).toSeq ==
+      Seq((1L, Some(3L)), (2L, Some(2L)), (3L, None), (4L, Some(1L))))
+  }
+
+  test("CollectSizeToCount: flatten rewrite returns 0, not NULL, for an all-null-arrays group") {
+    def q(s: SparkSession): DataFrame = {
+      import s.implicits._
+      Seq((1, Option(Seq(10, 20))), (1, Option.empty[Seq[Int]]),
+          (2, Option.empty[Seq[Int]]), (2, Option.empty[Seq[Int]]))
+        .toDF("g", "arr")
+        .groupBy("g")
+        .agg(size(flatten(collect_list(col("arr")))).as("n"))
+        .orderBy("g")
+    }
+    assert(!hasCollect(q(opt)), optimized(q(opt)).toString)
+    // group 2 collects nothing (collect_list skips nulls) → size 0; a bare
+    // sum(size(arr)) rewrite would return NULL here.
+    assert(q(opt).collect().map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 2), (2, 0)))
+    assertParity(q)
+  }
+
+  test("q_page_join: the registered paged-join query keeps the rule exercised (plan pin)") {
+    // The oracle row that covers TopNThroughRiJoin forever: cursor pagination
+    // over orders ⋈ customer must compute the page on the orders side FIRST.
+    val q = graft.SparkEntry.queries("q_page_join")(opt, dir)
+    assert(hasTopNBelowJoin(q), optimized(q).toString)
+    assert(q.count() == 20)
+  }
+
+  test("catalog RELY derivation: hasOne registers uniqueness, never totality") {
+    Tables.catalog(opt, dir)
+    // supplier —hasOne→ nation: supplier must carry NO fk on s_nationkey
+    // (hasOne is 0-or-1 — optional), nation must carry n_nationkey unique.
+    val supplierTag = Constraints.tagOf(Tables.load(opt, dir, "supplier")).get
+    val nationTag   = Constraints.tagOf(Tables.load(opt, dir, "nation")).get
+    assert(!Constraints.get(supplierTag).get.fks.exists(_.childCol == "s_nationkey"))
+    assert(Constraints.get(nationTag).get.uniqueCols.contains("n_nationkey"))
+    // belongsTo still derives totality: orders → customer.
+    val ordersTag = Constraints.tagOf(Tables.load(opt, dir, "orders")).get
+    assert(Constraints.get(ordersTag).get.fks
+      .exists(f => f.childCol == "o_custkey" && f.parentCol == "c_custkey"))
+  }
+
   test("RiJoinElimination: eliminated INNER join still drops null-FK rows") {
     val tmp = java.nio.file.Files.createTempDirectory("ri_elim").toString
     val s = opt
