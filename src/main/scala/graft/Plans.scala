@@ -17,6 +17,9 @@ object Plans {
       "q_page_after"       -> "keyset predicate pushed; TakeOrderedAndProject not global sort",
       "q_join_belongsto"   -> "customer side broadcast (BroadcastHashJoin)",
       "q_join_hasmanythrough" -> "both hops broadcast; no shuffle of the fact side",
+      "q_join_hasmany"     -> "TopNThroughRiJoin: the top-500 (sort keys substituted through the FK equi pair) is computed on the orders side FIRST — TakeOrderedAndProject BELOW the join, 500-row side as the broadcast build; the pre-rule plan joined the full fact table then took 500 rows",
+      "q_join_nested_hasmany" -> "CollectSizeToCount: NO collect_list anywhere — the nested size() consumes count(o_orderkey), a partial-aggregating HashAggregate (one long per group through the exchange, never the array); the coalesce-to-0 left-outer attach shape rewrites with it",
+      "q_page_join"        -> "cursor page over a belongsTo join: keyset predicate pushed to the orders scan (PushedFilters) AND the top-20 computed on the orders side below the join (TopNThroughRiJoin) — page cost stays O(page) at any dimension size",
       "q_agg_pricing"      -> "partial_ aggregation before the exchange (map-side combine)",
       "q_agg_topcust"      -> "shuffle agg on o_custkey then broadcast dim join",
       "q_dedup_exact"      -> "hash shuffles, not text bodies: project before exchange",
