@@ -97,23 +97,37 @@ object Tables {
     build(master, Some(sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", "1048576")))
 
   /** [[harnessSession]] with the split size SCALED TO THE DATA:
-    * `clamp(total parquet bytes / 1024, 1 MB, 32 MB)`. The fixed 1 MB split
-    * is right through sf1 (≤180 MB on disk) but superlinear at sf100 —
-    * 17 GB at 1 MB splits is ~11k scan tasks for lineitem alone, and the
-    * round-15 sf100 probe measured q_agg_pricing at 47 s of which ~40 s was
-    * task-launch floor (7.8 s at 16 MB splits, identical plan; 9.5 s at
-    * 8.5 MB — hence /1024, which lands sf100 at 17 MB). ~1024 splits ≈ 32
-    * waves of 32 cores: parallelism without scheduler dominance. The env
-    * override still wins — per-round artifacts stay reproducible.
+    * `clamp(max(total/1024, largestFile/256), 1 MB, 128 MB)`.
+    *
+    * Two regimes, both measured:
+    *  - SMALL data wants small splits for parallelism: at sf0.1 (600 MB)
+    *    most tables are under 32 cores × 2 MB, so raising the split from
+    *    1 MB to 2.3 MB idles cores and cost +35% on the full surface
+    *    (round-18 A/B). `total/1024` with the 1 MB floor keeps that regime.
+    *  - LARGE files punish task count: each scan task re-reads the file's
+    *    parquet FOOTER, whose size grows with the file (row-group × column
+    *    metadata), so per-task fixed cost rises with scale — sf100's 11 GB
+    *    lineitem at 17 MB splits (650 tasks) measured ~8 ms/task of pure
+    *    footer/launch floor: q_agg_pricing 10.9 s vs 7.7 s at 64 MB splits,
+    *    identical plan, and the whole 43–128 MB range is flat within the
+    *    window band. `largestFile/256` bounds tasks-per-file at ~256, so
+    *    footer re-parse work stays O(file size), and the 128 MB cap
+    *    converges to Spark's default exactly when real (100 TB) data is
+    *    reached — where library callers use [[session]] and Spark's own
+    *    per-scan `bytesPerCore` adaptation anyway.
+    * The env override still wins — per-round artifacts stay reproducible.
     */
   def harnessSessionFor(sfDir: String, master: String = defaultMaster): SparkSession = {
     val split = sys.env.getOrElse("SPARK_GRAFT_MAX_PARTITION_BYTES", {
-      val total = try {
+      val sizes = try {
         val d = new java.io.File(sfDir)
         Option(d.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
-          .map(_.length()).sum).getOrElse(0L)
-      } catch { case scala.util.control.NonFatal(_) => 0L }
-      math.max(1L << 20, math.min(32L << 20, total / 1024)).toString
+          .map(_.length()).toSeq).getOrElse(Nil)
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+      val total   = sizes.sum
+      val largest = if (sizes.isEmpty) 0L else sizes.max
+      math.max(1L << 20,
+        math.min(128L << 20, math.max(total / 1024, largest / 256))).toString
     })
     build(master, Some(split))
   }
@@ -129,6 +143,17 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate falls back to SORT-BASED aggregation once a
+      // partition's hash map sees this many distinct keys (Spark default:
+      // 128). graft's bounded aggregates (TopKAggregate: ≤k ids per group)
+      // exist precisely so the exchange carries answers, not candidates —
+      // at 128 the ANN batch paths (one group per query, thousands of
+      // queries per partition) silently degraded to sorting EVERY scored
+      // candidate: measured at sf100, q_ann_batch's partial agg sorted the
+      // full 40B-row candidate stream and filled 60 GB of spill before
+      // dying. 64k keys × bounded buffers is ~10 MB per partition; for
+      // unbounded collect_* states the fallback still engages, just later.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
     // Both scan-split knobs are HARNESS tuning (small local inputs):
     // library sessions keep Spark's defaults (128 MB splits, 4 MB open
     // cost) — right for real data.
