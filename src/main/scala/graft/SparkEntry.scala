@@ -491,7 +491,7 @@ object SparkEntry {
         .select("event_id", "views_1h")
         .orderBy("event_id")
     }),
-    "q_agg_rollup" -> ((s, dir) =>
+    "q_agg_rollup" -> ((s, dir) => {
       // ROLLUP: per-group, subtotal and grand-total rows in one pass (Spark
       // expands the grouping sets BEFORE the partial aggregate, so the
       // expanded rows still combine map-side). Subtotal rows are marked via
@@ -499,6 +499,10 @@ object SparkEntry {
       // conflate a genuine NULL data value with a subtotal and leave two
       // identically-keyed rows in engine-dependent order. The markers also
       // sidestep the Spark nulls-first vs DuckDB nulls-last sort divergence.
+      // The declared flag/status domains license PreAggregateGroupingSets
+      // to aggregate ONCE at the finest grain and expand the ≤6-row
+      // intermediate instead of tripling the fact scan.
+      Tables.declareDomainNdvs(s, dir)
       Tables.load(s, dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
@@ -511,7 +515,8 @@ object SparkEntry {
           when(col("g2") === 1, lit("(all)"))
             .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("linestatus"),
           col("sum_qty"), col("cnt"))
-        .orderBy("returnflag", "linestatus")),
+        .orderBy("returnflag", "linestatus")
+    }),
     "q_agg_quantiles" -> ((s, dir) =>
       // EXACT sort-based percentiles with linear interpolation — the same
       // estimator as DuckDB quantile_cont, so the oracle is bit-comparable.

@@ -51,6 +51,34 @@ object Tables {
     })
   }
 
+  /** Declared distinct-value bounds for the testdata's enum-like columns —
+    * TPC-H domain facts (l_returnflag ∈ {A,N,R}, …) plus this generator's
+    * own enums (documents.lang, events.event_type). These are RELY NDV
+    * declarations ([[graft.plans.Constraints]]): trusted by
+    * [[graft.plans.PreAggregateGroupingSets]] to license pre-aggregation
+    * below grouping-sets Expands, and auditable against the data with
+    * `Constraints.validateRely`. Idempotent (the registry merges).
+    *
+    * This is the harness's knowledge about ITS data — library users declare
+    * their own domains with `Constraints.declareNdv(df, Map(col -> n))`.
+    */
+  def declareDomainNdvs(spark: SparkSession, dir: String): Unit = {
+    val domains: Map[String, Map[String, Long]] = Map(
+      "lineitem"   -> Map("l_returnflag" -> 3L, "l_linestatus" -> 2L),
+      "orders"     -> Map("o_orderstatus" -> 3L, "o_orderpriority" -> 5L),
+      "customer"   -> Map("c_mktsegment" -> 5L, "c_nationkey" -> 25L),
+      "supplier"   -> Map("s_nationkey" -> 25L),
+      "nation"     -> Map("n_nationkey" -> 25L, "n_name" -> 25L, "n_regionkey" -> 5L),
+      "region"     -> Map("r_regionkey" -> 5L, "r_name" -> 5L),
+      "events"     -> Map("event_type" -> 5L),
+      "documents"  -> Map("lang" -> 5L, "source" -> 20L),
+      "embeddings" -> Map("label" -> 10L))
+    domains.foreach { case (table, bounds) =>
+      try graft.plans.Constraints.declareNdv(load(spark, dir, table), bounds)
+      catch { case scala.util.control.NonFatal(_) => () } // missing table: no facts
+    }
+  }
+
   /** Normalize an events frame's `ts` to TimestampType across testdata
     * vintages (works for batch and streaming frames alike):
     *  - LongType (TIMESTAMP(NANOS) read under nanosAsLong): integer `div`,
@@ -124,12 +152,18 @@ object Tables {
         Option(d.listFiles()).map(_.filter(_.getName.endsWith(".parquet"))
           .map(_.length()).toSeq).getOrElse(Nil)
       } catch { case scala.util.control.NonFatal(_) => Nil }
-      val total   = sizes.sum
-      val largest = if (sizes.isEmpty) 0L else sizes.max
-      math.max(1L << 20,
-        math.min(128L << 20, math.max(total / 1024, largest / 256))).toString
+      splitBytesFor(sizes).toString
     })
     build(master, Some(split))
+  }
+
+  /** The harness split rule as a pure function of the input file sizes —
+    * see [[harnessSessionFor]] for the two measured regimes it encodes.
+    * Empty input (unreadable dir) falls back to the 1 MB floor. */
+  def splitBytesFor(sizes: Seq[Long]): Long = {
+    val total   = sizes.sum
+    val largest = if (sizes.isEmpty) 0L else sizes.max
+    math.max(1L << 20, math.min(128L << 20, math.max(total / 1024, largest / 256)))
   }
 
   private def defaultMaster: String =

@@ -34,11 +34,23 @@ object Constraints {
   final case class Fk(childCol: String, parentTag: String, parentCol: String)
 
   /** Per-table declarations: columns that are unique + non-null
-    * (single-column keys only), and outgoing foreign keys. */
-  final case class TableConstraints(uniqueCols: Set[String], fks: Seq[Fk]) {
+    * (single-column keys only), outgoing foreign keys, and declared
+    * distinct-value upper bounds (`ndv`: "this column has at most N
+    * distinct values, nulls included" — domain facts like TPC-H's
+    * l_returnflag ∈ {A,N,R}). NDV bounds feed
+    * [[PreAggregateGroupingSets]]'s cardinality evidence; like every RELY
+    * fact they are trusted, not checked (an UNDER-declared bound cannot
+    * produce wrong results there — only a bigger-than-promised
+    * pre-aggregate — but [[validateRely]] audits them anyway). */
+  final case class TableConstraints(uniqueCols: Set[String], fks: Seq[Fk],
+                                    ndv: Map[String, Long] = Map.empty) {
     def merge(other: TableConstraints): TableConstraints =
       TableConstraints(uniqueCols ++ other.uniqueCols,
-        (fks ++ other.fks).distinct)
+        (fks ++ other.fks).distinct,
+        // two declarations for one column: both are promised upper bounds,
+        // so the tighter one carries
+        (ndv.keySet ++ other.ndv.keySet).map { k =>
+          k -> (ndv.get(k) ++ other.ndv.get(k)).min }.toMap)
   }
 
   private val registry =
@@ -80,6 +92,16 @@ object Constraints {
 
   def forPlan(plan: LogicalPlan): Option[TableConstraints] =
     scanTag(plan).flatMap(registry.get)
+
+  /** Declare distinct-value upper bounds for columns of a single-scan
+    * frame. Returns false (no registration) when the frame has no scan
+    * identity to hang the facts on. */
+  def declareNdv(df: DataFrame, bounds: Map[String, Long]): Boolean =
+    tagOf(df) match {
+      case Some(tag) =>
+        register(tag, TableConstraints(Set.empty, Nil, bounds)); true
+      case None => false
+    }
 
   /** Test hook — constraints are global (keyed by file paths, which are
     * globally meaningful), so specs that plant conflicting declarations
@@ -158,7 +180,21 @@ object Constraints {
                 else Nil
             }
           }
-          uniqueViolations ++ fkViolations
+          val ndvViolations = tc.ndv.toSeq.sortBy(_._1).flatMap { case (c, bound) =>
+            if (!cols(c)) Seq(RelyViolation(tag, s"ndv($c)", "column missing"))
+            else {
+              val actual = df.agg(countDistinct(col(c)).as("nd")).head().getLong(0)
+              // the declaration counts nulls as a value (grouping treats
+              // null as its own group); countDistinct does not
+              val hasNull = df.filter(col(c).isNull).limit(1).count() > 0
+              val total = actual + (if (hasNull) 1 else 0)
+              if (total > bound)
+                Seq(RelyViolation(tag, s"ndv($c)",
+                  s"$total distinct values (null-inclusive) exceed the declared bound $bound"))
+              else Nil
+            }
+          }
+          uniqueViolations ++ fkViolations ++ ndvViolations
       }
     }
   }

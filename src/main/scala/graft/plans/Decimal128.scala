@@ -304,3 +304,98 @@ case class Decimal128Sum(child: Expression, scale: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** [[Decimal128Sum]]'s exact two-phase decomposition, for optimizer rewrites
+  * that re-aggregate group results across grouping sets
+  * ([[PreAggregateGroupingSets]]): the pre-aggregate keeps the EXACT signed
+  * 128-bit state per group instead of the per-group double, so re-summing
+  * subtotals stays bit-equal to summing the raw rows — re-aggregating the
+  * doubles would reintroduce the float-add rounding the whole Decimal128
+  * layer exists to avoid.
+  */
+object Decimal128SumPartial {
+  val resultType: StructType = StructType(Seq(
+    StructField("hi128", LongType, nullable = false),
+    StructField("lo128", LongType, nullable = false),
+    StructField("isEmpty", BooleanType, nullable = false)))
+}
+
+/** Same accumulation as [[Decimal128Sum]]; evaluates to the raw
+  * `struct(hi, lo, isEmpty)` state instead of the double. */
+case class Decimal128SumPartial(child: Expression, scale: Int)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def dataType: DataType = Decimal128SumPartial.resultType
+  override def nullable: Boolean = false
+  override def checkInputDataTypes() =
+    if (child.dataType == LongType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_sum128_partial expects an unscaled BIGINT input, got ${child.dataType.catalogString}")
+
+  private lazy val hi = AttributeReference("hi128", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo128", LongType, nullable = false)()
+  private lazy val empty = AttributeReference("isEmpty", BooleanType, nullable = false)()
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, empty)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(true))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(IsNull(child), hi, Int128AddHi(hi, lo, child)),
+    If(IsNull(child), lo, WrapAdd(lo, child)),
+    org.apache.spark.sql.catalyst.expressions.And(empty, IsNull(child)))
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Int128MergeHi(hi.left, lo.left, hi.right, lo.right),
+    WrapAdd(lo.left, lo.right),
+    org.apache.spark.sql.catalyst.expressions.And(empty.left, empty.right))
+  override lazy val evaluateExpression: Expression =
+    org.apache.spark.sql.catalyst.expressions.CreateNamedStruct(Seq(
+      Literal("hi128"), hi, Literal("lo128"), lo, Literal("isEmpty"), empty))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Merges [[Decimal128SumPartial]] states (one per input row) into the same
+  * double [[Decimal128Sum]] yields over the underlying rows. A null input
+  * struct (can only arise from an outer-join null-extension above the
+  * pre-aggregate) is treated as an empty state.
+  */
+case class Decimal128SumMerge(child: Expression, scale: Int)
+    extends DeclarativeAggregate with UnaryLike[Expression] {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes() =
+    if (child.dataType == Decimal128SumPartial.resultType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"graft_sum128_merge expects ${Decimal128SumPartial.resultType.catalogString}, got ${child.dataType.catalogString}")
+
+  private lazy val hi = AttributeReference("hi128", LongType, nullable = false)()
+  private lazy val lo = AttributeReference("lo128", LongType, nullable = false)()
+  private lazy val empty = AttributeReference("isEmpty", BooleanType, nullable = false)()
+
+  private def field(i: Int, name: String) =
+    org.apache.spark.sql.catalyst.expressions.GetStructField(child, i, Some(name))
+  private lazy val inHi = field(0, "hi128")
+  private lazy val inLo = field(1, "lo128")
+  // a null struct or a marked-empty state contributes nothing
+  private lazy val inEmpty = org.apache.spark.sql.catalyst.expressions.Or(
+    IsNull(child), field(2, "isEmpty"))
+
+  override lazy val aggBufferAttributes: Seq[AttributeReference] = Seq(hi, lo, empty)
+  override lazy val initialValues: Seq[Expression] =
+    Seq(Literal(0L), Literal(0L), Literal(true))
+  override lazy val updateExpressions: Seq[Expression] = Seq(
+    If(inEmpty, hi, Int128MergeHi(hi, lo, inHi, inLo)),
+    If(inEmpty, lo, WrapAdd(lo, inLo)),
+    org.apache.spark.sql.catalyst.expressions.And(empty, inEmpty))
+  override lazy val mergeExpressions: Seq[Expression] = Seq(
+    Int128MergeHi(hi.left, lo.left, hi.right, lo.right),
+    WrapAdd(lo.left, lo.right),
+    org.apache.spark.sql.catalyst.expressions.And(empty.left, empty.right))
+  override lazy val evaluateExpression: Expression =
+    If(empty, Literal(null, DoubleType), Int128ToDouble(hi, lo, scale))
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -49,6 +49,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => CollectSizeToCount)
     ext.injectOptimizerRule(_ => TopNThroughRiJoin)
     ext.injectOptimizerRule(_ => RiJoinElimination)
+    ext.injectOptimizerRule(_ => PreAggregateGroupingSets)
   }
 }
 
