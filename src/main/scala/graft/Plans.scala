@@ -39,7 +39,7 @@ object Plans {
       "q_asof_bucketed"    -> "window partitioned by (key, time bucket) — hot-key timelines split across buckets; right rows replicated by ONE Generate (explode of [b, b+1]; a self-union would re-evaluate the right subtree), narrow columns only; tieBreak dedup rides the window sort — exactly ONE hashpartitioning exchange, TWO scans (left+right), ONE Generate",
       "q_range_join"       -> "equi-join on (key, bucket) with the range predicate as a post-join filter — SortMergeJoin/ShuffledHashJoin, never BroadcastNestedLoopJoin",
       "q_range_agg"        -> "join-free: union of two filtered scans feeds ONE hashpartitioning(user_id) exchange for the RANGE-frame window; no join operator anywhere in the plan",
-      "q_agg_rollup"       -> "Expand BEFORE partial_ aggregation — grouping-set rows still combine map-side",
+      "q_agg_rollup"       -> "Expand BEFORE partial_ aggregation — grouping-set rows still combine map-side. At sf0.01 PreAggregateGroupingSets stays OFF by its 128 MB input gate (an extra stage cannot pay here); above it the plan becomes scan → finest-grain aggregate → Expand over ≤6 rows → set aggregate (sf100: 14.3 → 6.2 s, plan + parity pinned in GroupingSetRulesSpec)",
       "q_agg_quantiles"    -> "partial_percentile before the exchange (percentile buffers merge map-side)",
       "q_anti_join"        -> "LeftAnti join; status filter pushed to the orders scan (PushedFilters)",
       "q_embed_centroid"   -> "per-row native fold reductions inside the scan projection; only (label, 2 decimals) shuffle",
