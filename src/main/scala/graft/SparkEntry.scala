@@ -517,6 +517,41 @@ object SparkEntry {
           col("sum_qty"), col("cnt"))
         .orderBy("returnflag", "linestatus")
     }),
+    "q_agg_cube" -> ((s, dir) => {
+      // CUBE over the declared-small orders domains (3 statuses × 5
+      // priorities → 4 grouping sets), FORCED through
+      // PreAggregateGroupingSets regardless of input size: the gate is
+      // lifted for exactly this query's planning (forced eagerly inside the
+      // conf window — plans are lazy, so without the force the reset below
+      // would land first) and restored after. This keeps the rewrite — the
+      // 128-bit money partial/merge included — exercised against the DuckDB
+      // oracle at every scale the driver checks, the same contract
+      // q_page_join provides for TopNThroughRiJoin.
+      Tables.declareDomainNdvs(s, dir)
+      val key = plans.PreAggregateGroupingSets.MinInputBytesKey
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "0")
+      try {
+        val df = Tables.load(s, dir, "orders")
+          .cube("o_orderstatus", "o_orderpriority")
+          .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("sum_price"),
+               count(lit(1)).as("cnt"),
+               grouping(col("o_orderstatus")).as("g1"),
+               grouping(col("o_orderpriority")).as("g2"))
+          .select(
+            when(col("g1") === 1, lit("(all)"))
+              .otherwise(coalesce(col("o_orderstatus"), lit("(null)"))).as("status"),
+            when(col("g2") === 1, lit("(all)"))
+              .otherwise(coalesce(col("o_orderpriority"), lit("(null)"))).as("priority"),
+            col("sum_price"), col("cnt"))
+          .orderBy("status", "priority")
+        df.queryExecution.executedPlan // force planning inside the conf window
+        df
+      } finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None    => s.conf.unset(key)
+      }
+    }),
     "q_agg_quantiles" -> ((s, dir) =>
       // EXACT sort-based percentiles with linear interpolation — the same
       // estimator as DuckDB quantile_cont, so the oracle is bit-comparable.
@@ -679,6 +714,15 @@ object SparkEntry {
                 COUNT(*) AS cnt
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
          ORDER BY returnflag, linestatus""",
+    "q_agg_cube" ->
+      """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
+                     ELSE coalesce(o_orderstatus, '(null)') END AS status,
+                CASE WHEN GROUPING(o_orderpriority) = 1 THEN '(all)'
+                     ELSE coalesce(o_orderpriority, '(null)') END AS priority,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+                COUNT(*) AS cnt
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+         ORDER BY status, priority""",
     "q_agg_quantiles" ->
       """SELECT l_returnflag,
                 round(quantile_cont(l_quantity, 0.25), 4) AS p25,

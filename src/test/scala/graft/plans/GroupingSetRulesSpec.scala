@@ -139,6 +139,18 @@ class GroupingSetRulesSpec extends SparkSpec {
     assert(got.collect().toSeq == expect)
   }
 
+  test("q_agg_cube forces the rewrite through the size gate at any scale") {
+    // the registered query lifts the gate for its own planning window, so
+    // the rewrite fires even on sf0.001 — and the session conf is restored
+    val s = spark.newSession()
+    s.experimental.extraOptimizations = Seq(PreAggregateGroupingSets)
+    val before = s.conf.getOption(PreAggregateGroupingSets.MinInputBytesKey)
+    val df = graft.SparkEntry.queries("q_agg_cube")(s, dir)
+    assert(preAggFired(df), df.queryExecution.optimizedPlan.toString)
+    assert(s.conf.getOption(PreAggregateGroupingSets.MinInputBytesKey) == before)
+    assert(df.collect().nonEmpty)
+  }
+
   test("declared-NDV audit: a violated bound is reported") {
     val path = java.nio.file.Files.createTempDirectory("graft-ndv").toString
     planted(spark).write.mode("overwrite").parquet(path)
