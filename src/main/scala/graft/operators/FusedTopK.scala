@@ -1,0 +1,311 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftshim.ColumnShim
+import org.apache.spark.sql.types._
+
+import graft.plans.TopKBuffer
+
+/** Fused broadcast-scored top-k: the brute-force retrieval inner loop
+  * (score every (corpus row, query) pair, keep k per query) executed inside
+  * ONE `mapPartitions` pass instead of a BroadcastNestedLoopJoin feeding an
+  * ObjectHashAggregate.
+  *
+  * WHY: the join formulation is plan-shape-optimal (one scan, one slim
+  * exchange — see [[graft.plans.TopKAggregate]]) but its inner loop
+  * materializes an UnsafeRow PER SCORED PAIR between the join and the
+  * aggregate, and the object-hash aggregate sits outside whole-stage
+  * codegen — ~150 ns/pair of pure row plumbing around a ~30 ns dot product.
+  * At sf10 the ANN family scores 4×10⁸ pairs; at sf100, 4×10¹⁰ (q_ann_batch
+  * ran 1594 s). The fused pass keeps per-query [[TopKBuffer]]s (exactly the
+  * aggregate's discipline) and emits only ≤ partitions × queries × k
+  * candidate rows; a final [[graft.plans.TopKAggregate]] merge reproduces
+  * the aggregate plan's exchange exactly.
+  *
+  * BIT PARITY with the join path is load-bearing (the q_ann_* oracle rows
+  * hash-check full rankings): the scorers replicate
+  * [[graft.plans.CosineSim]].compute / [[graft.plans.AdcDistance]].compute
+  * accumulator-for-accumulator in index order (float→double widening is
+  * exact; per-row invariants like the corpus self-norm are hoisted, which
+  * IEEE-preserves the per-pair value since each accumulator's own fold
+  * sequence is unchanged), and the insert discipline IS [[TopKBuffer]].
+  * Parity is pinned in FusedTopKSpec on planted edge corpora (null
+  * vectors, null elements, zero vectors, ties, mismatched lengths).
+  *
+  * SCALE: corpus partitions stream (nothing buffered but the k-bounded
+  * heaps: queries × k × 24 B per task); queries ride an executor-local
+  * broadcast (shard the query frame when queries × dim stops fitting the
+  * driver — same contract as the join path's broadcast side).
+  */
+object FusedTopK {
+
+  private val outSchema = StructType(Seq(
+    StructField("__qid", LongType, nullable = false),
+    StructField("__id", LongType, nullable = false),
+    StructField("__score", DoubleType, nullable = true)))
+
+  /** One collected query: id, dense payload, and precomputed invariants. */
+  private final case class CosQuery(qid: Long, vec: Array[Double],
+                                    hasNullElem: Boolean, normSq: Double,
+                                    label: Any, cells: Array[Boolean])
+
+  /** Exact cosine top-k per query (the [[Similarity.bruteForceTopK]] inner
+    * loop). `labelled` switches the pair predicate from
+    * `excludeSelf`-style id inequality to hard-negative label mismatch
+    * (both-non-null-and-different — SQL `=!=` three-valued semantics).
+    * `cellCol`/`queryCellsCol` add IVF probe filtering: a corpus row scores
+    * against a query only when its cell is in the query's probed set (the
+    * [[Similarity.IvfIndex.topKBatch]] candidate equi-join, done as an
+    * O(1) membership test per pair).
+    */
+  private[operators] def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String, queryIdCol: String,
+      excludeSelf: Boolean, labelCol: Option[String],
+      cellCol: Option[String] = None, queryCellsCol: Option[String] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecIsFloat = isFloatArray(corpus.schema(vecCol).dataType)
+    require(cellCol.isDefined == queryCellsCol.isDefined,
+      "FusedTopK: cellCol and queryCellsCol come together")
+    val celled = cellCol.isDefined
+
+    // queries collected through Spark itself (tiny by contract) — driver
+    // extracts primitive payloads; float→double is exact so the executor
+    // math sees the same values CosineSim would read
+    val qCols = Seq(col(queryIdCol).cast("long"), col(vecCol)) ++
+      labelCol.map(col).toSeq ++ queryCellsCol.map(col).toSeq
+    val qIsFloat = isFloatArray(queries.schema(vecCol).dataType)
+    val cellsOrd = 2 + labelCol.size // ordinal of the probed-cells array
+    val collected = queries.select(qCols: _*).collect().map { r =>
+      val qid = r.getLong(0)
+      val (vec, hasNull) =
+        if (r.isNullAt(1)) (null: Array[Double], true)
+        else {
+          val s = r.getSeq[Any](1)
+          val arr = new Array[Double](s.length)
+          var nulls = false
+          var i = 0
+          s.foreach { v =>
+            if (v == null) nulls = true
+            else arr(i) = if (qIsFloat) v.asInstanceOf[Float].toDouble
+                          else v.asInstanceOf[Double]
+            i += 1
+          }
+          (arr, nulls)
+        }
+      // query self-norm folded in index order (CosineSim's accBB sequence)
+      var normSq = 0.0
+      if (vec != null && !hasNull) { var i = 0; while (i < vec.length) { val y = vec(i); normSq += y * y; i += 1 } }
+      // labels are compared executor-side against CATALYST values — convert
+      // the externally-collected one up front (String → UTF8String etc.)
+      val label =
+        if (labelCol.isDefined && !r.isNullAt(2))
+          org.apache.spark.sql.catalyst.CatalystTypeConverters.convertToCatalyst(r.get(2))
+        else null
+      // probed cells → dense membership table (cells are small ints by
+      // construction: the quantizer's nlist)
+      val cells: Array[Boolean] =
+        if (!celled || r.isNullAt(cellsOrd)) null
+        else {
+          val s = r.getSeq[Int](cellsOrd)
+          val max = if (s.isEmpty) -1 else s.max
+          val t = new Array[Boolean](max + 1)
+          s.foreach(c => if (c >= 0) t(c) = true)
+          t
+        }
+      CosQuery(qid, vec, hasNull, normSq, label, cells)
+    }
+    val bc = spark.sparkContext.broadcast(collected)
+    val labelled = labelCol.isDefined
+    val labelDt = labelCol.map(c => corpus.schema(c).dataType).getOrElse(NullType)
+
+    val projCols = Seq(col(idCol).cast("long"), col(vecCol)) ++
+      labelCol.map(col).toSeq ++ cellCol.map(col).toSeq
+    val cellOrd = 2 + labelCol.size
+    val rdd = ColumnShim.toInternalRdd(corpus.select(projCols: _*))
+      .mapPartitions { it =>
+        val qs = bc.value
+        val nq = qs.length
+        val bufs = Array.fill(nq)(new TopKBuffer(k))
+        while (it.hasNext) {
+          val row = it.next()
+          if (row.isNullAt(0)) {
+            // join-path parity: the `id =!= qid` condition is null for a
+            // null id, so excludeSelf silently drops the row; other shapes
+            // would feed TopKByScore a null id, which errors — do so here
+            if (!labelled && excludeSelf) { /* skip row */ }
+            else throw new IllegalArgumentException(
+              "FusedTopK: corpus id is null — ids must be non-null exact integers")
+          } else {
+          val id = row.getLong(0)
+          val rowLabel: Any =
+            if (labelled && !row.isNullAt(2)) copyLabel(row.get(2, labelDt)) else null
+          // a null cell matches no probe pair (equi-join semantics)
+          val rowCell: Int =
+            if (celled) { if (row.isNullAt(cellOrd)) -1 else row.getInt(cellOrd) }
+            else -1
+          // hoist the corpus row's payload once: values + null flag + self-norm
+          var vec: Array[Double] = null
+          var hasNull = false
+          var normSq = 0.0
+          if (!row.isNullAt(1)) {
+            val a = row.getArray(1)
+            val la = a.numElements()
+            vec = new Array[Double](la)
+            var i = 0
+            while (i < la) {
+              if (a.isNullAt(i)) hasNull = true
+              else {
+                val x = if (vecIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+                vec(i) = x
+                normSq += x * x // CosineSim's accAA fold sequence
+              }
+              i += 1
+            }
+          }
+          var q = 0
+          while (q < nq) {
+            val qq = qs(q)
+            val cellOk = !celled ||
+              (rowCell >= 0 && qq.cells != null &&
+                rowCell < qq.cells.length && qq.cells(rowCell))
+            val keep = cellOk && {
+              if (labelled) rowLabel != null && qq.label != null && rowLabel != qq.label
+              else !(excludeSelf && id == qq.qid)
+            }
+            if (keep) {
+              // replicate CosineSim.compute outcomes exactly: any null
+              // vector or null element → null score (ranks last)
+              if (vec == null || qq.vec == null || hasNull || qq.hasNullElem) {
+                bufs(q).insert(nl = true, 0.0, id)
+              } else {
+                val la = vec.length
+                val lb = qq.vec.length
+                val n = math.min(la, lb)
+                var accAB = 0.0
+                var i = 0
+                while (i < n) { accAB += vec(i) * qq.vec(i); i += 1 }
+                val denom = math.sqrt(normSq) * math.sqrt(qq.normSq)
+                if (denom == 0.0) bufs(q).insert(nl = false, 0.0, id)
+                else if (la != lb) bufs(q).insert(nl = true, 0.0, id)
+                else bufs(q).insert(nl = false, accAB / denom, id)
+              }
+            }
+            q += 1
+          }
+          } // non-null id
+        }
+        emit(qs.map(_.qid), bufs)
+      }
+    merge(spark, rdd, k, queryIdCol, idCol)
+  }
+
+  /** ADC (PQ asymmetric-distance) top-k per query — the
+    * [[Pq.adcTopKBatch]] inner loop. Scores are NEGATED distances, exactly
+    * like the join path (the shared buffer keeps highest-first). */
+  private[operators] def adcTopK(encoded: DataFrame, queryTables: DataFrame, k: Int,
+      ksub: Int, idCol: String, codesCol: String, queryIdCol: String,
+      tableCol: String, excludeSelf: Boolean): DataFrame = {
+    val spark = encoded.sparkSession
+    val collected = queryTables.select(col(queryIdCol).cast("long"), col(tableCol))
+      .collect().map { r =>
+        val t = r.getSeq[Double](1).toArray
+        (r.getLong(0), t)
+      }
+    val bc = spark.sparkContext.broadcast(collected)
+
+    val rdd = ColumnShim.toInternalRdd(
+        encoded.select(col(idCol).cast("long"), col(codesCol)))
+      .mapPartitions { it =>
+        val qs = bc.value
+        val nq = qs.length
+        val bufs = Array.fill(nq)(new TopKBuffer(k))
+        while (it.hasNext) {
+          val row = it.next()
+          if (row.isNullAt(0)) {
+            if (excludeSelf) { /* join-path parity: null =!= qid drops the row */ }
+            else throw new IllegalArgumentException(
+              "FusedTopK: corpus id is null — ids must be non-null exact integers")
+          } else {
+          val id = row.getLong(0)
+          var codes: Array[Int] = null
+          if (!row.isNullAt(1)) {
+            val a = row.getArray(1)
+            codes = new Array[Int](a.numElements())
+            var i = 0
+            while (i < codes.length) { codes(i) = a.getInt(i); i += 1 }
+          }
+          var q = 0
+          while (q < nq) {
+            val (qid, table) = qs(q)
+            if (!(excludeSelf && id == qid)) {
+              if (codes == null) bufs(q).insert(nl = true, 0.0, id)
+              else {
+                // AdcDistance.compute, verbatim over the hoisted arrays
+                val m = codes.length
+                require(table.length == m * ksub,
+                  s"graft.AdcDistance: table has ${table.length} entries, codes expect ${m * ksub}")
+                var acc = 0.0
+                var mm = 0
+                while (mm < m) {
+                  val c = codes(mm)
+                  require(c >= 0 && c < ksub,
+                    s"graft.AdcDistance: code $c out of range [0, $ksub)")
+                  acc += table(mm * ksub + c)
+                  mm += 1
+                }
+                bufs(q).insert(nl = false, -acc, id)
+              }
+            }
+            q += 1
+          }
+          } // non-null id
+        }
+        emit(qs.map(_._1), bufs)
+      }
+    merge(spark, rdd, k, queryIdCol, idCol)
+  }
+
+  // ---- shared plumbing ------------------------------------------------
+
+  private def isFloatArray(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"FusedTopK: vector column must be array<float|double>, got ${other.catalogString}")
+  }
+
+  /** Labels arrive as catalyst values off a reused row buffer — copy the
+    * unsafe-backed ones. (The `get(_, StringType)` type tag is only used by
+    * unsafe rows for strings; other primitives come back boxed already.) */
+  private def copyLabel(v: Any): Any = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.copy()
+    case other => other
+  }
+
+  /** Per-partition candidates: one slim row per buffer entry. */
+  private def emit(qids: Array[Long], bufs: Array[TopKBuffer]): Iterator[InternalRow] =
+    qids.indices.iterator.flatMap { q =>
+      val b = bufs(q)
+      (0 until b.n).iterator.map { j =>
+        val r = new GenericInternalRow(3)
+        r.setLong(0, qids(q))
+        r.setLong(1, b.ids(j))
+        if (b.nulls(j)) r.setNullAt(2) else r.setDouble(2, b.scores(j))
+        r: InternalRow
+      }
+    }
+
+  /** Merge partials through the SAME bounded aggregate the join path uses —
+    * identical exchange shape, identical tie discipline. */
+  private def merge(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[InternalRow], k: Int,
+      queryIdCol: String, idCol: String): DataFrame =
+    ColumnShim.internalCreateDataFrame(spark, rdd, outSchema)
+      .groupBy(col("__qid"))
+      .agg(graft.plans.TopKAggregate.topK(col("__score"), col("__id"), k).as("__tk"))
+      .select(col("__qid").as(queryIdCol), explode(col("__tk")).as("__e"))
+      .select(col(queryIdCol), col("__e.id").as(idCol), col("__e.score").as("score"))
+}

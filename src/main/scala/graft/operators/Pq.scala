@@ -105,12 +105,20 @@ object Pq {
   def adcTopKBatch(encoded: DataFrame, cb: PqCodebook, queries: DataFrame, k: Int,
                    idCol: String = "vec_id", vecCol: String = "embedding",
                    queryIdCol: String = "query_id", codesCol: String = "codes",
-                   excludeSelf: Boolean = false): DataFrame = {
+                   excludeSelf: Boolean = false,
+                   fused: Boolean = true): DataFrame = {
     require(k > 0, s"Pq.adcTopKBatch: k must be positive, got $k")
-    val q = broadcast(queries.select(col(queryIdCol),
-      V.pqDistTable(col(vecCol), cb.asSeq).as("__qtab")))
-    encoded
-      .join(q, if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+    // per-query distance tables computed by Spark either way (identical
+    // values); the fused path collects the tiny table frame and runs the
+    // scoring loop inside one mapPartitions pass (FusedTopK)
+    val q = queries.select(col(queryIdCol),
+      V.pqDistTable(col(vecCol), cb.asSeq).as("__qtab"))
+    if (fused)
+      FusedTopK.adcTopK(encoded, q, k, cb.ksub, idCol, codesCol, queryIdCol,
+          "__qtab", excludeSelf)
+        .select(col(queryIdCol), col(idCol), (-col("score")).as("distance"))
+    else encoded
+      .join(broadcast(q), if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
       // negative distance: the shared top-k aggregate keeps the HIGHEST
       // scores (ties → lower id), so min-distance rides it unchanged
       .select(col(queryIdCol), col(idCol),

@@ -46,14 +46,23 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      queryIdCol: String = "query_id",
-                     excludeSelf: Boolean = false): DataFrame = {
-    val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
-    rankPerQuery(
-      corpus
-        .join(q, if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
-        .withColumn("score", V.cosine(col(vecCol), col("__qvec"))),
-      k, queryIdCol, idCol)
-  }
+                     excludeSelf: Boolean = false,
+                     fused: Boolean = true): DataFrame =
+    if (fused)
+      // fused mapPartitions pass (FusedTopK): same scores bit-for-bit, same
+      // tie discipline, same slim exchange — without materializing a row
+      // per scored pair (~5× at sf10, see BASELINE.md). `fused = false`
+      // keeps the join formulation for parity pinning.
+      FusedTopK.cosineTopK(corpus, queries, k, idCol, vecCol, queryIdCol,
+        excludeSelf, labelCol = None)
+    else {
+      val q = broadcast(queries.select(col(queryIdCol), col(vecCol).as("__qvec")))
+      rankPerQuery(
+        corpus
+          .join(q, if (excludeSelf) col(idCol) =!= col(queryIdCol) else lit(true))
+          .withColumn("score", V.cosine(col(vecCol), col("__qvec"))),
+        k, queryIdCol, idCol)
+    }
 
   /** Top-k for a single query vector id taken from the corpus itself —
     * single-query fast path: ORDER BY + LIMIT compiles to
@@ -273,7 +282,8 @@ object Similarity {
       */
     def topKBatch(queries: DataFrame, k: Int, nprobe: Int = 4,
                   queryIdCol: String = "query_id",
-                  excludeSelf: Boolean = false): DataFrame = {
+                  excludeSelf: Boolean = false,
+                  fused: Boolean = true): DataFrame = {
       require(nprobe > 0 && k > 0, s"IvfIndex.topKBatch: k=$k nprobe=$nprobe must be positive")
       requireNoReservedCols(assigned, Seq(queryIdCol, "__qvec", "__rank", "score"),
         "IvfIndex.topKBatch")
@@ -315,7 +325,16 @@ object Similarity {
         if (storedCellLayout && centers.length < spark0.sparkContext.defaultParallelism)
           assigned.repartition(spark0.sparkContext.defaultParallelism)
         else assigned
-      rankPerQuery(
+      if (fused)
+        // same probe-cell choice (withCells above, identical HOF
+        // arithmetic), scored in FusedTopK's single pass: the cell
+        // equi-join becomes an O(1) membership test per pair — see
+        // bruteForceTopK's fused/join contract
+        FusedTopK.cosineTopK(spread,
+          withCells.select(col(queryIdCol), col("__qvec").as(vecCol), col("__cells")),
+          k, idCol, vecCol, queryIdCol, excludeSelf, labelCol = None,
+          cellCol = Some("cell"), queryCellsCol = Some("__cells"))
+      else rankPerQuery(
         spread
           .join(broadcast(probePairs), Seq("cell"))
           .join(broadcast(qVecs), Seq(queryIdCol))
@@ -499,20 +518,29 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, anchors: DataFrame, k: Int,
                     idCol: String = "vec_id", vecCol: String = "embedding",
                     labelCol: String = "label",
-                    anchorIdCol: String = "anchor_id"): DataFrame = {
+                    anchorIdCol: String = "anchor_id",
+                    fused: Boolean = true): DataFrame = {
     requireNoReservedCols(corpus, Seq(anchorIdCol, "__avec", "__albl", "score"),
       "hardNegatives")
     Seq(vecCol, labelCol).foreach(c => require(anchors.columns.contains(c),
       s"hardNegatives: anchors have no '$c' column"))
     require(anchors.columns.contains(anchorIdCol),
       s"hardNegatives: anchors have no '$anchorIdCol' column")
-    val a = broadcast(anchors.select(col(anchorIdCol),
-      col(vecCol).as("__avec"), col(labelCol).as("__albl")))
-    rankPerQuery(
-      corpus
-        .join(a, col(labelCol) =!= col("__albl"))
-        .withColumn("score", V.cosine(col(vecCol), col("__avec"))),
-      k, anchorIdCol, idCol)
+    if (fused)
+      // the label-mismatch predicate rides the fused pass (both-non-null-
+      // and-different — the `=!=` three-valued semantics); see
+      // bruteForceTopK's note for the fused/join contract
+      FusedTopK.cosineTopK(corpus, anchors, k, idCol, vecCol, anchorIdCol,
+        excludeSelf = false, labelCol = Some(labelCol))
+    else {
+      val a = broadcast(anchors.select(col(anchorIdCol),
+        col(vecCol).as("__avec"), col(labelCol).as("__albl")))
+      rankPerQuery(
+        corpus
+          .join(a, col(labelCol) =!= col("__albl"))
+          .withColumn("score", V.cosine(col(vecCol), col("__avec"))),
+        k, anchorIdCol, idCol)
+    }
   }
 
   /** [[hardNegatives]] through the LSH bucket index — the scale path when

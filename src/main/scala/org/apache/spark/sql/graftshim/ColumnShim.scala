@@ -67,6 +67,22 @@ object ColumnShim {
     column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
       expression(bloom), expression(value)))
 
+  /** Physical-row access for fused operators (graft.operators.FusedTopK):
+    * the executed plan's InternalRow RDD, and the inverse — both
+    * private[sql], hence the shim. The InternalRows from [[toInternalRdd]]
+    * are reused buffers: copy anything held across `next()`.
+    */
+  def toInternalRdd(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.toRdd
+
+  def internalCreateDataFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register a function into an ALREADY-RUNNING session's registry (the
     * `withExtensions` path only applies to sessions built after the fact).
     */

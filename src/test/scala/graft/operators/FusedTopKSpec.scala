@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.{SparkSpec, Tables}
+
+/** FusedTopK: the fused mapPartitions retrieval pass must be ROW-IDENTICAL
+  * (scores bit-for-bit, tie order included) to the join + bounded-aggregate
+  * formulation it replaces, across the edge corpus (null vectors, null
+  * elements, zero vectors, mismatched lengths, exact-duplicate vectors → id
+  * tie-breaks, k larger than the corpus) and the real testdata shapes.
+  */
+class FusedTopKSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  import scala.jdk.CollectionConverters._
+
+  /** Edge corpus: floats like the real embeddings table. */
+  private lazy val planted: DataFrame = {
+    def v(xs: Float*): Seq[Float] = xs
+    val rows = Seq(
+      Row(1L, v(1f, 0f, 0f), 0),
+      Row(2L, v(1f, 0f, 0f), 1),            // exact dup of 1 → tie on score
+      Row(3L, v(0f, 1f, 0f), 0),
+      Row(4L, v(0.6f, 0.8f, 0f), 1),
+      Row(5L, v(0f, 0f, 0f), 0),            // zero vector → score 0.0
+      Row(6L, null, 1),                      // null vector → null score
+      Row(7L, Seq[Any](0.5f, null, 0.5f), 0), // null element → null score
+      Row(8L, v(1f, 0f), 1),                 // mismatched length → null score
+      Row(9L, v(-1f, 0f, 0f), null)          // null label
+    )
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true)),
+      StructField("label", IntegerType, nullable = true)))
+    spark.createDataFrame(rows.asJava, schema)
+  }
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.toString)
+
+  test("bruteForceTopK: fused == join path on the edge corpus (both excludeSelf modes)") {
+    val queries = planted.select(col("vec_id").as("query_id"), col("embedding"))
+    for (ex <- Seq(true, false)) {
+      val fused = Similarity.bruteForceTopK(planted, queries, k = 4,
+        excludeSelf = ex, fused = true)
+      val join = Similarity.bruteForceTopK(planted, queries, k = 4,
+        excludeSelf = ex, fused = false)
+      assert(sortedRows(fused) == sortedRows(join), s"excludeSelf=$ex")
+    }
+  }
+
+  test("bruteForceTopK: k exceeding the corpus still matches") {
+    val queries = planted.limit(2).select(col("vec_id").as("query_id"), col("embedding"))
+    val fused = Similarity.bruteForceTopK(planted, queries, k = 50, fused = true)
+    val join  = Similarity.bruteForceTopK(planted, queries, k = 50, fused = false)
+    assert(sortedRows(fused) == sortedRows(join))
+  }
+
+  test("hardNegatives: fused == join path incl. null labels") {
+    val anchors = planted.select(col("vec_id").as("anchor_id"),
+      col("embedding"), col("label"))
+    val fused = Similarity.hardNegatives(planted, anchors, k = 3, fused = true)
+    val join  = Similarity.hardNegatives(planted, anchors, k = 3, fused = false)
+    assert(sortedRows(fused) == sortedRows(join))
+  }
+
+  test("adcTopKBatch: fused == join path on real embeddings") {
+    val cb = Pq.formulaCodebook(m = 8, ksub = 16, dsub = 8)
+    val emb = Tables.load(spark, dir, "embeddings").filter(col("embedding").isNotNull)
+    val encoded = Pq.encode(emb, cb)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    for (ex <- Seq(true, false)) {
+      val fused = Pq.adcTopKBatch(encoded, cb, queries, k = 5,
+        excludeSelf = ex, fused = true)
+      val join = Pq.adcTopKBatch(encoded, cb, queries, k = 5,
+        excludeSelf = ex, fused = false)
+      assert(sortedRows(fused) == sortedRows(join), s"excludeSelf=$ex")
+    }
+  }
+
+  test("IvfIndex.topKBatch: fused == join path at nprobe<nlist and nprobe=nlist") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val index = Similarity.ivfIndex(emb, nlist = 8, seed = 7L)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    for (nprobe <- Seq(2, 8); ex <- Seq(true, false)) {
+      val fused = index.topKBatch(queries, k = 5, nprobe = nprobe,
+        excludeSelf = ex, fused = true)
+      val join = index.topKBatch(queries, k = 5, nprobe = nprobe,
+        excludeSelf = ex, fused = false)
+      assert(sortedRows(fused) == sortedRows(join), s"nprobe=$nprobe excludeSelf=$ex")
+    }
+  }
+
+  test("real embeddings: fused bruteForceTopK scores bit-equal to the join path") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val fused = Similarity.bruteForceTopK(emb, queries, k = 5,
+      excludeSelf = true, fused = true).orderBy("query_id", "vec_id").collect().toSeq
+    val join = Similarity.bruteForceTopK(emb, queries, k = 5,
+      excludeSelf = true, fused = false).orderBy("query_id", "vec_id").collect().toSeq
+    assert(fused == join) // Row equality: double scores must match BITWISE
+  }
+
+  test("hardNegatives on real embeddings: fused == join path") {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val anchors = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding"), col("label"))
+    val fused = Similarity.hardNegatives(emb, anchors, k = 5, fused = true)
+    val join  = Similarity.hardNegatives(emb, anchors, k = 5, fused = false)
+    assert(sortedRows(fused) == sortedRows(join))
+  }
+}

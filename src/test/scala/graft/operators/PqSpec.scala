@@ -137,12 +137,21 @@ class PqSpec extends SparkSpec {
     assert(got == want, s"nprobe=nlist must equal local residual-PQ brute force")
   }
 
-  test("plan: queries broadcast, candidates rank through ONE exchange (the top-k aggregate)") {
+  test("plan: candidates rank through ONE exchange (the top-k aggregate)") {
     val q = emb.limit(3).select($"vec_id".as("query_id"), $"embedding")
+    // fused default: the scoring loop runs inside mapPartitions (an
+    // ExistingRDD scan of per-partition winners), so the ONLY exchange left
+    // is the final top-k merge — no broadcast join node at all
     val plan = Pq.adcTopKBatch(Pq.encode(emb, cb), cb, q, k = 5)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("Broadcast"), plan)
-    assert("(?i)exchange".r.findAllIn(plan).size <= 2, plan) // broadcast + agg
+    assert(plan.contains("ExistingRDD"), plan)
+    assert("(?i)exchange".r.findAllIn(plan).size <= 1, plan) // the agg merge
+    // the join formulation keeps its own contract: queries broadcast,
+    // candidates through the bounded aggregate's exchange
+    val joined = Pq.adcTopKBatch(Pq.encode(emb, cb), cb, q, k = 5, fused = false)
+      .queryExecution.executedPlan.toString
+    assert(joined.contains("Broadcast"), joined)
+    assert("(?i)exchange".r.findAllIn(joined).size <= 2, joined) // broadcast + agg
   }
 
   test("guards: dim mismatch, ragged codebook, bad k, null element") {
