@@ -32,6 +32,8 @@ object Plans {
       "q_pipeline_corpus"  -> "gates fuse into the scans (native text expressions inside codegen); only (hash, min id) aggregates shuffle, bodies never move",
       "q_text_langid"      -> "single codegen'd scan, marker counts in one pass, no shuffle before the final sort",
       "q_ann_bruteforce"   -> "single scan + TakeOrderedAndProject, no global sort",
+      "q_ann_batch"        -> "fused retrieval (FusedTopK): the scoring loop runs inside ONE mapPartitions pass (ExistingRDD of per-partition winners) — no BroadcastNestedLoopJoin, no per-pair row materialization; the ONLY exchange is the bounded top-k merge, then the rank window on ≤ queries×k rows",
+      "q_agg_cube"         -> "PreAggregateGroupingSets FORCED through its size gate (this query lifts it for its own planning window): scan → finest-grain aggregate → Expand over ≤15 rows → set aggregate — the 600M-row×4-set Expand never exists at any scale",
       "q_events_window"    -> "partial agg on date_trunc before exchange",
       "q_window_rank"      -> "single window exchange on o_custkey",
       "q_sessionize"       -> "one shuffle on user_id for both lag and sum windows",
