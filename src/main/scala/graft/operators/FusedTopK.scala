@@ -268,6 +268,121 @@ object FusedTopK {
     merge(spark, rdd, k, queryIdCol, idCol)
   }
 
+  /** Fused within-bucket near-dup PAIR scan — the [[Similarity
+    * .semDupesOnIndex]] inner join done without materializing a row per
+    * candidate pair. Input: every corpus row replicated to its probe
+    * buckets (`origCol` marks the identity copy, i.e. the row standing in
+    * its OWN bucket — the join formulation's base side). Rows exchange on
+    * `(cell, bucket)` and sort within partitions so each group streams
+    * contiguously; within a group every member (copy or original) scores
+    * against every ORIGINAL with a larger id — exactly the probe×base join
+    * with its `id_a < id_b` orientation, each qualifying pair emitted once
+    * (a copy never lands in its own bucket: XOR with a nonzero mask).
+    * Null cell/bucket rows are dropped up front (equi-join semantics);
+    * null-vector/element/length-mismatch scores are null in the twin and
+    * cannot pass `>= threshold`, so they are skipped identically.
+    * Output: `(id_a, id_b, score)`, score non-null ≥ threshold.
+    */
+  private[operators] def cosinePairs(replicated: DataFrame, threshold: Double,
+      cellCol: String, bucketCol: String, origCol: String,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = replicated.sparkSession
+    val vecIsFloat = isFloatArray(replicated.schema(vecCol).dataType)
+    val proj = replicated
+      .filter(col(cellCol).isNotNull && col(bucketCol).isNotNull)
+      .select(col(cellCol).cast("int"), col(bucketCol).cast("int"),
+        col(origCol), col(idCol).cast("long"), col(vecCol))
+      .repartition(col(cellCol), col(bucketCol))
+      .sortWithinPartitions(cellCol, bucketCol)
+
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType, nullable = false),
+      StructField("id_b", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+
+    final case class Member(orig: Boolean, id: Long, vec: Array[Double],
+                            hasNull: Boolean, normSq: Double)
+
+    val rdd = ColumnShim.toInternalRdd(proj).mapPartitions { it =>
+      // single forward pass: buffer the current (cell, bucket) group's
+      // members (primitives extracted immediately — the input row object is
+      // reused), flush its pairs on every group change. Only QUALIFYING
+      // pairs are stored (what the query returns anyway); candidate pairs
+      // are evaluated and discarded inline.
+      val out = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
+      val members = scala.collection.mutable.ArrayBuffer.empty[Member]
+      var curCell = 0
+      var curBucket = 0
+      var open = false
+
+      def flush(): Unit = {
+        val n = members.length
+        var xi = 0
+        while (xi < n) {
+          val x = members(xi)
+          var yi = 0
+          while (yi < n) {
+            val y = members(yi)
+            if (y.orig && x.id < y.id &&
+                x.vec != null && y.vec != null && !x.hasNull && !y.hasNull &&
+                x.vec.length == y.vec.length) {
+              // CosineSim.compute outcomes: zero denom → 0.0 (cannot pass a
+              // positive threshold), length mismatch → null (skipped above)
+              val len = x.vec.length
+              var accAB = 0.0
+              var i = 0
+              while (i < len) { accAB += x.vec(i) * y.vec(i); i += 1 }
+              val denom = math.sqrt(x.normSq) * math.sqrt(y.normSq)
+              val score = if (denom == 0.0) 0.0 else accAB / denom
+              if (score >= threshold) {
+                val r = new GenericInternalRow(3)
+                r.setLong(0, x.id); r.setLong(1, y.id); r.setDouble(2, score)
+                out += r
+              }
+            }
+            yi += 1
+          }
+          xi += 1
+        }
+        members.clear()
+      }
+
+      while (it.hasNext) {
+        val row = it.next()
+        val cell = row.getInt(0)
+        val bucket = row.getInt(1)
+        if (!open || cell != curCell || bucket != curBucket) {
+          if (open) flush()
+          curCell = cell; curBucket = bucket; open = true
+        }
+        val orig = !row.isNullAt(2) && row.getBoolean(2)
+        if (row.isNullAt(3))
+          throw new IllegalArgumentException(
+            "FusedTopK.cosinePairs: null id — ids must be non-null exact integers")
+        val id = row.getLong(3)
+        var vec: Array[Double] = null
+        var hasNull = false
+        var normSq = 0.0
+        if (!row.isNullAt(4)) {
+          val a = row.getArray(4)
+          val la = a.numElements()
+          vec = new Array[Double](la)
+          var i = 0
+          while (i < la) {
+            if (a.isNullAt(i)) hasNull = true
+            else { val x = if (vecIsFloat) a.getFloat(i).toDouble else a.getDouble(i)
+                   vec(i) = x; normSq += x * x }
+            i += 1
+          }
+        }
+        members += Member(orig, id, vec, hasNull, normSq)
+      }
+      if (open) flush()
+      out.iterator
+    }
+    ColumnShim.internalCreateDataFrame(spark, rdd, pairSchema)
+  }
+
   // ---- shared plumbing ------------------------------------------------
 
   private def isFloatArray(dt: DataType): Boolean = dt match {

@@ -462,24 +462,45 @@ object Similarity {
     math.min(maxNlist.toLong, math.max(minNlist.toLong, cells)).toInt
   }
 
-  /** [[semDupes]] over an existing IVF index — no quantizer re-fit. */
+  /** [[semDupes]] over an existing IVF index — no quantizer re-fit.
+    *
+    * Default path is the fused pair scan ([[FusedTopK.cosinePairs]]): the
+    * `(cell, bucket)` self-join materialized an UnsafeRow per CANDIDATE
+    * pair (≈400 ns of row plumbing per pair at sf10 — the same disease the
+    * batch-ANN paths had); the fused form exchanges the replicated rows
+    * once, streams each group, and emits only the qualifying pairs. Same
+    * pair set by construction (exact cosine, identical orientation and
+    * threshold semantics — parity pinned in FusedTopKSpec); `fused = false`
+    * keeps the join formulation.
+    */
   def semDupesOnIndex(index: IvfIndex, dim: Int, threshold: Double = 0.95,
-                      nbits: Int = 8, seed: Long = 7L): DataFrame = {
+                      nbits: Int = 8, seed: Long = 7L,
+                      fused: Boolean = true): DataFrame = {
     val idCol = index.idCol; val vecCol = index.vecCol
     val idx = index.assigned
       .withColumn("bucket", V.hyperplaneBucket(col(vecCol), dim, nbits, seed))
-    val probed = idx.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"),
-      explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))
-    val base = idx.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"),
-      col("bucket"))
-    probed.join(base, Seq("cell", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      // map-side score → threshold → narrow dedup; see cosineDupes for why
-      // nothing wider than (id, id, score) may reach an exchange here
-      .select(col("id_a"), col("id_b"),
-        V.cosine(col("v_a"), col("v_b")).as("score"))
-      .filter(col("score") >= threshold)
-      .dropDuplicates("id_a", "id_b")
+    if (fused) {
+      val replicated = idx.select(col("cell"), col(idCol), col(vecCol),
+          col("bucket").as("__obk"),
+          explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))
+        .withColumn("__orig", col("bucket") === col("__obk"))
+      FusedTopK.cosinePairs(replicated, threshold,
+          "cell", "bucket", "__orig", idCol, vecCol)
+        .dropDuplicates("id_a", "id_b")
+    } else {
+      val probed = idx.select(col("cell"), col(idCol).as("id_a"), col(vecCol).as("v_a"),
+        explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))
+      val base = idx.select(col("cell"), col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        col("bucket"))
+      probed.join(base, Seq("cell", "bucket"))
+        .filter(col("id_a") < col("id_b"))
+        // map-side score → threshold → narrow dedup; see cosineDupes for why
+        // nothing wider than (id, id, score) may reach an exchange here
+        .select(col("id_a"), col("id_b"),
+          V.cosine(col("v_a"), col("v_b")).as("score"))
+        .filter(col("score") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   /** The corpus with semantic near-duplicates dropped: for every

@@ -97,6 +97,42 @@ class FusedTopKSpec extends SparkSpec {
     }
   }
 
+  test("semDupesOnIndex: fused pair scan == join path (planted edges + real embeddings)") {
+    // planted: exact dups (cosine 1.0), a zero vector, scaled copies
+    // (cosine 1.0 at different norms). Null vectors/elements are excluded
+    // by ivfIndex's own contract (NearestCenter throws on them — the
+    // assignment scan must never silently misfile a vector), so the
+    // null-score path has no reachable input here; the topK tests above
+    // cover those edges where they ARE reachable.
+    val rows = Seq(
+      Row(1L, Seq(1f, 0f, 0f)), Row(2L, Seq(1f, 0f, 0f)),   // dup pair
+      Row(3L, Seq(2f, 0f, 0f)),                              // scaled copy of 1,2
+      Row(4L, Seq(0f, 1f, 0f)),
+      Row(5L, Seq(0f, 0f, 0f)))                              // zero vector
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val idxPlanted = Similarity.ivfIndex(df, nlist = 2, seed = 7L)
+    for (thr <- Seq(0.999, 0.5)) {
+      val fused = Similarity.semDupesOnIndex(idxPlanted, dim = 3, threshold = thr,
+        nbits = 4, fused = true).select("id_a", "id_b", "score")
+      val join = Similarity.semDupesOnIndex(idxPlanted, dim = 3, threshold = thr,
+        nbits = 4, fused = false).select("id_a", "id_b", "score")
+      assert(sortedRows(fused) == sortedRows(join), s"threshold=$thr")
+    }
+    // real embeddings with the q_dedup_semantic shape (planted exact dups)
+    val emb = Tables.load(spark, dir, "embeddings")
+    val aug = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
+      .withColumn("vec_id", col("vec_id") + 1000000000L))
+    val index = Similarity.ivfIndex(aug, nlist = 8, seed = 7L)
+    val fusedR = Similarity.semDupesOnIndex(index, dim = 64, threshold = 0.999, fused = true)
+    val joinR  = Similarity.semDupesOnIndex(index, dim = 64, threshold = 0.999, fused = false)
+    assert(sortedRows(fusedR.select("id_a", "id_b", "score")) ==
+           sortedRows(joinR.select("id_a", "id_b", "score")))
+    assert(fusedR.count() > 0) // the planted dups are actually found
+  }
+
   test("real embeddings: fused bruteForceTopK scores bit-equal to the join path") {
     val emb = Tables.load(spark, dir, "embeddings")
     val queries = emb.filter(col("vec_id") % 100 === 0)
