@@ -2,7 +2,7 @@ package graft.plans
 
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.aggregate._
-import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -423,10 +423,45 @@ object CollectSizeToCount extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Does the consumer→aggregate path null-extend the candidate attribute
+    * (an outer join with the aggregate on the extended side)? The attach
+    * shape (LEFT OUTER join of the collected children back onto the base)
+    * hits this on every parent with no children. */
+  private def nullExtendedOnPath(p: LogicalPlan, target: Aggregate, a: Attribute): Boolean = p match {
+    case `target`               => false
+    case Project(_, child)      => nullExtendedOnPath(child, target, a)
+    case Filter(_, child)       => nullExtendedOnPath(child, target, a)
+    case ResolvedHint(child, _) => nullExtendedOnPath(child, target, a)
+    case j: Join =>
+      val inLeft = j.left.outputSet.contains(a)
+      val below =
+        if (inLeft) nullExtendedOnPath(j.left, target, a)
+        else nullExtendedOnPath(j.right, target, a)
+      val extendedHere = j.joinType match {
+        case LeftOuter  => !inLeft
+        case RightOuter => inLeft
+        case FullOuter  => true
+        case _          => false
+      }
+      below || extendedHere
+    case _ => false
+  }
+
   private def applyOne(consumer: ConsumerNode, c: Candidate): ConsumerNode = {
     val a = c.alias.toAttribute
     val newAlias = Alias(c.replacementAgg, c.alias.name)()
-    val newAttr = newAlias.toAttribute
+    // The count's own output is non-nullable, but when the path crosses a
+    // null-extending join the CONSUMER-side references must say nullable —
+    // installing the bare (nullable=false) attribute above the join let
+    // NullPropagation strip the coalesce-to-0 below, turning a childless
+    // parent's 0 into NULL (caught by the sf0.1 oracle gate, round 18: a
+    // zero-order customer exists there but not at sf0.01). Over-conservative
+    // nullability is always safe; a false non-null claim is not.
+    val newAttr0 = newAlias.toAttribute
+    val newAttr =
+      if (nullExtendedOnPath(consumer.children.head, c.agg, a))
+        newAttr0.withNullability(true)
+      else newAttr0
     // 1. swap the aggregate expression inside the aggregate node
     val newAggNode = c.agg.copy(aggregateExpressions =
       c.agg.aggregateExpressions.map {

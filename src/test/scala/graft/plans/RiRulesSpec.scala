@@ -164,6 +164,31 @@ class RiRulesSpec extends SparkSpec {
     assertParity(q)
   }
 
+  test("CollectSizeToCount: a parent with NO children counts 0, not NULL (r18 sf0.1 regression)") {
+    // The rewrite installs a fresh count attribute; above the attach shape's
+    // LEFT OUTER join it must be NULLABLE, or NullPropagation strips the
+    // coalesce-to-0 and a childless parent's size comes back NULL. Planted:
+    // parent 3 has no children (the sf0.01 star schema never exercises this
+    // — every customer there has orders, which is how the bug shipped in
+    // r16 and was only caught by the r18 sf0.1 oracle run).
+    val tmp = java.nio.file.Files.createTempDirectory("ri_childless").toString
+    val s = opt
+    import s.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("pk", "pname")
+      .write.mode("overwrite").parquet(s"$tmp/parent")
+    Seq((10L, 1L), (11L, 1L), (12L, 2L)).toDF("cid", "fk")
+      .write.mode("overwrite").parquet(s"$tmp/child")
+    val parent = s.read.parquet(s"$tmp/parent")
+    val child  = s.read.parquet(s"$tmp/child")
+    val q = graft.api.Relations.nested(parent,
+        graft.api.HasMany("kids", "child", "pk", "fk"), child.select("fk", "cid"))
+      .select(col("pk"), size(col("kids")).as("kid_cnt"))
+      .orderBy("pk")
+    assert(!hasCollect(q), optimized(q).toString) // the rewrite fired
+    assert(q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq ==
+      Seq((1L, 2), (2L, 1), (3L, 0)), optimized(q).toString)
+  }
+
   test("CollectSizeToCount: flatten(collect_list(arr)) cascades to sum(count)") {
     def q(s: SparkSession): DataFrame = {
       val c = Tables.catalog(s, dir)
