@@ -1042,7 +1042,10 @@ object SparkEntry {
           (col("l_partkey") % 256).as("xb"), (col("l_suppkey") % 256).as("yb"))
         .withColumn("zkey", operators.Layout.zOrderKey(col("xb"), col("yb"), 8))
         .filter(col("l_orderkey") < 1000)
-        .orderBy("l_orderkey", "l_linenumber")),
+        // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+        // the sort must be total over every output column or tie order
+        // diverges between engines (caught by the sf1 oracle gate, r18)
+        .orderBy("l_orderkey", "l_linenumber", "zkey", "xb")),
     "q_join_salted" -> ((s, dir) => {
       // Salted skew join (operators/Skew.scala): the large side gets a
       // random salt, the small side replicates across salts — hot keys
@@ -2424,7 +2427,8 @@ object SparkEntry {
         s"((((l_suppkey % 256) >> $i) & 1) << ${2 * i + 1})"))
       s"""SELECT l_orderkey, l_linenumber, l_partkey % 256 AS xb, l_suppkey % 256 AS yb,
                 (${terms.mkString(" | ")}) AS zkey
-         FROM lineitem WHERE l_orderkey < 1000 ORDER BY l_orderkey, l_linenumber"""
+         FROM lineitem WHERE l_orderkey < 1000
+         ORDER BY l_orderkey, l_linenumber, zkey, xb"""
     },
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
