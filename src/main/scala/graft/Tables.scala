@@ -297,16 +297,20 @@ object Tables {
     *    parent's declared unique key register — and, like RELY constraints
     *    everywhere, a declaration the data violates yields the declared
     *    semantics, not the data's.
-    *  - `hasOne` registers ONLY a uniqueness fact on the target's
-    *    foreignKey — hasOne is 0-or-1, so it promises at most one match,
-    *    never existence. Deriving FK totality from it (as rounds ≤17 did)
-    *    would let [[graft.plans.RiJoinElimination]] /
-    *    [[graft.plans.TopNThroughRiJoin]] keep INNER-join rows an optional
-    *    relation actually drops. Callers whose hasOne IS total can declare
-    *    the FK explicitly via [[graft.plans.Constraints.register]], and
-    *    audit any declaration with [[graft.plans.Constraints.validateRely]].
+    *  - `hasOne` derives NOTHING. It promises ≤1 match per PARENT key
+    *    value — not that the target's foreignKey column is globally unique
+    *    (orphan target rows matching no parent may duplicate freely), and
+    *    certainly not that it is non-null, which is what a
+    *    [[graft.plans.Constraints.TableConstraints.uniqueCols]] entry
+    *    means. Deriving FK totality (rounds ≤17) or FK uniqueness+non-null
+    *    (round 18) from it would let [[graft.plans.RiJoinElimination]] /
+    *    [[graft.plans.TopNThroughRiJoin]] rewrite unrelated joins on a
+    *    fact the relation never promised. Callers whose target FK IS
+    *    unique+non-null declare it explicitly via
+    *    [[graft.plans.Constraints.register]] and audit it with
+    *    [[graft.plans.Constraints.validateRely]].
     */
-  private def registerRelyConstraints(defs: Seq[SourceDef]): Unit = {
+  private[graft] def registerRelyConstraints(defs: Seq[SourceDef]): Unit = {
     import graft.plans.Constraints
     val info: Map[String, (String, Set[String])] =
       defs.flatMap(d => scanInfo(d.df).map(d.name -> _)).toMap
@@ -326,16 +330,11 @@ object Tables {
         case _                                      => None
       }
     }
-    // hasOne's only promise: ≤1 target row per key value, i.e. the target's
-    // foreignKey is unique (no totality — see the Scaladoc above).
-    val hasOneUniques: Map[String, Set[String]] = defs
-      .flatMap(_.relations.values.collect {
-        case HasOne(_, to, _, foreignKey) => to -> foreignKey })
-      .groupBy(_._1).map { case (t, kvs) => t -> kvs.map(_._2).toSet }
     defs.foreach { d =>
       info.get(d.name).foreach { case (tag, cols) =>
-        val uniques: Set[String] =
-          (Set(d.slugField) ++ hasOneUniques.getOrElse(d.name, Set.empty)).filter(cols)
+        // hasOne contributes nothing here (see the Scaladoc above): only the
+        // declared slug identity registers as unique+non-null.
+        val uniques: Set[String] = Set(d.slugField).filter(cols)
         Constraints.register(tag, Constraints.TableConstraints(
           uniques, fks.collect { case (t, f) if t == tag => f }))
       }

@@ -47,6 +47,51 @@ object FusedTopK {
     StructField("__id", LongType, nullable = false),
     StructField("__score", DoubleType, nullable = true)))
 
+  /** Hard cap on the collected query frame. The fused contract says the
+    * query side is "tiny" — this makes that contract a bound instead of
+    * prose: the collect probes `maxQueries + 1` rows and raises before the
+    * driver ever buffers an unbounded frame (cf. the CollectLimit probe in
+    * [[Clusters]] and the capped fit sample in [[Similarity]]). At the cap,
+    * driver + broadcast cost is ≤ maxQueries × dim doubles (64 MB at
+    * dim=128) plus the per-task heap cost maxQueries × k × 24 B. Callers
+    * with a bigger batch shard the query frame and union — or take the
+    * `fused = false` join path, whose broadcast has the same ceiling anyway.
+    */
+  val MaxFusedQueries: Int = 1 << 16
+
+  /** The query-id types the fused path can round-trip through its long-keyed
+    * heaps without collision: the exact-integer family [[graft.plans
+    * .TopKAggregate.TopKByScore]] accepts for corpus ids (integral +
+    * scale-0 decimal). Anything else — strings, fractional — must take the
+    * join path, where the query id is only ever a grouping key: a failed
+    * long cast would NPE at the driver collect, and distinct ids like
+    * "123"/"0123" would silently merge into one heap. Callers check this
+    * and fall back; the entry `require` is the backstop.
+    */
+  def exactIntegerIdType(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case d: DecimalType if d.scale == 0                => true
+    case _                                             => false
+  }
+
+  private def requireFusableQueryId(df: DataFrame, queryIdCol: String, who: String): DataType = {
+    val dt = df.schema(queryIdCol).dataType
+    require(exactIntegerIdType(dt),
+      s"$who: fused path needs an exact-integer query id (integral or decimal(p,0)), " +
+        s"got ${dt.catalogString} — use the join path (fused = false)")
+    dt
+  }
+
+  /** Bounded driver collect of the query frame: probes one row past the cap
+    * and raises loudly instead of buffering an unbounded frame. */
+  private def collectBounded(df: DataFrame, maxQueries: Int, who: String): Array[org.apache.spark.sql.Row] = {
+    val rows = df.limit(maxQueries + 1).collect()
+    require(rows.length <= maxQueries,
+      s"$who: query frame exceeds $maxQueries rows — shard the query frame and union " +
+        "the results, or take the join path (fused = false)")
+    rows
+  }
+
   /** One collected query: id, dense payload, and precomputed invariants. */
   private final case class CosQuery(qid: Long, vec: Array[Double],
                                     hasNullElem: Boolean, normSq: Double,
@@ -64,21 +109,26 @@ object FusedTopK {
   private[operators] def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String, vecCol: String, queryIdCol: String,
       excludeSelf: Boolean, labelCol: Option[String],
-      cellCol: Option[String] = None, queryCellsCol: Option[String] = None): DataFrame = {
+      cellCol: Option[String] = None, queryCellsCol: Option[String] = None,
+      maxQueries: Int = MaxFusedQueries): DataFrame = {
     val spark = corpus.sparkSession
     val vecIsFloat = isFloatArray(corpus.schema(vecCol).dataType)
     require(cellCol.isDefined == queryCellsCol.isDefined,
       "FusedTopK: cellCol and queryCellsCol come together")
     val celled = cellCol.isDefined
+    val qidType = requireFusableQueryId(queries, queryIdCol, "FusedTopK.cosineTopK")
 
-    // queries collected through Spark itself (tiny by contract) — driver
-    // extracts primitive payloads; float→double is exact so the executor
-    // math sees the same values CosineSim would read
+    // queries collected through Spark itself (bounded — see collectBounded)
+    // — driver extracts primitive payloads; float→double is exact so the
+    // executor math sees the same values CosineSim would read
     val qCols = Seq(col(queryIdCol).cast("long"), col(vecCol)) ++
       labelCol.map(col).toSeq ++ queryCellsCol.map(col).toSeq
     val qIsFloat = isFloatArray(queries.schema(vecCol).dataType)
     val cellsOrd = 2 + labelCol.size // ordinal of the probed-cells array
-    val collected = queries.select(qCols: _*).collect().map { r =>
+    val collected = collectBounded(queries.select(qCols: _*), maxQueries,
+        "FusedTopK.cosineTopK").map { r =>
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        "FusedTopK: query id is null — query ids must be non-null exact integers")
       val qid = r.getLong(0)
       val (vec, hasNull) =
         if (r.isNullAt(1)) (null: Array[Double], true)
@@ -199,7 +249,7 @@ object FusedTopK {
         }
         emit(qs.map(_.qid), bufs)
       }
-    merge(spark, rdd, k, queryIdCol, idCol)
+    merge(spark, rdd, k, queryIdCol, qidType, idCol)
   }
 
   /** ADC (PQ asymmetric-distance) top-k per query — the
@@ -207,11 +257,19 @@ object FusedTopK {
     * like the join path (the shared buffer keeps highest-first). */
   private[operators] def adcTopK(encoded: DataFrame, queryTables: DataFrame, k: Int,
       ksub: Int, idCol: String, codesCol: String, queryIdCol: String,
-      tableCol: String, excludeSelf: Boolean): DataFrame = {
+      tableCol: String, excludeSelf: Boolean,
+      maxQueries: Int = MaxFusedQueries): DataFrame = {
     val spark = encoded.sparkSession
-    val collected = queryTables.select(col(queryIdCol).cast("long"), col(tableCol))
-      .collect().map { r =>
-        val t = r.getSeq[Double](1).toArray
+    val qidType = requireFusableQueryId(queryTables, queryIdCol, "FusedTopK.adcTopK")
+    val collected = collectBounded(
+        queryTables.select(col(queryIdCol).cast("long"), col(tableCol)),
+        maxQueries, "FusedTopK.adcTopK").map { r =>
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          "FusedTopK: query id is null — query ids must be non-null exact integers")
+        // a null query vector yields a null distance table upstream; the
+        // join path's AdcDistance null-propagates and ranks that query's
+        // neighbors with null scores — keep the null and do the same
+        val t = if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray
         (r.getLong(0), t)
       }
     val bc = spark.sparkContext.broadcast(collected)
@@ -241,7 +299,7 @@ object FusedTopK {
           while (q < nq) {
             val (qid, table) = qs(q)
             if (!(excludeSelf && id == qid)) {
-              if (codes == null) bufs(q).insert(nl = true, 0.0, id)
+              if (codes == null || table == null) bufs(q).insert(nl = true, 0.0, id)
               else {
                 // AdcDistance.compute, verbatim over the hoisted arrays
                 val m = codes.length
@@ -265,7 +323,7 @@ object FusedTopK {
         }
         emit(qs.map(_._1), bufs)
       }
-    merge(spark, rdd, k, queryIdCol, idCol)
+    merge(spark, rdd, k, queryIdCol, qidType, idCol)
   }
 
   /** Fused within-bucket near-dup PAIR scan — the [[Similarity
@@ -324,17 +382,20 @@ object FusedTopK {
           while (yi < n) {
             val y = members(yi)
             if (y.orig && x.id < y.id &&
-                x.vec != null && y.vec != null && !x.hasNull && !y.hasNull &&
-                x.vec.length == y.vec.length) {
-              // CosineSim.compute outcomes: zero denom → 0.0 (cannot pass a
-              // positive threshold), length mismatch → null (skipped above)
-              val len = x.vec.length
+                x.vec != null && y.vec != null && !x.hasNull && !y.hasNull) {
+              // CosineSim.compute outcomes, in ITS order: zero denom → 0.0
+              // FIRST (even for a length mismatch — a zero-norm mismatched
+              // pair scores 0.0 and passes a threshold ≤ 0), THEN length
+              // mismatch → null (score never ≥ threshold, emit nothing)
+              val len = math.min(x.vec.length, y.vec.length)
               var accAB = 0.0
               var i = 0
               while (i < len) { accAB += x.vec(i) * y.vec(i); i += 1 }
               val denom = math.sqrt(x.normSq) * math.sqrt(y.normSq)
+              val mismatched = x.vec.length != y.vec.length
+              val isNull = denom != 0.0 && mismatched
               val score = if (denom == 0.0) 0.0 else accAB / denom
-              if (score >= threshold) {
+              if (!isNull && score >= threshold) {
                 val r = new GenericInternalRow(3)
                 r.setLong(0, x.id); r.setLong(1, y.id); r.setDouble(2, score)
                 out += r
@@ -414,13 +475,17 @@ object FusedTopK {
     }
 
   /** Merge partials through the SAME bounded aggregate the join path uses —
-    * identical exchange shape, identical tie discipline. */
+    * identical exchange shape, identical tie discipline. The query id rides
+    * the fused pass as a long; casting back to `qidType` (lossless — values
+    * originated in that exact-integer type) keeps the output schema
+    * identical to the join path's, where the query id is a grouping key and
+    * never changes type. */
   private def merge(spark: org.apache.spark.sql.SparkSession,
       rdd: org.apache.spark.rdd.RDD[InternalRow], k: Int,
-      queryIdCol: String, idCol: String): DataFrame =
+      queryIdCol: String, qidType: DataType, idCol: String): DataFrame =
     ColumnShim.internalCreateDataFrame(spark, rdd, outSchema)
       .groupBy(col("__qid"))
       .agg(graft.plans.TopKAggregate.topK(col("__score"), col("__id"), k).as("__tk"))
-      .select(col("__qid").as(queryIdCol), explode(col("__tk")).as("__e"))
+      .select(col("__qid").cast(qidType).as(queryIdCol), explode(col("__tk")).as("__e"))
       .select(col(queryIdCol), col("__e.id").as(idCol), col("__e.score").as("score"))
 }

@@ -48,11 +48,12 @@ object Similarity {
                      queryIdCol: String = "query_id",
                      excludeSelf: Boolean = false,
                      fused: Boolean = true): DataFrame =
-    if (fused)
+    if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType))
       // fused mapPartitions pass (FusedTopK): same scores bit-for-bit, same
       // tie discipline, same slim exchange — without materializing a row
       // per scored pair (~5× at sf10, see BASELINE.md). `fused = false`
-      // keeps the join formulation for parity pinning.
+      // keeps the join formulation for parity pinning; non-integral query
+      // ids (the fused heaps are long-keyed) take it automatically.
       FusedTopK.cosineTopK(corpus, queries, k, idCol, vecCol, queryIdCol,
         excludeSelf, labelCol = None)
     else {
@@ -325,11 +326,12 @@ object Similarity {
         if (storedCellLayout && centers.length < spark0.sparkContext.defaultParallelism)
           assigned.repartition(spark0.sparkContext.defaultParallelism)
         else assigned
-      if (fused)
+      if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType))
         // same probe-cell choice (withCells above, identical HOF
         // arithmetic), scored in FusedTopK's single pass: the cell
         // equi-join becomes an O(1) membership test per pair — see
-        // bruteForceTopK's fused/join contract
+        // bruteForceTopK's fused/join contract (incl. the non-integral
+        // query-id fallback)
         FusedTopK.cosineTopK(spread,
           withCells.select(col(queryIdCol), col("__qvec").as(vecCol), col("__cells")),
           k, idCol, vecCol, queryIdCol, excludeSelf, labelCol = None,
@@ -547,10 +549,11 @@ object Similarity {
       s"hardNegatives: anchors have no '$c' column"))
     require(anchors.columns.contains(anchorIdCol),
       s"hardNegatives: anchors have no '$anchorIdCol' column")
-    if (fused)
+    if (fused && FusedTopK.exactIntegerIdType(anchors.schema(anchorIdCol).dataType))
       // the label-mismatch predicate rides the fused pass (both-non-null-
       // and-different — the `=!=` three-valued semantics); see
-      // bruteForceTopK's note for the fused/join contract
+      // bruteForceTopK's note for the fused/join contract (incl. the
+      // non-integral query-id fallback)
       FusedTopK.cosineTopK(corpus, anchors, k, idCol, vecCol, anchorIdCol,
         excludeSelf = false, labelCol = Some(labelCol))
     else {

@@ -152,4 +152,94 @@ class FusedTopKSpec extends SparkSpec {
     val join  = Similarity.hardNegatives(emb, anchors, k = 5, fused = false)
     assert(sortedRows(fused) == sortedRows(join))
   }
+
+  test("oversized query frame raises loudly instead of an unbounded driver collect") {
+    val queries = planted.select(col("vec_id").as("query_id"), col("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      FusedTopK.cosineTopK(planted, queries, k = 2, "vec_id", "embedding",
+        "query_id", excludeSelf = false, labelCol = None, maxQueries = 4)
+    }
+    assert(e.getMessage.contains("shard the query frame") &&
+           e.getMessage.contains("fused = false"), e.getMessage)
+    val eAdc = intercept[IllegalArgumentException] {
+      val cb = Pq.formulaCodebook(m = 1, ksub = 4, dsub = 3)
+      // clean length-3 vectors only (PqDistTable rejects null elements)
+      val clean = planted.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 5L, 9L))
+      val q = clean.select(col("vec_id").as("query_id"),
+        graft.plans.VectorExpressions.pqDistTable(col("embedding"), cb.asSeq).as("__qtab"))
+      FusedTopK.adcTopK(clean.select(col("vec_id"),
+          graft.plans.VectorExpressions.pqEncode(col("embedding"), cb.asSeq).as("codes")),
+        q, k = 2, ksub = 4, "vec_id", "codes", "query_id", "__qtab",
+        excludeSelf = false, maxQueries = 4)
+    }
+    assert(eAdc.getMessage.contains("shard the query frame"), eAdc.getMessage)
+  }
+
+  test("non-integral query ids fall back to the join path (no NPE, no id merging)") {
+    // "123" vs "0123": distinct STRING ids that a long cast would silently
+    // merge into one heap (and a failed cast would NPE at the driver).
+    val q2 = planted.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(when(col("vec_id") === 1L, lit("0123"))
+        .when(col("vec_id") === 2L, lit("123"))
+        .otherwise(lit("q3")).as("query_id"), col("embedding"))
+    val viaDefault = Similarity.bruteForceTopK(planted, q2, k = 3, fused = true)
+    val viaJoin    = Similarity.bruteForceTopK(planted, q2, k = 3, fused = false)
+    assert(sortedRows(viaDefault) == sortedRows(viaJoin))
+    // three distinct query ids, each with its own full top-3
+    assert(viaDefault.select("query_id").distinct().count() == 3)
+    assert(viaDefault.count() == 9)
+    assert(viaDefault.schema("query_id").dataType == StringType)
+  }
+
+  test("fused output keeps the original exact-integer query-id type") {
+    val qInt = planted.filter(col("vec_id") <= 3)
+      .select(col("vec_id").cast("int").as("query_id"), col("embedding"))
+    val fused = Similarity.bruteForceTopK(planted, qInt, k = 2, fused = true)
+    val join  = Similarity.bruteForceTopK(planted, qInt, k = 2, fused = false)
+    assert(fused.schema("query_id").dataType == join.schema("query_id").dataType)
+    assert(fused.schema("query_id").dataType == IntegerType)
+    assert(sortedRows(fused) == sortedRows(join))
+  }
+
+  test("adcTopKBatch: null query vector (null distance table) matches the join path") {
+    val cb = Pq.formulaCodebook(m = 1, ksub = 4, dsub = 3)
+    val corpus = planted.filter(col("vec_id").isin(1L, 3L, 4L))
+    val encoded = Pq.encode(corpus, cb)
+    // query 6 has a NULL embedding → null __qtab; the join path ranks its
+    // neighbors with null distances, the fused path must do the same (it
+    // NPE'd at table.length before r19)
+    val queries = planted.filter(col("vec_id").isin(1L, 6L))
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val fused = Pq.adcTopKBatch(encoded, cb, queries, k = 2, fused = true)
+    val join  = Pq.adcTopKBatch(encoded, cb, queries, k = 2, fused = false)
+    assert(sortedRows(fused) == sortedRows(join))
+    assert(fused.filter(col("query_id") === 6L).count() == 2) // null-ranked, not dropped
+  }
+
+  test("cosinePairs: zero-norm mismatched-length pair scores 0.0 (CosineSim's denom-first order)") {
+    // CosineSim decides denom == 0 BEFORE the length check: a zero-norm
+    // pair scores 0.0 even at mismatched lengths, and the join path emits
+    // it whenever threshold <= 0.0 — the fused scan must not drop it.
+    val rows = Seq(
+      Row(0, 0, true, 1L, Seq(0f, 0f, 0f)),   // zero vector, length 3
+      Row(0, 0, true, 2L, Seq(0f, 0f)),       // zero vector, length 2
+      Row(0, 0, true, 3L, Seq(1f, 0f)))       // nonzero, length 2
+    val schema = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("bucket", IntegerType, nullable = false),
+      StructField("__orig", BooleanType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = true))))
+    val replicated = spark.createDataFrame(rows.asJava, schema)
+    val pairs = FusedTopK.cosinePairs(replicated, threshold = 0.0,
+        "cell", "bucket", "__orig", "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // (1,2): zero-norm, mismatched → 0.0 (emitted). (2,3): same length,
+    // denom 0 from the zero side → 0.0 (emitted). (1,3): mismatched with
+    // nonzero side... denom = 0 (vector 1 is zero-norm) → 0.0 (emitted).
+    assert(pairs == Set((1L, 2L, 0.0), (2L, 3L, 0.0), (1L, 3L, 0.0)))
+    // and above a positive threshold none of them survive
+    assert(FusedTopK.cosinePairs(replicated, threshold = 0.5,
+      "cell", "bucket", "__orig", "vec_id", "embedding").count() == 0)
+  }
 }

@@ -342,18 +342,38 @@ class RiRulesSpec extends SparkSpec {
     assert(q.count() == 20)
   }
 
-  test("catalog RELY derivation: hasOne registers uniqueness, never totality") {
+  test("catalog RELY derivation: hasOne derives nothing (no totality, no uniqueness)") {
     Tables.catalog(opt, dir)
     // supplier —hasOne→ nation: supplier must carry NO fk on s_nationkey
-    // (hasOne is 0-or-1 — optional), nation must carry n_nationkey unique.
+    // (hasOne is 0-or-1 — optional), nation must carry ONLY its slug
+    // (n_nationkey) unique — nothing hasOne-derived on top.
     val supplierTag = Constraints.tagOf(Tables.load(opt, dir, "supplier")).get
     val nationTag   = Constraints.tagOf(Tables.load(opt, dir, "nation")).get
     assert(!Constraints.get(supplierTag).get.fks.exists(_.childCol == "s_nationkey"))
-    assert(Constraints.get(nationTag).get.uniqueCols.contains("n_nationkey"))
+    assert(Constraints.get(nationTag).get.uniqueCols == Set("n_nationkey"))
     // belongsTo still derives totality: orders → customer.
     val ordersTag = Constraints.tagOf(Tables.load(opt, dir, "orders")).get
     assert(Constraints.get(ordersTag).get.fks
       .exists(f => f.childCol == "o_custkey" && f.parentCol == "c_custkey"))
+    // The load-bearing case — a hasOne whose target FK is NOT the target's
+    // slug must register NO uniqueness fact: hasOne only promises ≤1 match
+    // per PARENT key; orphan target rows may duplicate the FK, and nulls
+    // are allowed — neither satisfies uniqueCols' unique+non-null meaning.
+    val s = opt
+    import s.implicits._
+    Seq((1L, "a")).toDF("pk", "pname")
+      .write.mode("overwrite").parquet("/tmp/ri_hasone_parent")
+    Seq((10L, 1L)).toDF("ck", "fk")
+      .write.mode("overwrite").parquet("/tmp/ri_hasone_child")
+    val pDf = s.read.parquet("/tmp/ri_hasone_parent")
+    val cDf = s.read.parquet("/tmp/ri_hasone_child")
+    Tables.registerRelyConstraints(Seq(
+      graft.api.SourceDef("p", pDf, slugField = "pk",
+        relations = Map("c" -> graft.api.HasOne("c", "c", "pk", "fk"))),
+      graft.api.SourceDef("c", cDf, slugField = "ck")))
+    val cTag = Constraints.tagOf(cDf).get
+    assert(Constraints.get(cTag).get.uniqueCols == Set("ck"),
+      "hasOne must not register the target FK ('fk') as unique+non-null")
   }
 
   test("RiJoinElimination: eliminated INNER join still drops null-FK rows") {
