@@ -88,6 +88,151 @@ object PlanDiag {
                count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus")
       }),
+      // q_sessionize decomposition: the exchange+sort floor (no window
+      // functions), then the window output without the final aggregate
+      "x_sess_sort" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "events").select("user_id", "ts", "event_id")
+          .repartition(col("user_id"))
+          .sortWithinPartitions("user_id", "ts")
+      }),
+      "x_sess_window" -> ((s, dir) =>
+        streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
+          .select("user_id", "session_seq")),
+      "x_sess_agg" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+      }),
+      "x_sess_fastsort" -> ((s, dir) => {
+        // materialization barrier before the presentation sort: the range
+        // sampler re-reads one narrow exchange instead of re-running the
+        // window pipeline
+        import org.apache.spark.sql.functions._
+        streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+          .repartition(col("user_id"))
+          .orderBy("user_id")
+      }),
+      "x_sess_sort1" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+          .repartition(1)
+          .sortWithinPartitions("user_id")
+      }),
+      "x_sess_onewin" -> ((s, dir) => {
+        // ONE window (lag) + per-user aggregate of the boundary flags —
+        // the n_sessions a fused operator could emit without the running sum
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val byUser = Window.partitionBy("user_id").orderBy("ts")
+        Tables.load(s, dir, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+          .withColumn("new_session",
+            when(col("prev_ts").isNull ||
+              unix_millis(col("ts")) - unix_millis(col("prev_ts")) > 1800000L, 1L)
+              .otherwise(0L))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), sum(col("new_session")).as("n_sessions"))
+      }),
+      // q_corpus_card decomposition: base sums only, +percentile, +distinct
+      "x_card_base" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(functions.TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            round(plans.Decimal128.sumMoney(
+                functions.TextFunctions.qualityScore(col("text")), 6) / count(col("text")), 4)
+              .as("avg_quality"))
+          .orderBy("lang")
+      }),
+      "x_card_pct" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"))
+          .orderBy("lang")
+      }),
+      "x_card_distinct" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(md5(col("text"))).as("n_unique"))
+          .orderBy("lang")
+      }),
+      // q_agg_topcust decomposition: plain double sum (Decimal128 A/B),
+      // and the aggregate without the top-k tail
+      "x_topcust_double" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.catalog(s, dir)
+        val top = c("orders").df
+          .groupBy("o_custkey")
+          .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("order_cnt"))
+          .orderBy(desc("revenue"), col("o_custkey")).limit(10)
+        broadcast(top).join(c("customer").df, col("o_custkey") === col("c_custkey"))
+          .select("c_custkey", "c_name", "revenue", "order_cnt")
+          .orderBy(desc("revenue"), col("c_custkey"))
+      }),
+      "x_topcust_aggonly" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),
+               count(lit(1)).as("order_cnt"))
+      }),
+      // corpus-card fine decomposition: pure text-scan floor, then each
+      // per-doc native expression alone
+      "x_docs_scan" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents").groupBy("lang")
+          .agg(sum(length(col("text"))).as("chars")).orderBy("lang")
+      }),
+      "x_card_tokens" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents").groupBy("lang")
+          .agg(sum(functions.TextFunctions.tokenCount(col("text")).cast("long"))
+            .as("total_tokens")).orderBy("lang")
+      }),
+      "x_card_quality" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents").groupBy("lang")
+          .agg(round(plans.Decimal128.sumMoney(
+              functions.TextFunctions.qualityScore(col("text")), 6) / count(col("text")), 4)
+            .as("avg_quality")).orderBy("lang")
+      }),
+      // corpus card with the distinct computed as a separate single-distinct
+      // aggregate joined back (no Expand through the percentile agg)
+      "x_card_joinform" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.load(s, dir, "documents")
+        val base = docs.groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(functions.TextFunctions.tokenCount(col("text")).cast("long")).as("total_tokens"),
+            round(plans.Decimal128.sumMoney(
+                functions.TextFunctions.qualityScore(col("text")), 6) / count(col("text")), 4)
+              .as("avg_quality"),
+            round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"))
+        val uniq = docs.groupBy("lang").agg(countDistinct(md5(col("text"))).as("n_unique"))
+        base.join(uniq, Seq("lang")).orderBy("lang")
+          .select("lang", "n_docs", "total_tokens", "avg_quality", "p50_chars", "n_unique")
+      }),
+      // q_agg_topcust: single post-exchange aggregate instead of
+      // partial+exchange+final (high-NDV keys make the partial a no-op)
+      "x_topcust_repart" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "orders").select("o_custkey", "o_totalprice")
+          .repartition(col("o_custkey"))
+          .groupBy("o_custkey")
+          .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),
+               count(lit(1)).as("order_cnt"))
+      }),
       // q_events_window's pre-r15 decimal-sum form (A/B for Decimal128)
       "x_events_window_dec" -> ((s, dir) => {
         import org.apache.spark.sql.functions._

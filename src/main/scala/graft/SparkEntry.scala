@@ -14,6 +14,23 @@ import graft.api._
   */
 object SparkEntry {
 
+  /** Total-order presentation sort for an oracle dump WITHOUT a global
+    * `orderBy`: one exchange to a single partition, then an in-partition
+    * sort. A trailing `orderBy` plans a range exchange whose BOUNDARY
+    * SAMPLING job re-executes everything above the last shuffle — for a
+    * query whose tail is an expensive post-shuffle pipeline (the
+    * sessionize window, the diff join) that sampling pass costs as much
+    * as the query itself (q_sessionize measured 1.65 s with orderBy vs
+    * 1.02 s with this, same window, sf10; an explicit repartition barrier
+    * under the sort doesn't help — adjacent exchanges collapse). The rows
+    * being sorted are bounded AGGREGATE/DIFF outputs, not corpus rows, and
+    * the sort is presentation formatting for the row-order-sensitive
+    * oracle compare — a production pipeline would drop it entirely (or
+    * range-sort if a total-order artifact is genuinely required).
+    */
+  private def presentationSort(df: DataFrame, cols: String*): DataFrame =
+    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+
   /** Flagship on sf0.001: filter + three-hop broadcast join + aggregation +
     * order — revenue per region/market-segment over the full star schema.
     */
@@ -442,11 +459,12 @@ object SparkEntry {
       val views = ev.filter(col("event_type") === "view")
         .select(col("user_id").as("v_user"), col("ts").as("vts"),
           col("event_id").as("view_id"))
-      operators.AsOf.asOfJoinBucketed(purchases, views, "user_id", "v_user", "ts", "vts",
-          payload = Seq("view_id"), toleranceMillis = 3600_000L, bucketMillis = 3600_000L,
-          tieBreak = Some("view_id"))
-        .select(col("event_id"), col("view_id").as("asof_view_id"))
-        .orderBy("event_id")
+      presentationSort(
+        operators.AsOf.asOfJoinBucketed(purchases, views, "user_id", "v_user", "ts", "vts",
+            payload = Seq("view_id"), toleranceMillis = 3600_000L, bucketMillis = 3600_000L,
+            tieBreak = Some("view_id"))
+          .select(col("event_id"), col("view_id").as("asof_view_id")),
+        "event_id")
     }),
     "q_range_join" -> ((s, dir) => {
       // Bounded range join, pair-emitting: every (purchase, view) by the
@@ -1065,14 +1083,38 @@ object SparkEntry {
           plans.Decimal128.sumMoney(col("o_totalprice")).as("total_price"))
         .orderBy("c_mktsegment")
     }),
-    "q_corpus_card" -> ((s, dir) =>
-      // The corpus DATASHEET in one plan — per-language doc counts, token
-      // totals, mean quality (decimal money-sum, order-free), exact median
-      // length, and the exact-dup signal (distinct md5 vs rows), all in a
-      // SINGLE scan + one partial-aggregating exchange. The per-dataset
-      // documentation table every training-data release publishes.
-      Tables.load(s, dir, "documents")
-        .groupBy("lang")
+    "q_zorder_pruned" -> ((s, dir) => {
+      // The layout operator's actual VALUE, on the registered surface: a
+      // two-dimensional range probe over the memoized writeZOrdered copy
+      // of lineitem. q_zorder_key oracle-checks the Morton key arithmetic;
+      // this row reads the REWRITTEN layout, so the scan's zone maps
+      // (8 MB row groups, Morton-clustered) skip the ~94% of tiles the
+      // (l_partkey ≤ max/4 ∧ l_suppkey ≤ max/4) predicate cannot touch —
+      // the plan pin lives in LayoutSpec via numOutputRows; the DuckDB twin
+      // recomputes from the ORIGINAL lineitem (same rows, any layout).
+      // Bounds derive from the data (two-long stats collect) so the probe
+      // stays ~6% selective at every scale factor.
+      val li = s.read.parquet(zorderedLineitem(s, dir))
+      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+      val (pq, sq) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+      li.filter(col("l_partkey") <= pq && col("l_suppkey") <= sq)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          plans.Decimal128.sumMoney(col("l_extendedprice")).as("sum_price"))
+        .orderBy("l_returnflag")
+    }),
+    "q_corpus_card" -> ((s, dir) => {
+      // The corpus DATASHEET — per-language doc counts, token totals, mean
+      // quality (decimal money-sum, order-free), exact median length, and
+      // the exact-dup signal (distinct md5 vs rows). The distinct count
+      // runs as its OWN single-distinct aggregate joined back on lang:
+      // mixing countDistinct with the other aggregates makes Catalyst
+      // Expand every row ×2 and push the doubled stream (exact-percentile
+      // buffers included) through the first aggregate — measured 25%
+      // slower than the two-aggregate join at sf10. lang is a handful of
+      // groups, so the join is a broadcast of a dozen rows.
+      val docs = Tables.load(s, dir, "documents")
+      val base = docs.groupBy("lang")
         .agg(
           count(lit(1)).as("n_docs"),
           sum(functions.TextFunctions.tokenCount(col("text")).cast("long"))
@@ -1081,9 +1123,13 @@ object SparkEntry {
               functions.TextFunctions.qualityScore(col("text")), 6)
               / count(col("text")), 4)
             .as("avg_quality"),
-          round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"),
-          countDistinct(md5(col("text"))).as("n_unique"))
-        .orderBy("lang")),
+          round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"))
+      val uniq = docs.groupBy("lang")
+        .agg(countDistinct(md5(col("text"))).as("n_unique"))
+      base.join(uniq, Seq("lang"))
+        .select("lang", "n_docs", "total_tokens", "avg_quality", "p50_chars", "n_unique")
+        .orderBy("lang")
+    }),
     "q_corpus_card_approx" -> ((s, dir) =>
       // The 100 TB shape of q_corpus_card: exact `percentile` buffers EVERY
       // group value (the documented scale hazard of the exact card) and
@@ -1730,6 +1776,22 @@ object SparkEntry {
       val t = s"graft_bm25_${tableTag(dir)}"
       operators.Tfidf.writePostingsIndex(Tables.load(s, dir, "documents"), t, buckets = 32)
       t
+    })
+  }
+
+  /** Memoized Z-ordered lineitem copy (Layout.writeZOrdered on
+    * (l_partkey, l_suppkey), 8 MB row groups for fine skip granularity) —
+    * the build is paid once per (session, sf-dir) like [[storedIvfIndex]];
+    * q_zorder_pruned then measures what a production table would pay per
+    * probe: a pruned scan of the rewritten layout.
+    */
+  private def zorderedLineitem(s: SparkSession, dir: String): String = {
+    pruneStoredIndexes()
+    storedIndexes.getOrElseUpdate((s, dir, "zorder"), {
+      val p = new java.io.File(s"spark-warehouse/graft_zorder_${tableTag(dir)}").getAbsolutePath
+      operators.Layout.writeZOrdered(Tables.load(s, dir, "lineitem"), p,
+        "l_partkey", "l_suppkey", bits = 8, rowGroupBytes = Some(8L << 20))
+      p
     })
   }
 
@@ -2430,6 +2492,14 @@ object SparkEntry {
          FROM lineitem WHERE l_orderkey < 1000
          ORDER BY l_orderkey, l_linenumber, zkey, xb"""
     },
+    "q_zorder_pruned" ->
+      // recomputed from the ORIGINAL lineitem — a layout rewrite must not
+      // change results; // (floor) division matches Spark's long division
+      """WITH b AS (SELECT max(l_partkey) // 4 AS pq, max(l_suppkey) // 4 AS sq FROM lineitem)
+         SELECT l_returnflag, count(*) AS n_rows,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM lineitem, b WHERE l_partkey <= pq AND l_suppkey <= sq
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_salted" ->
       """SELECT c_mktsegment, count(*) AS n_orders,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
@@ -2889,10 +2959,11 @@ object SparkEntry {
       val oldSnap = docs.filter(col("doc_id") < 450)
       val newSnap = docs.filter(col("doc_id") >= 50)
         .withColumn("lang", when(col("doc_id") % 100 === 0, lit("xx")).otherwise(col("lang")))
-      operators.Indexing.extractDiff(oldSnap, newSnap, "doc_id", Seq("lang"))
-        .select(col("status"), col("slug"), explode(col("values")).as(Seq("field", "vals")))
-        .select(col("status"), col("slug"), col("field"), explode(col("vals")).as("value"))
-        .orderBy("slug", "status", "field", "value")
+      presentationSort(
+        operators.Indexing.extractDiff(oldSnap, newSnap, "doc_id", Seq("lang"))
+          .select(col("status"), col("slug"), explode(col("values")).as(Seq("field", "vals")))
+          .select(col("status"), col("slug"), col("field"), explode(col("vals")).as("value")),
+        "slug", "status", "field", "value")
     }),
     "q_validate" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
@@ -2903,10 +2974,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
     "q_sessionize" -> ((s, dir) =>
-      streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
-        .groupBy("user_id")
-        .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
-        .orderBy("user_id")),
+      presentationSort(
+        streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions")),
+        "user_id")),
     "q_md_source" -> ((s, dir) => {
       // DSv2 connector round-trip with a REAL oracle: the first 200 documents
       // are materialized as a markdown+front-matter tree (deterministic file

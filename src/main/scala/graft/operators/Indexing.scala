@@ -157,24 +157,30 @@ object Indexing {
   /** Per-slug canonical indexed-value state: `map<field, sorted values>`.
     * Canonical because each field's values are sorted here — so the sorted
     * entry list derived from the map is a total comparison key.
+    *
+    * ONE aggregation pass: every field collects in the same groupBy(slug)
+    * (collect_list skips null resolutions exactly like the explode it
+    * replaces; [[FieldPath.resolve]] already drops null leaf values), so a
+    * snapshot costs one shuffle instead of the former explode-union's
+    * three (per-field groupBy → per-slug groupBy → distinct-and-restore
+    * join for all-empty slugs — measured 8.8× DuckDB at sf10 from shuffle
+    * count alone). Fields with no values stay ABSENT from the map (the
+    * exploded formulation's semantics), and slugs whose every field is
+    * empty keep their empty-map row because groupBy sees every slug.
     */
   private def snapshotValues(df: DataFrame, slugField: String, fields: Seq[String]): DataFrame = {
-    val perField = fields.map { f =>
-      df.select(col(slugField).cast("string").as("slug"),
-        lit(f).as("field"),
-        explode(FieldPath.resolve(df, f)).as("value"))
-    }.reduce(_ unionAll _)
-      .groupBy("slug", "field")
-      .agg(sort_array(collect_list(col("value"))).as("values"))
-    val agg = perField.groupBy("slug")
-      .agg(map_from_entries(array_sort(collect_list(struct(col("field"), col("values")))))
-        .as("values"))
-    // Slugs whose every indexed field is null/empty vanish from the exploded
-    // relation but still exist in the corpus — restore them with empty state.
-    df.select(col(slugField).cast("string").as("slug")).distinct()
-      .join(agg, Seq("slug"), "left")
+    val aggs = fields.zipWithIndex.map { case (f, i) =>
+      sort_array(flatten(collect_list(FieldPath.resolve(df, f)))).as(s"__v$i")
+    }
+    val entries = fields.zipWithIndex.map { case (f, i) =>
+      struct(lit(f).as("field"), col(s"__v$i").as("values"))
+    }
+    df.groupBy(col(slugField).cast("string").as("slug"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(col("slug"),
-        coalesce(col("values"), typedLit(Map.empty[String, Seq[String]])).as("values"))
+        map_from_entries(
+          filter(array_sort(array(entries: _*)), e => size(e("values")) > 0))
+        .as("values"))
   }
 
   /** [[extractDiff]] collected to the driver as [[DiffEntry]]s — the input

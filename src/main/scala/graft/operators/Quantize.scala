@@ -57,8 +57,30 @@ object Quantize {
     * the max absolute reconstruction error (both rounded 6dp for
     * cross-engine hashing), the code sum and nonzero count (exact ints).
     * Theoretical bound: max_err ≤ scale/2 (half a quantization step).
+    * One native scan-stage expression ([[graft.plans.VectorExpressions
+    * .sq8Stats]]); [[reconstructionStatsColumnar]] keeps the HOF
+    * formulation it replaced as the bit-parity twin (QuantizeSpec).
     */
   def reconstructionStats(emb: DataFrame, idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(emb.columns.contains(idCol), s"Quantize: input has no '$idCol' column")
+    emb.filter(col(vecCol).isNotNull)
+      .select(col(idCol), graft.plans.VectorExpressions.sq8Stats(col(vecCol)).as("__s"))
+      .select(
+        col(idCol),
+        round(col("__s.scale"), 6).as("scale_r"),
+        col("__s.sum_codes").as("sum_codes"),
+        col("__s.nz").as("nz"),
+        round(col("__s.max_err"), 6).as("max_err_r"))
+      .orderBy(col(idCol))
+  }
+
+  /** The interpreted higher-order-function formulation of
+    * [[reconstructionStats]] — three lambda passes + three intermediate
+    * arrays per row. Kept ONLY as the parity twin: QuantizeSpec pins the
+    * fused native expression against it bitwise.
+    */
+  private[operators] def reconstructionStatsColumnar(emb: DataFrame, idCol: String = "vec_id",
                           vecCol: String = "embedding"): DataFrame = {
     require(emb.columns.contains(idCol), s"Quantize: input has no '$idCol' column")
     val q = quantize(emb.filter(col(vecCol).isNotNull), vecCol)

@@ -466,22 +466,58 @@ object Similarity {
 
   /** [[semDupes]] over an existing IVF index — no quantizer re-fit.
     *
-    * Default path is the fused pair scan ([[FusedTopK.cosinePairs]]): the
-    * `(cell, bucket)` self-join materialized an UnsafeRow per CANDIDATE
-    * pair (≈400 ns of row plumbing per pair at sf10 — the same disease the
-    * batch-ANN paths had); the fused form exchanges the replicated rows
-    * once, streams each group, and emits only the qualifying pairs. Same
-    * pair set by construction (exact cosine, identical orientation and
-    * threshold semantics — parity pinned in FusedTopKSpec); `fused = false`
-    * keeps the join formulation.
+    * Default path (`fused`, `sq8Prefilter`, positive threshold): the
+    * `(cell, bucket)` replica exchange carries SQ8 CODES instead of float
+    * vectors (~4× narrower — this exchange was the one vector-width
+    * exchange left in the dedup family, the measured in-suite composition
+    * premium at sf10), the fused group scan keeps every pair whose sound
+    * quantization-error bound can reach `threshold`
+    * ([[FusedTopK.sq8PairCandidates]] — no true pair ever dropped), and
+    * survivors re-verify with the EXACT cosine: the candidate id pairs
+    * broadcast against the corpus to fetch both vectors (bounded by the
+    * near-dup volume — the same boundedness argument as [[semDedupe]]'s
+    * drop-set broadcast), so the final pair set is identical to the exact
+    * scans' by construction. Inputs here always carry clean vectors —
+    * [[ivfIndex]]'s assignment throws on null elements — so quantize8's
+    * same guard cannot fire on a reachable row.
+    *
+    * `sq8Prefilter = false` keeps the exact fused pair scan
+    * ([[FusedTopK.cosinePairs]] — float vectors through the exchange);
+    * `fused = false` keeps the join formulation. All three produce the
+    * same pair set (parity pinned in FusedTopKSpec); a non-positive
+    * threshold falls back to the exact scan (the bound's early-drops
+    * assume threshold > 0).
     */
   def semDupesOnIndex(index: IvfIndex, dim: Int, threshold: Double = 0.95,
                       nbits: Int = 8, seed: Long = 7L,
-                      fused: Boolean = true): DataFrame = {
+                      fused: Boolean = true,
+                      sq8Prefilter: Boolean = true): DataFrame = {
     val idCol = index.idCol; val vecCol = index.vecCol
     val idx = index.assigned
       .withColumn("bucket", V.hyperplaneBucket(col(vecCol), dim, nbits, seed))
-    if (fused) {
+    if (fused && sq8Prefilter && threshold > 0.0) {
+      val replicated = idx
+        .withColumn("__q", graft.plans.VectorExpressions.quantize8(col(vecCol)))
+        .select(col("cell"), col(idCol),
+          col("__q.scale").as("__scale"), col("__q.codes").as("__codes"),
+          col("bucket").as("__obk"),
+          explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))
+        .withColumn("__orig", col("bucket") === col("__obk"))
+      val cand = FusedTopK.sq8PairCandidates(replicated, threshold,
+          "cell", "bucket", "__orig", idCol, "__scale", "__codes")
+        .dropDuplicates("id_a", "id_b")
+      // exact re-verify: candidates broadcast into two corpus scans (the
+      // corpus never exchanges), score with the SAME native cosine the
+      // exact paths use, keep score ≥ threshold
+      val va = index.assigned.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+      val vb = index.assigned.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+      val withB = vb.join(broadcast(cand), Seq("id_b"))
+        .select(col("id_a"), col("id_b"), col("__vb"))
+      va.join(broadcast(withB), Seq("id_a"))
+        .select(col("id_a"), col("id_b"), V.cosine(col("__va"), col("__vb")).as("score"))
+        .filter(col("score") >= threshold)
+        .dropDuplicates("id_a", "id_b")
+    } else if (fused) {
       val replicated = idx.select(col("cell"), col(idCol), col(vecCol),
           col("bucket").as("__obk"),
           explode(V.probeBuckets(col("bucket"), nbits)).as("bucket"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
@@ -452,33 +452,105 @@ case class Fingerprint(child: Expression)
     copy(child = newChild)
 }
 
-/** Stopword-hit ratio in one tokens pass: hits/total as an unrounded double
-  * (the column twin is `size(filter(toks, isin(stopwords)))/size(toks)`; that
-  * pays an interpreted-HOF traversal per row). Callers round outside, keeping
-  * the rounding semantics identical between paths.
+/** Byte-level stopword scan shared by [[StopwordRatio]] and [[QualityScore]]:
+  * (token count, stopword hits) in ONE pass over the raw UTF-8 bytes — no
+  * String decode, no per-token allocation, no HashSet (the old interpreted
+  * form allocated one java.lang.String PER TOKEN and sat under
+  * CodegenFallback, which also knocked the whole projection out of
+  * whole-stage codegen — measured as 80% of q_corpus_card's base cost at
+  * sf10). Tokens are [[TokStats]]'s non-`\s` byte runs (Java-regex `\s` is
+  * the 6 ASCII chars; UTF-8 continuation bytes are ≥ 0x80 and can't match),
+  * and a hit is exact byte equality with a stopword's UTF-8 encoding —
+  * byte equality ≡ String equality on the decoded token, so parity with
+  * the HashSet twin is structural. The empty/all-whitespace input keeps
+  * the split-of-empty `[""]` artifact: 1 token, a hit iff "" is declared
+  * a stopword.
+  */
+object StopScan {
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0b || b == 0x0c || b == 0x0d
+
+  private def isStop(input: UTF8String, start: Int, len: Int, stops: Array[Array[Byte]]): Boolean = {
+    var s = 0
+    while (s < stops.length) {
+      val w = stops(s)
+      if (w.length == len) {
+        var j = 0
+        while (j < len && input.getByte(start + j) == w(j)) j += 1
+        if (j == len) return true
+      }
+      s += 1
+    }
+    false
+  }
+
+  /** Packed (ntok << 32) | hits. */
+  def scan(input: UTF8String, stops: Array[Array[Byte]]): Long = {
+    val n = input.numBytes
+    var ntok = 0
+    var hits = 0
+    var start = -1
+    var i = 0
+    while (i < n) {
+      val b = input.getByte(i)
+      if (b >= 0 && isWs(b)) {
+        if (start >= 0) {
+          if (isStop(input, start, i - start, stops)) hits += 1
+          ntok += 1
+          start = -1
+        }
+      } else if (start < 0) start = i
+      i += 1
+    }
+    if (start >= 0) {
+      if (isStop(input, start, n - start, stops)) hits += 1
+      ntok += 1
+    }
+    if (ntok == 0) {
+      ntok = 1 // the [""] artifact of splitting an empty string
+      if (isStop(input, 0, 0, stops)) hits += 1
+    }
+    (ntok.toLong << 32) | hits.toLong
+  }
+
+  def ratio(input: UTF8String, stops: Array[Array[Byte]]): Double = {
+    val packed = scan(input, stops)
+    (packed & 0xffffffffL).toDouble / (packed >>> 32).toDouble
+  }
+
+  def quality(input: UTF8String, stops: Array[Array[Byte]]): Double = {
+    val packed = scan(input, stops)
+    val nTok  = (packed >>> 32).toDouble
+    val stopR = (packed & 0xffffffffL).toDouble / nTok
+    math.min(stopR * 5.0, 1.0) * 0.5 + math.min(nTok / 100.0, 1.0) * 0.5
+  }
+
+  private[plans] def stopBytes(stopwords: Seq[String]): Array[Array[Byte]] =
+    stopwords.map(_.getBytes(java.nio.charset.StandardCharsets.UTF_8)).toArray
+}
+
+/** Stopword-hit ratio in one byte-level pass ([[StopScan]]): hits/total as
+  * an unrounded double (the column twin is
+  * `size(filter(toks, isin(stopwords)))/size(toks)`; that pays an
+  * interpreted-HOF traversal per row). Callers round outside, keeping the
+  * rounding semantics identical between paths.
   */
 case class StopwordRatio(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = ColumnShim.stringInput
 
   override def dataType: DataType = DoubleType
 
-  @transient private lazy val stopSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](stopwords.size * 2)
-    stopwords.foreach(s.add)
-    s
-  }
+  @transient private lazy val stops: Array[Array[Byte]] = StopScan.stopBytes(stopwords)
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
-    var hits = 0
-    var t = 0
-    while (t < tokens.length) {
-      if (stopSet.contains(tokens(t))) hits += 1
-      t += 1
-    }
-    hits.toDouble / tokens.length
+  override def nullSafeEval(input: Any): Any =
+    StopScan.ratio(input.asInstanceOf[UTF8String], stops)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("stops", stops, "byte[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.StopScan$$.MODULE$$.ratio($a, $sRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): StopwordRatio =
@@ -486,35 +558,27 @@ case class StopwordRatio(child: Expression, stopwords: Seq[String])
 }
 
 /** Composite quality score, unrounded: `min(stopRatio*5,1)*0.5 +
-  * min(tokens/100,1)*0.5` in ONE tokens pass — same operation order as the
-  * column twin (`least(stopR*5.0, 1.0)*0.5 + least(nTok/100.0, 1.0)*0.5`), so
-  * the IEEE doubles are bit-identical and the rounded outputs hash-match the
-  * oracle.
+  * min(tokens/100,1)*0.5` in ONE byte-level pass ([[StopScan]]) — same
+  * operation order as the column twin (`least(stopR*5.0, 1.0)*0.5 +
+  * least(nTok/100.0, 1.0)*0.5`), so the IEEE doubles are bit-identical and
+  * the rounded outputs hash-match the oracle.
   */
 case class QualityScore(child: Expression, stopwords: Seq[String])
-    extends UnaryExpression with CodegenFallback with ExpectsInputTypes {
+    extends UnaryExpression with ExpectsInputTypes {
 
   override def inputTypes = ColumnShim.stringInput
 
   override def dataType: DataType = DoubleType
 
-  @transient private lazy val stopSet: java.util.HashSet[String] = {
-    val s = new java.util.HashSet[String](stopwords.size * 2)
-    stopwords.foreach(s.add)
-    s
-  }
+  @transient private lazy val stops: Array[Array[Byte]] = StopScan.stopBytes(stopwords)
 
-  override def nullSafeEval(input: Any): Any = {
-    val tokens = TextExpressions.Tok.tokens(input.asInstanceOf[UTF8String].toString)
-    var hits = 0
-    var t = 0
-    while (t < tokens.length) {
-      if (stopSet.contains(tokens(t))) hits += 1
-      t += 1
-    }
-    val nTok  = tokens.length.toDouble
-    val stopR = hits.toDouble / nTok
-    math.min(stopR * 5.0, 1.0) * 0.5 + math.min(nTok / 100.0, 1.0) * 0.5
+  override def nullSafeEval(input: Any): Any =
+    StopScan.quality(input.asInstanceOf[UTF8String], stops)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sRef = ctx.addReferenceObj("stops", stops, "byte[][]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.StopScan$$.MODULE$$.quality($a, $sRef);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): QualityScore =

@@ -91,6 +91,21 @@ object VectorExpressions {
   def quantize8(vec: Column): Column =
     ColumnShim.column(Int8Quantize(ColumnShim.expression(vec)))
 
+  /** SQ8 reconstruction audit in ONE pass — the [[quantize8]] encode fused
+    * with its own error audit: `struct<scale double, sum_codes bigint,
+    * nz int, max_err double>` where `max_err = max_i |codes[i]·scale −
+    * x[i]|` (null for an empty vector, like `array_max` of an empty
+    * array). Exists because the audit's columnar form — aggregate /
+    * filter / zip_with+array_max over the codes — runs as INTERPRETED
+    * higher-order lambdas materializing three intermediate arrays per
+    * row, which benchmarked ~8× DuckDB at sf10 on an otherwise
+    * trivial scan (q_embed_quantize); the fused pass allocates nothing
+    * and stays inside whole-stage codegen. Bit-parity with the columnar
+    * form is pinned in QuantizeSpec.
+    */
+  def sq8Stats(vec: Column): Column =
+    ColumnShim.column(Int8ReconStats(ColumnShim.expression(vec)))
+
   /** Product-quantization encode: per-subspace nearest-codebook-entry ids
     * (`array<int>` of length m). Same argmin discipline as
     * [[nearestCenter]] — sequential per-dimension squared-Euclidean sum,
@@ -425,6 +440,76 @@ object Int8Quantize {
     org.apache.spark.sql.catalyst.InternalRow(scale,
       org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(codes))
   }
+}
+
+object Int8ReconStats {
+  /** [[Int8Quantize.compute]]'s scale + rounding discipline, fused with the
+    * audit sums — per element: code (half-away rounding, no clamp), then
+    * `sum += code`, `nz += (code != 0)`, `err = |code·scale − x|` folded
+    * into a running max in index order (no NaNs can reach the max — the
+    * finite-element require matches Int8Quantize). Zero scale ⇒ all codes
+    * 0 ⇒ sum 0, nz 0, max_err = max|0 − x| = 0 for a zero vector.
+    */
+  def compute(a: ArrayData, isFloat: Boolean): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = a.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      require(!a.isNullAt(i), "graft.Int8Quantize: null element in vector")
+      val x = math.abs(VectorExpressions.elem(a, i, isFloat))
+      require(!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x),
+        "graft.Int8Quantize: non-finite element in vector")
+      if (x > maxAbs) maxAbs = x
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var sum = 0L
+    var nz = 0
+    var maxErr = 0.0
+    i = 0
+    while (i < n) {
+      val x = VectorExpressions.elem(a, i, isFloat)
+      var code = 0L
+      if (scale != 0.0) {
+        val y = x / scale
+        val ay = math.abs(y)
+        val f = math.floor(ay)
+        val r = if (ay - f >= 0.5) f + 1.0 else f
+        code = (if (y >= 0) r else -r).toLong
+      }
+      sum += code
+      if (code != 0L) nz += 1
+      val err = math.abs(code.toDouble * scale - x)
+      if (err > maxErr) maxErr = err
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(scale, sum, nz,
+      if (n == 0) null else java.lang.Double.valueOf(maxErr))
+  }
+}
+
+/** See [[VectorExpressions.sq8Stats]]. */
+case class Int8ReconStats(child: Expression)
+    extends UnaryExpression with ImplicitCastInputTypes {
+
+  override def inputTypes = Seq(VectorExpressions.vecType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("scale", DoubleType, nullable = false),
+    StructField("sum_codes", LongType, nullable = false),
+    StructField("nz", IntegerType, nullable = false),
+    StructField("max_err", DoubleType, nullable = true)))
+
+  @transient private lazy val aF = VectorExpressions.isFloatArray(child)
+
+  override def nullSafeEval(input: Any): Any =
+    Int8ReconStats.compute(input.asInstanceOf[ArrayData], aF)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.plans.Int8ReconStats$$.MODULE$$.compute($a, $aF);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 case class Int8Quantize(child: Expression)

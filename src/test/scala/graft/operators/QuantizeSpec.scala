@@ -65,6 +65,33 @@ class QuantizeSpec extends SparkSpec {
     assert(ints.getDouble(4) <= ints.getDouble(1) / 2 + 1e-9)
   }
 
+  test("fused native recon stats match the HOF columnar formulation bit-for-bit") {
+    // the shipped reconstructionStats is the one-pass Int8ReconStats
+    // expression; the interpreted aggregate/filter/zip_with formulation it
+    // replaced is kept as the twin — every column must match bitwise,
+    // including a null-embedding row being filtered and doubles by bits
+    val withNull = emb.unionByName(
+      Seq((999L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val got  = Quantize.reconstructionStats(withNull).collect()
+    val twin = Quantize.reconstructionStatsColumnar(withNull).collect()
+    assert(got.length == twin.length && got.length == vecs.length)
+    got.zip(twin).foreach { case (g, t) =>
+      assert(g.getLong(0) == t.getLong(0))
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(1)) ==
+             java.lang.Double.doubleToLongBits(t.getDouble(1)), s"scale_r ${g.getLong(0)}")
+      assert(g.getLong(2) == t.getLong(2), s"sum_codes ${g.getLong(0)}")
+      assert(g.getInt(3) == t.getInt(3), s"nz ${g.getLong(0)}")
+      assert(java.lang.Double.doubleToLongBits(g.getDouble(4)) ==
+             java.lang.Double.doubleToLongBits(t.getDouble(4)), s"max_err_r ${g.getLong(0)}")
+    }
+    // empty vector: max_err is null in both forms (array_max of empty)
+    val empty = Seq((7L, Seq.empty[Float])).toDF("vec_id", "embedding")
+    val ge = Quantize.reconstructionStats(empty).head()
+    val te = Quantize.reconstructionStatsColumnar(empty).head()
+    assert(ge.isNullAt(4) && te.isNullAt(4))
+    assert(ge.getDouble(1) == 0.0 && ge.getLong(2) == 0L && ge.getInt(3) == 0)
+  }
+
   test("tie-adjacent doubles round like BigDecimal/DuckDB, not floor(y+0.5)") {
     // 0.49999999999999994 is the largest double below 0.5: floor(y + 0.5)
     // computes floor(1.0) = 1 (the FP addition crosses the tie), while
