@@ -233,6 +233,29 @@ object PlanDiag {
           .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),
                count(lit(1)).as("order_cnt"))
       }),
+      // SQ8 prefilter diagnosis: candidate volume at the q_dedup_semantic
+      // threshold (how many pairs does the quantization-error band admit?)
+      "x_sem_sq8cand" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val emb = Tables.load(s, dir, "embeddings")
+        val aug = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000000L))
+        val n = emb.count(); val nlist = operators.Similarity.nlistFor(n + n / 50)
+        val index = operators.Similarity.ivfIndex(aug, nlist)
+        val idx = index.assigned.withColumn("bucket",
+          functions.VectorFunctions.hyperplaneBucket(col("embedding"), 64, 8, 7L))
+        val replicated = idx
+          .withColumn("__q", plans.VectorExpressions.quantize8(col("embedding")))
+          .select(col("cell"), col("vec_id"),
+            col("__q.scale").as("__scale"), col("__q.codes").as("__codes"),
+            col("bucket").as("__obk"),
+            explode(functions.VectorFunctions.probeBuckets(col("bucket"), 8)).as("bucket"))
+          .withColumn("__orig", col("bucket") === col("__obk"))
+        operators.FusedTopK.sq8PairCandidates(replicated, 0.999,
+            "cell", "bucket", "__orig", "vec_id", "__scale", "__codes")
+          .agg(count(lit(1)).as("n_candidates"),
+               count_distinct(col("id_a"), col("id_b")).as("n_distinct"))
+      }),
       // q_events_window's pre-r15 decimal-sum form (A/B for Decimal128)
       "x_events_window_dec" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
@@ -259,6 +282,10 @@ object PlanDiag {
       val sec = (System.nanoTime() - t0) / 1e9
       Thread.sleep(500)
       println(f"[plandiag] $n%-24s jobs=${jobs.get}%-3d stages=${stages.get}%-3d ${sec}%.3f s")
+      // diagnostic experiments carrying a tiny answer print it
+      if (n.startsWith("x_sem_sq8cand"))
+        println(s"[plandiag] $n rows: " +
+          query(n)(spark, sfDir).collect().mkString("; "))
     }
     spark.stop()
   }

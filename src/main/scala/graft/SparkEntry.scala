@@ -344,7 +344,10 @@ object SparkEntry {
         .orderBy(desc("revenue"), col("o_custkey")).limit(10)
       broadcast(top).join(c("customer").df, col("o_custkey") === col("c_custkey"))
         .select("c_custkey", "c_name", "revenue", "order_cnt")
-        .orderBy(desc("revenue"), col("c_custkey"))
+        // 10 rows — but a trailing orderBy's boundary sampling would re-run
+        // the whole aggregate+TakeOrdered subtree (see presentationSort)
+        .repartition(1)
+        .sortWithinPartitions(desc("revenue"), col("c_custkey"))
     }),
     "q_agg_mktseg_nation" -> ((s, dir) => {
       val c = Tables.catalog(s, dir)
@@ -595,12 +598,13 @@ object SparkEntry {
       // customers) buys nothing — the hash build streams the probe side
       // unsorted (measured 2.1 -> 1.2 s at sf10, identical output).
       val c = Tables.catalog(s, dir)
-      c("customer").df
-        .join(c("orders").df.filter(col("o_orderstatus") === "F").select("o_custkey")
-                .hint("shuffle_hash"),
-              col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
+      presentationSort(
+        c("customer").df
+          .join(c("orders").df.filter(col("o_orderstatus") === "F").select("o_custkey")
+                  .hint("shuffle_hash"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+        "c_custkey")
     })
   )
 

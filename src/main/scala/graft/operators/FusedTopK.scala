@@ -468,7 +468,7 @@ object FusedTopK {
     * Output `(id_a, id_b)` — candidates only, possibly with cross-bucket
     * duplicates (callers dedup before the exact verify).
     */
-  private[operators] def sq8PairCandidates(replicated: DataFrame, threshold: Double,
+  private[graft] def sq8PairCandidates(replicated: DataFrame, threshold: Double,
       cellCol: String, bucketCol: String, origCol: String,
       idCol: String, scaleCol: String, codesCol: String): DataFrame = {
     val spark = replicated.sparkSession

@@ -466,32 +466,35 @@ object Similarity {
 
   /** [[semDupes]] over an existing IVF index — no quantizer re-fit.
     *
-    * Default path (`fused`, `sq8Prefilter`, positive threshold): the
-    * `(cell, bucket)` replica exchange carries SQ8 CODES instead of float
-    * vectors (~4× narrower — this exchange was the one vector-width
-    * exchange left in the dedup family, the measured in-suite composition
-    * premium at sf10), the fused group scan keeps every pair whose sound
-    * quantization-error bound can reach `threshold`
-    * ([[FusedTopK.sq8PairCandidates]] — no true pair ever dropped), and
-    * survivors re-verify with the EXACT cosine: the candidate id pairs
-    * broadcast against the corpus to fetch both vectors (bounded by the
-    * near-dup volume — the same boundedness argument as [[semDedupe]]'s
-    * drop-set broadcast), so the final pair set is identical to the exact
-    * scans' by construction. Inputs here always carry clean vectors —
-    * [[ivfIndex]]'s assignment throws on null elements — so quantize8's
-    * same guard cannot fire on a reachable row.
+    * Default path is the exact fused pair scan ([[FusedTopK.cosinePairs]]):
+    * the `(cell, bucket)` self-join materialized an UnsafeRow per CANDIDATE
+    * pair; the fused form exchanges the replicated rows once, streams each
+    * group, and emits only the qualifying pairs. Same pair set by
+    * construction (exact cosine, identical orientation and threshold
+    * semantics — parity pinned in FusedTopKSpec); `fused = false` keeps the
+    * join formulation.
     *
-    * `sq8Prefilter = false` keeps the exact fused pair scan
-    * ([[FusedTopK.cosinePairs]] — float vectors through the exchange);
-    * `fused = false` keeps the join formulation. All three produce the
-    * same pair set (parity pinned in FusedTopKSpec); a non-positive
-    * threshold falls back to the exact scan (the bound's early-drops
-    * assume threshold > 0).
+    * `sq8Prefilter = true` is an OPT-IN narrow-exchange variant: the
+    * replica exchange carries SQ8 codes (~4× narrower than float vectors),
+    * candidates come from a sound quantization-error upper bound
+    * ([[FusedTopK.sq8PairCandidates]] — no true pair ever dropped), and
+    * survivors re-verify with the exact cosine via shuffle-hash id joins
+    * against the corpus. It is NOT the default because the bound's slack
+    * (±2r/‖x‖ ≈ ±0.019 at dim 64) must fit inside the corpus's threshold
+    * MARGIN to discriminate: measured on the synthetic embeddings at
+    * threshold 0.999, the [threshold−slack, threshold) band holds 2.7M
+    * candidate pairs for ~4k true pairs at sf10 (~27M at sf100 — the
+    * vector-fetch broadcast this used to do OOM'd there, the r19 scale
+    * lesson), so the prefilter only pays when near-threshold pairs are
+    * rare. The pair set is identical on every path regardless — only the
+    * cost moves (threshold-sweep soundness pinned in FusedTopKSpec).
+    * A non-positive threshold falls back to the exact scan (the bound's
+    * early-drops assume threshold > 0).
     */
   def semDupesOnIndex(index: IvfIndex, dim: Int, threshold: Double = 0.95,
                       nbits: Int = 8, seed: Long = 7L,
                       fused: Boolean = true,
-                      sq8Prefilter: Boolean = true): DataFrame = {
+                      sq8Prefilter: Boolean = false): DataFrame = {
     val idCol = index.idCol; val vecCol = index.vecCol
     val idx = index.assigned
       .withColumn("bucket", V.hyperplaneBucket(col(vecCol), dim, nbits, seed))
@@ -506,14 +509,15 @@ object Similarity {
       val cand = FusedTopK.sq8PairCandidates(replicated, threshold,
           "cell", "bucket", "__orig", idCol, "__scale", "__codes")
         .dropDuplicates("id_a", "id_b")
-      // exact re-verify: candidates broadcast into two corpus scans (the
-      // corpus never exchanges), score with the SAME native cosine the
-      // exact paths use, keep score ≥ threshold
+      // exact re-verify: candidate ids fetch both vectors via shuffle-hash
+      // id joins (NEVER broadcast — the candidate frame scales with the
+      // near-threshold band, which at a slack-sized margin is millions of
+      // rows; a vector-carrying broadcast of it OOM'd at sf100), score
+      // with the SAME native cosine the exact paths use, keep ≥ threshold
       val va = index.assigned.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
       val vb = index.assigned.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
-      val withB = vb.join(broadcast(cand), Seq("id_b"))
-        .select(col("id_a"), col("id_b"), col("__vb"))
-      va.join(broadcast(withB), Seq("id_a"))
+      cand.hint("shuffle_hash").join(va, Seq("id_a"))
+        .hint("shuffle_hash").join(vb, Seq("id_b"))
         .select(col("id_a"), col("id_b"), V.cosine(col("__va"), col("__vb")).as("score"))
         .filter(col("score") >= threshold)
         .dropDuplicates("id_a", "id_b")

@@ -116,7 +116,7 @@ class FusedTopKSpec extends SparkSpec {
     val idxPlanted = Similarity.ivfIndex(df, nlist = 2, seed = 7L)
     for (thr <- Seq(0.999, 0.5)) {
       val sq8 = Similarity.semDupesOnIndex(idxPlanted, dim = 3, threshold = thr,
-        nbits = 4, fused = true).select("id_a", "id_b", "score")
+        nbits = 4, fused = true, sq8Prefilter = true).select("id_a", "id_b", "score")
       val fused = Similarity.semDupesOnIndex(idxPlanted, dim = 3, threshold = thr,
         nbits = 4, fused = true, sq8Prefilter = false).select("id_a", "id_b", "score")
       val join = Similarity.semDupesOnIndex(idxPlanted, dim = 3, threshold = thr,
@@ -125,13 +125,14 @@ class FusedTopKSpec extends SparkSpec {
       assert(sortedRows(sq8) == sortedRows(join), s"sq8, threshold=$thr")
     }
     // real embeddings with the q_dedup_semantic shape (planted exact dups);
-    // all three paths — SQ8-prefiltered (default), exact fused, join —
-    // must produce the identical pair set with identical scores
+    // all three paths — SQ8-prefiltered (opt-in), exact fused (default),
+    // join — must produce the identical pair set with identical scores
     val emb = Tables.load(spark, dir, "embeddings")
     val aug = emb.unionByName(emb.filter(col("vec_id") % 50 === 0)
       .withColumn("vec_id", col("vec_id") + 1000000000L))
     val index = Similarity.ivfIndex(aug, nlist = 8, seed = 7L)
-    val sq8R   = Similarity.semDupesOnIndex(index, dim = 64, threshold = 0.999)
+    val sq8R   = Similarity.semDupesOnIndex(index, dim = 64, threshold = 0.999,
+      sq8Prefilter = true)
     val fusedR = Similarity.semDupesOnIndex(index, dim = 64, threshold = 0.999,
       sq8Prefilter = false)
     val joinR  = Similarity.semDupesOnIndex(index, dim = 64, threshold = 0.999, fused = false)
@@ -158,8 +159,8 @@ class FusedTopKSpec extends SparkSpec {
     val df = spark.createDataFrame(rows.asJava, schema)
     val index = Similarity.ivfIndex(df, nlist = 4, seed = 7L)
     for (thr <- Seq(0.9, 0.5, 0.1)) {
-      val sq8 = Similarity.semDupesOnIndex(index, dim = 8, threshold = thr, nbits = 2)
-        .select("id_a", "id_b", "score")
+      val sq8 = Similarity.semDupesOnIndex(index, dim = 8, threshold = thr, nbits = 2,
+        sq8Prefilter = true).select("id_a", "id_b", "score")
       val exact = Similarity.semDupesOnIndex(index, dim = 8, threshold = thr, nbits = 2,
         sq8Prefilter = false).select("id_a", "id_b", "score")
       assert(sortedRows(sq8) == sortedRows(exact), s"threshold=$thr")
@@ -167,8 +168,8 @@ class FusedTopKSpec extends SparkSpec {
     }
     // non-positive threshold falls back to the exact scan (scores ≤ 0 and
     // zero-norm pairs are in play there; the bound's early-drop assumes > 0)
-    val all = Similarity.semDupesOnIndex(index, dim = 8, threshold = -1.0, nbits = 2)
-      .select("id_a", "id_b", "score")
+    val all = Similarity.semDupesOnIndex(index, dim = 8, threshold = -1.0, nbits = 2,
+      sq8Prefilter = true).select("id_a", "id_b", "score")
     val allExact = Similarity.semDupesOnIndex(index, dim = 8, threshold = -1.0, nbits = 2,
       sq8Prefilter = false).select("id_a", "id_b", "score")
     assert(sortedRows(all) == sortedRows(allExact))
