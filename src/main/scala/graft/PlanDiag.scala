@@ -256,6 +256,36 @@ object PlanDiag {
           .agg(count(lit(1)).as("n_candidates"),
                count_distinct(col("id_a"), col("id_b")).as("n_distinct"))
       }),
+      // the layout lesson applied to the HIGH-NDV aggregate floor: orders
+      // sorted by o_custkey (16 MB row groups) → each task sees disjoint
+      // key ranges → the partial aggregate combines to ~final groups and
+      // the exchange carries ~1.5M rows instead of ~13.7M
+      "x_topcust_sorted" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val p = s"/tmp/graft_x_topcust_sorted_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        if (!new java.io.File(p).exists())
+          operators.Layout.writeSorted(
+            Tables.load(s, dir, "orders").select("o_custkey", "o_totalprice"),
+            p, Seq("o_custkey"), rowGroupBytes = Some(16L << 20))
+        s.read.parquet(p)
+          .groupBy("o_custkey")
+          .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),
+               count(lit(1)).as("order_cnt"))
+      }),
+      // the exchange-free window: events bucketed by user_id → the
+      // sessionize window's hash requirement is satisfied by the stored
+      // layout, no exchange before the sort
+      "x_sess_bucketed" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val t = s"graft_x_events_bucketed_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+        if (!s.catalog.tableExists(t))
+          operators.Bucketing.writeBucketed(
+            Tables.load(s, dir, "events").select("event_id", "user_id", "ts"),
+            t, buckets = 32, Seq("user_id"))
+        streaming.EventStreams.sessionize(operators.Bucketing.table(s, t))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+      }),
       // q_events_window's pre-r15 decimal-sum form (A/B for Decimal128)
       "x_events_window_dec" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
