@@ -40,6 +40,20 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
     rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b.toString))
       .parquet(path)
+    carryConstraints(df, path)
+  }
+
+  /** A layout rewrite is row-preserving, so the source scan's RELY facts
+    * (uniqueness, FK totality, NDV bounds) hold verbatim on the copy —
+    * carry them, or every fact-licensed optimizer rule silently switches
+    * off over the rewritten table (measured at sf100: the rollup shape ran
+    * 37% SLOWER on a freshly sorted lineitem purely because
+    * [[graft.plans.PreAggregateGroupingSets]] lost its NDV license —
+    * BASELINE.md r19). No-op when the input isn't a single scan.
+    */
+  private def carryConstraints(df: DataFrame, path: String): Unit = {
+    graft.plans.Constraints.redeclare(df, df.sparkSession.read.parquet(path))
+    ()
   }
 
   /** Morton (Z-order) interleave of two non-negative bucket ids, `bits` bits
@@ -107,5 +121,6 @@ object Layout {
       .write.mode(SaveMode.Overwrite)
     rowGroupBytes.fold(w)(b => w.option("parquet.block.size", b.toString))
       .parquet(path)
+    carryConstraints(df, path)
   }
 }

@@ -103,6 +103,42 @@ object Constraints {
       case None => false
     }
 
+  /** Carry a table's declarations onto a REWRITTEN copy of it — the layout
+    * companion rule. Facts are keyed by scan identity, so
+    * [[graft.operators.Layout.writeSorted]] / `writeZOrdered` /
+    * [[graft.operators.Bucketing.writeBucketed]] output is a NEW scan with
+    * no facts, and every fact-licensed rewrite silently switches off over
+    * it: measured at sf100, the q_agg_rollup shape on a freshly sorted
+    * lineitem ran 37% SLOWER than on the original purely because
+    * [[PreAggregateGroupingSets]] lost its NDV license (BASELINE.md r19).
+    * Sound because a layout rewrite is row-preserving: uniqueness,
+    * FK totality and NDV bounds all survive any permutation of the same
+    * rows. Facts about columns the rewrite dropped are filtered out (a
+    * projection can invalidate nothing it keeps, but a fact about an
+    * absent column would never match anyway — dropping them keeps
+    * [[validateRely]] runnable on the copy). FKs pointing AT the original
+    * (other tables' children) are intentionally not retargeted: the copy
+    * is a new parent identity; declare those explicitly if the copy
+    * replaces the original as the join target.
+    *
+    * Returns false when either frame lacks a single-scan identity.
+    */
+  def redeclare(original: DataFrame, rewritten: DataFrame): Boolean =
+    (tagOf(original), tagOf(rewritten)) match {
+      case (Some(from), Some(to)) =>
+        registry.get(from) match {
+          case Some(c) =>
+            val cols = rewritten.columns.toSet
+            register(to, TableConstraints(
+              c.uniqueCols.filter(cols),
+              c.fks.filter(f => cols(f.childCol)),
+              c.ndv.filter { case (col, _) => cols(col) }))
+            true
+          case None => true // nothing declared — trivially carried
+        }
+      case _ => false
+    }
+
   /** Test hook — constraints are global (keyed by file paths, which are
     * globally meaningful), so specs that plant conflicting declarations
     * reset between cases. */

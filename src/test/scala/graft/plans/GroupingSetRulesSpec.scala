@@ -82,6 +82,36 @@ class GroupingSetRulesSpec extends SparkSpec {
     assert(!preAggFired(q))
   }
 
+  test("a layout rewrite loses the NDV license; redeclare/auto-carry restores it") {
+    // the r19 sf100 finding: a rewrite's output is a NEW scan identity, so
+    // the pre-aggregation silently switched off over the rewritten table
+    // (rollup probe 37% SLOWER on a better layout) — a bare re-write loses
+    // the facts, Constraints.redeclare carries them, and Layout.writeSorted
+    // now auto-carries.
+    val original = plantedScan(opt, declare = true)
+    // bare parquet re-write: fresh scan, no facts → no rewrite
+    val barePath = java.nio.file.Files.createTempDirectory("graft-gs-bare").toString
+    original.orderBy("k1").write.mode("overwrite").parquet(barePath)
+    val bare = opt.read.parquet(barePath)
+    assert(!preAggFired(rollupQ(bare)), "a fresh scan must carry no facts")
+    assert(Constraints.redeclare(original, bare))
+    val q = rollupQ(bare)
+    assert(preAggFired(q), q.queryExecution.optimizedPlan.toString)
+    assert(q.collect().toSeq == rollupQ(plantedScan(spark, declare = false)).collect().toSeq)
+    // Layout.writeSorted auto-carries — the rewrite fires with no manual step
+    val sortedPath = java.nio.file.Files.createTempDirectory("graft-gs-sorted").toString
+    graft.operators.Layout.writeSorted(original, sortedPath, Seq("k1"))
+    assert(preAggFired(rollupQ(opt.read.parquet(sortedPath))))
+    // facts about columns the rewrite dropped are filtered, kept ones carry
+    val pruned = original.select("k1", "money")
+    val prunedPath = java.nio.file.Files.createTempDirectory("graft-gs-pruned").toString
+    pruned.write.mode("overwrite").parquet(prunedPath)
+    val prunedScan = opt.read.parquet(prunedPath)
+    assert(Constraints.redeclare(original, prunedScan))
+    val carried = Constraints.get(Constraints.tagOf(prunedScan).get).get
+    assert(carried.ndv.keySet == Set("k1"), carried.toString)
+  }
+
   test("over-threshold NDV product blocks the rewrite") {
     val q = rollupQ(plantedScan(opt, declare = true,
       bounds = Map("k1" -> 100000L, "k2" -> 100000L)))
