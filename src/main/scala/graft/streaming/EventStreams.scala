@@ -198,6 +198,14 @@ object EventStreams {
     * `gapMinutes` of inactivity. Uses lag + running sum — one shuffle on
     * user_id, scales with AQE; the streaming twin would use
     * `flatMapGroupsWithState` keyed by user_id.
+    *
+    * Scale notes (r19 decomposition, BASELINE.md): the cost is the
+    * exchange+SORT, not the two window passes (sf10: sort floor 1.25 s,
+    * both windows +0.25 s). Events stored bucketed by user_id
+    * ([[graft.operators.Bucketing.writeBucketed]]) satisfy the window's
+    * hash requirement and eliminate the exchange entirely (measured:
+    * jobs 2→1) — network saved at cluster scale, though the per-user sort
+    * remains the single-node floor either way.
     */
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     import org.apache.spark.sql.expressions.Window
