@@ -286,6 +286,22 @@ object PlanDiag {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
       }),
+      // anti-join build-side dedup: the shuffled-hash anti join builds a
+      // HashedRelation of EVERY build row when only key PRESENCE matters —
+      // a distinct() first shrinks the build ~5× (orders-F rows → distinct
+      // custkeys) for one extra partial-agg pass
+      "x_anti_distinct" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.catalog(s, dir)
+        c("customer").df
+          .join(c("orders").df.filter(col("o_orderstatus") === "F")
+                  .select("o_custkey").distinct()
+                  .hint("shuffle_hash"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .repartition(1)
+          .sortWithinPartitions("c_custkey")
+      }),
       // q_events_window's pre-r15 decimal-sum form (A/B for Decimal128)
       "x_events_window_dec" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
