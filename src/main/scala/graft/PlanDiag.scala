@@ -263,10 +263,15 @@ object PlanDiag {
       "x_topcust_sorted" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         val p = s"/tmp/graft_x_topcust_sorted_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-        if (!new java.io.File(p).exists())
+        // memoize on the _SUCCESS marker, not bare dir existence: an
+        // interrupted earlier write leaves a partial dir that a bare
+        // exists() would silently reuse
+        if (!new java.io.File(p, "_SUCCESS").exists()) {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
           operators.Layout.writeSorted(
             Tables.load(s, dir, "orders").select("o_custkey", "o_totalprice"),
             p, Seq("o_custkey"), rowGroupBytes = Some(16L << 20))
+        }
         s.read.parquet(p)
           .groupBy("o_custkey")
           .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),

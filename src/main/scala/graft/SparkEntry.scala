@@ -14,22 +14,29 @@ import graft.api._
   */
 object SparkEntry {
 
-  /** Total-order presentation sort for an oracle dump WITHOUT a global
-    * `orderBy`: one exchange to a single partition, then an in-partition
-    * sort. A trailing `orderBy` plans a range exchange whose BOUNDARY
-    * SAMPLING job re-executes everything above the last shuffle — for a
-    * query whose tail is an expensive post-shuffle pipeline (the
-    * sessionize window, the diff join) that sampling pass costs as much
-    * as the query itself (q_sessionize measured 1.65 s with orderBy vs
-    * 1.02 s with this, same window, sf10; an explicit repartition barrier
-    * under the sort doesn't help — adjacent exchanges collapse). The rows
-    * being sorted are bounded AGGREGATE/DIFF outputs, not corpus rows, and
-    * the sort is presentation formatting for the row-order-sensitive
-    * oracle compare — a production pipeline would drop it entirely (or
-    * range-sort if a total-order artifact is genuinely required).
+  /** Total-order presentation sort for an oracle dump whose upstream is an
+    * expensive post-shuffle pipeline. A bare trailing `orderBy` plans a
+    * range exchange whose BOUNDARY SAMPLING job re-executes everything
+    * above the last shuffle — for the sessionize window or the diff join
+    * that sampling pass costs as much as the query itself (q_sessionize
+    * measured 1.65 s with orderBy vs 1.02 s without the re-execution, same
+    * window, sf10; an explicit repartition barrier under the sort doesn't
+    * help — adjacent exchanges collapse). The r19 form —
+    * `repartition(1).sortWithinPartitions` — killed the re-execution but
+    * serialized the sort into ONE task, and three call sites produce
+    * sf-SCALED outputs (one row per session / per no-order customer / per
+    * purchase — ~17M rows for q_asof_bucketed at sf100), where a
+    * single-task sort is itself the 100× scale-killer. This form keeps
+    * both properties: `localCheckpoint` (eager) materializes the pipeline
+    * output once in executor-local storage, so the range sampler reads
+    * cheap materialized partitions instead of re-executing the pipeline,
+    * and the `orderBy` stays a PARALLEL range sort. The checkpointed
+    * blocks are released by the ContextCleaner once the frame is GC'd.
+    * The sort is presentation formatting for the row-order-sensitive
+    * oracle compare — a production pipeline would drop it entirely.
     */
   private def presentationSort(df: DataFrame, cols: String*): DataFrame =
-    df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    df.localCheckpoint().orderBy(cols.head, cols.tail: _*)
 
   /** Flagship on sf0.001: filter + three-hop broadcast join + aggregation +
     * order — revenue per region/market-segment over the full star schema.
@@ -349,6 +356,25 @@ object SparkEntry {
         .repartition(1)
         .sortWithinPartitions(desc("revenue"), col("c_custkey"))
     }),
+    "q_agg_topcust_sorted" -> ((s, dir) => {
+      // The same top-k aggregate over the KEY-SORTED stored layout
+      // ([[custkeySortedOrders]]): disjoint per-task o_custkey ranges mean
+      // the partial aggregate combines to ~final groups, shrinking the
+      // exchange ~9× — the measured −52% deployment lever for the high-NDV
+      // agg floor, registered so it is correctness-gated, not a bench note.
+      // DuckDB's twin recomputes from the RAW table: a layout rewrite is
+      // row-preserving, so hash-equality here certifies the rewrite too.
+      val top = s.read.parquet(custkeySortedOrders(s, dir))
+        .groupBy("o_custkey")
+        .agg(plans.Decimal128.sumMoney(col("o_totalprice")).as("revenue"),
+             count(lit(1)).as("order_cnt"))
+        .orderBy(desc("revenue"), col("o_custkey")).limit(10)
+      broadcast(top).join(Tables.load(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "order_cnt")
+        .repartition(1)
+        .sortWithinPartitions(desc("revenue"), col("c_custkey"))
+    }),
     "q_agg_mktseg_nation" -> ((s, dir) => {
       val c = Tables.catalog(s, dir)
       c("customer").df
@@ -618,6 +644,16 @@ object SparkEntry {
          FROM lineitem GROUP BY l_returnflag, l_linestatus
          ORDER BY l_returnflag, l_linestatus""",
     "q_agg_topcust" ->
+      """SELECT c_custkey, c_name,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                COUNT(*) AS order_cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    // the sorted-layout variant recomputes from the RAW table: the layout
+    // rewrite is row-preserving, so identical hashes certify both the
+    // aggregate and the rewrite
+    "q_agg_topcust_sorted" ->
       """SELECT c_custkey, c_name,
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
                 COUNT(*) AS order_cnt
@@ -1128,9 +1164,15 @@ object SparkEntry {
               / count(col("text")), 4)
             .as("avg_quality"),
           round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"))
+      // Null-safe join key: lang is nullable and a NULL-lang group survives
+      // both groupBys — a plain equi-join would drop it (null != null)
+      // while the single-aggregate form and the SQL twin's GROUP BY keep
+      // it. The rename sidesteps self-join attribute ambiguity (both
+      // aggregates' grouping columns carry the scan's exprId).
       val uniq = docs.groupBy("lang")
         .agg(countDistinct(md5(col("text"))).as("n_unique"))
-      base.join(uniq, Seq("lang"))
+        .withColumnRenamed("lang", "__ulang")
+      base.join(uniq, col("lang") <=> col("__ulang"))
         .select("lang", "n_docs", "total_tokens", "avg_quality", "p50_chars", "n_unique")
         .orderBy("lang")
     }),
@@ -1795,6 +1837,26 @@ object SparkEntry {
       val p = new java.io.File(s"spark-warehouse/graft_zorder_${tableTag(dir)}").getAbsolutePath
       operators.Layout.writeZOrdered(Tables.load(s, dir, "lineitem"), p,
         "l_partkey", "l_suppkey", bits = 8, rowGroupBytes = Some(8L << 20))
+      p
+    })
+  }
+
+  /** Memoized key-sorted orders copy (Layout.writeSorted on o_custkey,
+    * 16 MB row groups) — the deployment lever for the high-NDV aggregate
+    * floor: range-partitioned-by-key storage gives every scan task a
+    * DISJOINT o_custkey range, so the partial aggregate combines to ~final
+    * groups and the exchange carries ~1.5M rows instead of ~13.7M (sf10);
+    * measured −52% on the q_agg_topcust shape at sf100 (BASELINE.md r19
+    * postscript). Build cost is paid once per (session, sf-dir), exactly
+    * like [[zorderedLineitem]]; `Layout.writeSorted` carries the RELY
+    * facts onto the copy.
+    */
+  private def custkeySortedOrders(s: SparkSession, dir: String): String = {
+    pruneStoredIndexes()
+    storedIndexes.getOrElseUpdate((s, dir, "osorted"), {
+      val p = new java.io.File(s"spark-warehouse/graft_osorted_${tableTag(dir)}").getAbsolutePath
+      operators.Layout.writeSorted(Tables.load(s, dir, "orders"), p,
+        Seq("o_custkey"), rowGroupBytes = Some(16L << 20))
       p
     })
   }
@@ -3030,6 +3092,7 @@ object SparkEntry {
       ("bm25 index", "q_text_bm25_indexed", () => storedBm25Index(s, dir)),
       ("ivf stored index", "q_ann_ivf_stored", () => storedIvfIndex(s, dir, nlist = 8)),
       ("ivf in-memory index", "q_ann_ivf", () => memoIvfIndex(s, dir, nlist = 8)),
+      ("custkey-sorted orders", "q_agg_topcust_sorted", () => custkeySortedOrders(s, dir)),
       ("markdown tree", "q_md_source", () => mdTree(s, dir)))
     builds.foreach { case (what, consumer, run) =>
       if (keep(consumer)) {

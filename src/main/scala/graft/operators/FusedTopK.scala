@@ -7,6 +7,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.ColumnShim
 import org.apache.spark.sql.types._
 
+import scala.jdk.CollectionConverters._
+
 import graft.plans.TopKBuffer
 
 /** Fused broadcast-scored top-k: the brute-force retrieval inner loop
@@ -37,8 +39,8 @@ import graft.plans.TopKBuffer
   *
   * SCALE: corpus partitions stream (nothing buffered but the k-bounded
   * heaps: queries × k × 24 B per task); queries ride an executor-local
-  * broadcast (shard the query frame when queries × dim stops fitting the
-  * driver — same contract as the join path's broadcast side).
+  * broadcast; a frame above [[MaxFusedQueries]] is automatically sharded
+  * ([[shardedRun]]) so the driver/broadcast bound holds at any query count.
   */
 object FusedTopK {
 
@@ -47,15 +49,18 @@ object FusedTopK {
     StructField("__id", LongType, nullable = false),
     StructField("__score", DoubleType, nullable = true)))
 
-  /** Hard cap on the collected query frame. The fused contract says the
-    * query side is "tiny" — this makes that contract a bound instead of
-    * prose: the collect probes `maxQueries + 1` rows and raises before the
-    * driver ever buffers an unbounded frame (cf. the CollectLimit probe in
-    * [[Clusters]] and the capped fit sample in [[Similarity]]). At the cap,
-    * driver + broadcast cost is ≤ maxQueries × dim doubles (64 MB at
-    * dim=128) plus the per-task heap cost maxQueries × k × 24 B. Callers
-    * with a bigger batch shard the query frame and union — or take the
-    * `fused = false` join path, whose broadcast has the same ceiling anyway.
+  /** Per-shard cap on the collected query frame. The fused contract says
+    * the query side is "tiny" — this makes that contract a bound instead
+    * of prose: a frame within the cap runs as one shard (a single
+    * `limit(cap + 1)` probe, no extra jobs); a bigger frame is SHARDED by
+    * [[shardedRun]] — chunked through `toLocalIterator`, one fused corpus
+    * scan per chunk, the per-shard TopKAggregate merges unioned (bitwise
+    * the single-pass result: each query id lives in exactly one shard).
+    * At the cap, driver + broadcast cost is ≤ maxQueries × dim doubles
+    * (64 MB at dim=128) plus the per-task heap cost maxQueries × k × 24 B,
+    * and sharding holds that bound at ANY query count — at the price of
+    * one full corpus scan per shard, the unavoidable trade once the query
+    * batch itself stops fitting in memory.
     */
   val MaxFusedQueries: Int = 1 << 16
 
@@ -70,7 +75,11 @@ object FusedTopK {
     */
   def exactIntegerIdType(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType => true
-    case d: DecimalType if d.scale == 0                => true
+    // precision ≤ 18 keeps the cast("long") round-trip lossless; a
+    // decimal(p>18,0) id beyond Long range would null out (non-ANSI) or
+    // wrap, silently merging distinct query ids — the exact collision this
+    // gate exists to prevent.
+    case d: DecimalType if d.scale == 0 && d.precision <= 18 => true
     case _                                             => false
   }
 
@@ -82,14 +91,35 @@ object FusedTopK {
     dt
   }
 
-  /** Bounded driver collect of the query frame: probes one row past the cap
-    * and raises loudly instead of buffering an unbounded frame. */
-  private def collectBounded(df: DataFrame, maxQueries: Int, who: String): Array[org.apache.spark.sql.Row] = {
-    val rows = df.limit(maxQueries + 1).collect()
-    require(rows.length <= maxQueries,
-      s"$who: query frame exceeds $maxQueries rows — shard the query frame and union " +
-        "the results, or take the join path (fused = false)")
-    rows
+  /** Run the fused scan over the query frame in driver-bounded SHARDS.
+    *
+    * Fast path: one `limit(cap + 1)` probe; a frame within the cap runs as
+    * a single shard with zero extra jobs (the r19 behavior minus the
+    * raise). Above the cap the frame is chunked — `repartition` to
+    * ~cap-sized partitions (bounds `toLocalIterator`'s one-partition driver
+    * buffer), then `grouped(cap)` over the streamed rows — and each chunk
+    * runs the full fused scan. Per-shard results are `localCheckpoint`ed
+    * (eager): the merge output is tiny (≤ cap × k rows), materializing it
+    * truncates the lineage so the shard's query broadcast becomes
+    * GC-collectable before the next shard builds its own — driver + task
+    * memory stay bounded by ONE shard at every point. The union of the
+    * per-shard TopKAggregate merges is bitwise the single-pass result:
+    * every query id lives in exactly one shard, and its heap only ever saw
+    * the full corpus scan regardless of which shard carried it.
+    */
+  private def shardedRun(spark: org.apache.spark.sql.SparkSession, qProj: DataFrame,
+      maxQueries: Int, runShard: Array[org.apache.spark.sql.Row] => DataFrame): DataFrame = {
+    require(maxQueries > 0, s"FusedTopK: maxQueries must be positive, got $maxQueries")
+    val probe = qProj.limit(maxQueries + 1).collect()
+    if (probe.length <= maxQueries) runShard(probe)
+    else {
+      val n = qProj.count()
+      val parts = math.min(Int.MaxValue.toLong, (n + maxQueries - 1) / maxQueries).toInt
+      qProj.repartition(parts).toLocalIterator().asScala
+        .grouped(maxQueries)
+        .map(chunk => runShard(chunk.toArray).localCheckpoint())
+        .reduce(_ unionByName _)
+    }
   }
 
   /** One collected query: id, dense payload, and precomputed invariants. */
@@ -118,15 +148,15 @@ object FusedTopK {
     val celled = cellCol.isDefined
     val qidType = requireFusableQueryId(queries, queryIdCol, "FusedTopK.cosineTopK")
 
-    // queries collected through Spark itself (bounded — see collectBounded)
-    // — driver extracts primitive payloads; float→double is exact so the
-    // executor math sees the same values CosineSim would read
+    // queries collected through Spark itself (bounded per shard — see
+    // the sharding block below) — driver extracts primitive payloads;
+    // float→double is exact so the executor math sees the same values
+    // CosineSim would read
     val qCols = Seq(col(queryIdCol).cast("long"), col(vecCol)) ++
       labelCol.map(col).toSeq ++ queryCellsCol.map(col).toSeq
     val qIsFloat = isFloatArray(queries.schema(vecCol).dataType)
     val cellsOrd = 2 + labelCol.size // ordinal of the probed-cells array
-    val collected = collectBounded(queries.select(qCols: _*), maxQueries,
-        "FusedTopK.cosineTopK").map { r =>
+    def toQuery(r: org.apache.spark.sql.Row): CosQuery = {
       if (r.isNullAt(0)) throw new IllegalArgumentException(
         "FusedTopK: query id is null — query ids must be non-null exact integers")
       val qid = r.getLong(0)
@@ -167,14 +197,15 @@ object FusedTopK {
         }
       CosQuery(qid, vec, hasNull, normSq, label, cells)
     }
-    val bc = spark.sparkContext.broadcast(collected)
     val labelled = labelCol.isDefined
     val labelDt = labelCol.map(c => corpus.schema(c).dataType).getOrElse(NullType)
 
     val projCols = Seq(col(idCol).cast("long"), col(vecCol)) ++
       labelCol.map(col).toSeq ++ cellCol.map(col).toSeq
     val cellOrd = 2 + labelCol.size
-    val rdd = ColumnShim.toInternalRdd(corpus.select(projCols: _*))
+    def scanShard(shard: Array[CosQuery]): org.apache.spark.rdd.RDD[InternalRow] = {
+    val bc = spark.sparkContext.broadcast(shard)
+    ColumnShim.toInternalRdd(corpus.select(projCols: _*))
       .mapPartitions { it =>
         val qs = bc.value
         val nq = qs.length
@@ -249,7 +280,9 @@ object FusedTopK {
         }
         emit(qs.map(_.qid), bufs)
       }
-    merge(spark, rdd, k, queryIdCol, qidType, idCol)
+    }
+    shardedRun(spark, queries.select(qCols: _*), maxQueries,
+      rows => merge(spark, scanShard(rows.map(toQuery)), k, queryIdCol, qidType, idCol))
   }
 
   /** ADC (PQ asymmetric-distance) top-k per query — the
@@ -261,20 +294,19 @@ object FusedTopK {
       maxQueries: Int = MaxFusedQueries): DataFrame = {
     val spark = encoded.sparkSession
     val qidType = requireFusableQueryId(queryTables, queryIdCol, "FusedTopK.adcTopK")
-    val collected = collectBounded(
-        queryTables.select(col(queryIdCol).cast("long"), col(tableCol)),
-        maxQueries, "FusedTopK.adcTopK").map { r =>
-        if (r.isNullAt(0)) throw new IllegalArgumentException(
-          "FusedTopK: query id is null — query ids must be non-null exact integers")
-        // a null query vector yields a null distance table upstream; the
-        // join path's AdcDistance null-propagates and ranks that query's
-        // neighbors with null scores — keep the null and do the same
-        val t = if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray
-        (r.getLong(0), t)
-      }
-    val bc = spark.sparkContext.broadcast(collected)
+    def toQuery(r: org.apache.spark.sql.Row): (Long, Array[Double]) = {
+      if (r.isNullAt(0)) throw new IllegalArgumentException(
+        "FusedTopK: query id is null — query ids must be non-null exact integers")
+      // a null query vector yields a null distance table upstream; the
+      // join path's AdcDistance null-propagates and ranks that query's
+      // neighbors with null scores — keep the null and do the same
+      val t = if (r.isNullAt(1)) null else r.getSeq[Double](1).toArray
+      (r.getLong(0), t)
+    }
+    def scanShard(shard: Array[(Long, Array[Double])]): org.apache.spark.rdd.RDD[InternalRow] = {
+    val bc = spark.sparkContext.broadcast(shard)
 
-    val rdd = ColumnShim.toInternalRdd(
+    ColumnShim.toInternalRdd(
         encoded.select(col(idCol).cast("long"), col(codesCol)))
       .mapPartitions { it =>
         val qs = bc.value
@@ -323,7 +355,10 @@ object FusedTopK {
         }
         emit(qs.map(_._1), bufs)
       }
-    merge(spark, rdd, k, queryIdCol, qidType, idCol)
+    }
+    shardedRun(spark,
+      queryTables.select(col(queryIdCol).cast("long"), col(tableCol)), maxQueries,
+      rows => merge(spark, scanShard(rows.map(toQuery)), k, queryIdCol, qidType, idCol))
   }
 
   /** Fused within-bucket near-dup PAIR scan — the [[Similarity

@@ -126,15 +126,24 @@ object Constraints {
   def redeclare(original: DataFrame, rewritten: DataFrame): Boolean =
     (tagOf(original), tagOf(rewritten)) match {
       case (Some(from), Some(to)) =>
+        // REPLACE the destination's facts, never merge: the registry is
+        // keyed by file path, and a reused path (SaveMode.Overwrite) may
+        // previously have held a rewrite of a DIFFERENT table. Merging
+        // would retain the old occupant's uniqueness/NDV facts and
+        // license fact-based rewrites the new data violates.
         registry.get(from) match {
           case Some(c) =>
             val cols = rewritten.columns.toSet
-            register(to, TableConstraints(
+            registry.update(to, TableConstraints(
               c.uniqueCols.filter(cols),
               c.fks.filter(f => cols(f.childCol)),
               c.ndv.filter { case (col, _) => cols(col) }))
             true
-          case None => true // nothing declared — trivially carried
+          case None =>
+            // nothing declared on the source — drop any stale facts a
+            // previous occupant of this path left behind
+            registry.remove(to)
+            true
         }
       case _ => false
     }

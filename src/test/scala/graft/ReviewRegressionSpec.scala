@@ -46,6 +46,27 @@ class ReviewRegressionSpec extends SparkSpec {
     assert(got == Set((Some(1L), 1L), (Some(2L), 0L), (Some(3L), 0L), (Some(4L), 0L)), s"got $got")
   }
 
+  test("q_corpus_card keeps the NULL-lang group (null-safe join of the two aggregates)") {
+    // lang is nullable; the countDistinct aggregate is joined back on lang,
+    // and a plain equi-join would silently drop the NULL-lang group
+    // (null != null) while the SQL twin's GROUP BY keeps it
+    val rows = Seq[(Long, String, String, String, Long)](
+      (1L, "hello world", "en", "s", 11L),
+      (2L, "hello world", "en", "s", 11L),
+      (3L, "bonjour", null, "s", 7L),
+      (4L, "hallo welt", null, "s", 10L),
+      (5L, "hallo welt", null, "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_card_nulllang").toString
+    rows.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q_corpus_card")(spark, dir).collect()
+    assert(got.length == 2, got.mkString("; "))
+    val nullRow = got.find(_.isNullAt(0))
+    assert(nullRow.isDefined, "NULL-lang group dropped by the two-aggregate join")
+    assert(nullRow.get.getLong(1) == 3L, s"n_docs: ${nullRow.get}")   // 3 null-lang docs
+    assert(nullRow.get.getLong(5) == 2L, s"n_unique: ${nullRow.get}") // one exact dup
+  }
+
   test("bruteForceTopK returns k rows PER query") {
     val vecs = (0L until 30L).map(i => (i, Seq.fill(4)((i % 7).toFloat + 1f))).toDF("vec_id", "embedding")
     val queries = vecs.filter($"vec_id" < 2).select($"vec_id".as("query_id"), $"embedding")

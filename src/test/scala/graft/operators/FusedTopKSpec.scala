@@ -195,26 +195,50 @@ class FusedTopKSpec extends SparkSpec {
     assert(sortedRows(fused) == sortedRows(join))
   }
 
-  test("oversized query frame raises loudly instead of an unbounded driver collect") {
+  test("oversized query frame SHARDS: union of per-shard merges == single pass") {
+    // 9 queries through a cap of 4 → 3 shards (4 + 4 + 1); the union of
+    // the per-shard TopKAggregate merges must be ROW-IDENTICAL (bitwise
+    // scores, tie order) to one unsharded pass AND to the join path.
     val queries = planted.select(col("vec_id").as("query_id"), col("embedding"))
-    val e = intercept[IllegalArgumentException] {
-      FusedTopK.cosineTopK(planted, queries, k = 2, "vec_id", "embedding",
-        "query_id", excludeSelf = false, labelCol = None, maxQueries = 4)
-    }
-    assert(e.getMessage.contains("shard the query frame") &&
-           e.getMessage.contains("fused = false"), e.getMessage)
-    val eAdc = intercept[IllegalArgumentException] {
-      val cb = Pq.formulaCodebook(m = 1, ksub = 4, dsub = 3)
-      // clean length-3 vectors only (PqDistTable rejects null elements)
-      val clean = planted.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 5L, 9L))
-      val q = clean.select(col("vec_id").as("query_id"),
-        graft.plans.VectorExpressions.pqDistTable(col("embedding"), cb.asSeq).as("__qtab"))
-      FusedTopK.adcTopK(clean.select(col("vec_id"),
-          graft.plans.VectorExpressions.pqEncode(col("embedding"), cb.asSeq).as("codes")),
-        q, k = 2, ksub = 4, "vec_id", "codes", "query_id", "__qtab",
-        excludeSelf = false, maxQueries = 4)
-    }
-    assert(eAdc.getMessage.contains("shard the query frame"), eAdc.getMessage)
+    val sharded = FusedTopK.cosineTopK(planted, queries, k = 2, "vec_id", "embedding",
+      "query_id", excludeSelf = false, labelCol = None, maxQueries = 4)
+    val single = FusedTopK.cosineTopK(planted, queries, k = 2, "vec_id", "embedding",
+      "query_id", excludeSelf = false, labelCol = None)
+    val join = Similarity.bruteForceTopK(planted, queries, k = 2,
+      excludeSelf = false, fused = false)
+    assert(sortedRows(sharded) == sortedRows(single))
+    assert(sortedRows(sharded) == sortedRows(join))
+    // every query id present — shard boundaries drop nothing
+    assert(sharded.select("query_id").distinct().count() == 9)
+
+    // ADC path, same contract: 6 queries / cap 4 → 2 shards
+    val cb = Pq.formulaCodebook(m = 1, ksub = 4, dsub = 3)
+    // clean length-3 vectors only (PqDistTable rejects null elements)
+    val clean = planted.filter(col("vec_id").isin(1L, 2L, 3L, 4L, 5L, 9L))
+    val q = clean.select(col("vec_id").as("query_id"),
+      graft.plans.VectorExpressions.pqDistTable(col("embedding"), cb.asSeq).as("__qtab"))
+    val enc = clean.select(col("vec_id"),
+      graft.plans.VectorExpressions.pqEncode(col("embedding"), cb.asSeq).as("codes"))
+    val adcSharded = FusedTopK.adcTopK(enc, q, k = 2, ksub = 4, "vec_id", "codes",
+      "query_id", "__qtab", excludeSelf = false, maxQueries = 4)
+    val adcSingle = FusedTopK.adcTopK(enc, q, k = 2, ksub = 4, "vec_id", "codes",
+      "query_id", "__qtab", excludeSelf = false)
+    assert(sortedRows(adcSharded) == sortedRows(adcSingle))
+    assert(adcSharded.select("query_id").distinct().count() == 6)
+  }
+
+  test("decimal query ids beyond long precision take the join path (no lossy cast)") {
+    // decimal(19,0) CAN hold values a long cannot — the fused gate must
+    // reject the TYPE (precision > 18), not trust runtime values
+    assert(!FusedTopK.exactIntegerIdType(DecimalType(19, 0)))
+    assert(!FusedTopK.exactIntegerIdType(DecimalType(38, 0)))
+    assert(FusedTopK.exactIntegerIdType(DecimalType(18, 0)))
+    val qDec = planted.filter(col("vec_id") <= 3)
+      .select(col("vec_id").cast(DecimalType(19, 0)).as("query_id"), col("embedding"))
+    val viaDefault = Similarity.bruteForceTopK(planted, qDec, k = 2, fused = true)
+    val viaJoin    = Similarity.bruteForceTopK(planted, qDec, k = 2, fused = false)
+    assert(sortedRows(viaDefault) == sortedRows(viaJoin))
+    assert(viaDefault.schema("query_id").dataType == DecimalType(19, 0))
   }
 
   test("non-integral query ids fall back to the join path (no NPE, no id merging)") {

@@ -112,6 +112,39 @@ class GroupingSetRulesSpec extends SparkSpec {
     assert(carried.ndv.keySet == Set("k1"), carried.toString)
   }
 
+  test("redeclare REPLACES a reused path's facts — no stale-merge across overwrites") {
+    // the registry is keyed by file path; SaveMode.Overwrite can reuse a
+    // path for a rewrite of a DIFFERENT table. A merging redeclare would
+    // retain the previous occupant's NDV/uniqueness facts and license
+    // rewrites the new data violates.
+    val reused = java.nio.file.Files.createTempDirectory("graft-gs-reused").toString
+    // first occupant: declared tight NDV bounds carry onto the path
+    val first = plantedScan(opt, declare = true)
+    first.write.mode("overwrite").parquet(reused)
+    val firstScan = opt.read.parquet(reused)
+    assert(Constraints.redeclare(first, firstScan))
+    assert(Constraints.get(Constraints.tagOf(firstScan).get).exists(_.ndv.nonEmpty))
+    // second occupant: a DIFFERENT source with NO declarations overwrites
+    // the same path — the stale facts must be dropped, not merged
+    val second = plantedScan(opt, declare = false)
+    second.write.mode("overwrite").parquet(reused)
+    val secondScan = opt.read.parquet(reused)
+    assert(Constraints.redeclare(second, secondScan))
+    assert(Constraints.get(Constraints.tagOf(secondScan).get).isEmpty,
+      "stale facts from the previous occupant survived the overwrite")
+    assert(!preAggFired(rollupQ(secondScan)))
+    // third occupant: a source with DIFFERENT (looser) bounds — the old
+    // tighter bound must not win the merge's min()
+    val third = plantedScan(opt, declare = true, bounds = Map("k1" -> 1000L))
+    first.write.mode("overwrite").parquet(reused) // re-plant facts on the path
+    Constraints.redeclare(first, opt.read.parquet(reused))
+    third.write.mode("overwrite").parquet(reused)
+    val thirdScan = opt.read.parquet(reused)
+    assert(Constraints.redeclare(third, thirdScan))
+    val carried = Constraints.get(Constraints.tagOf(thirdScan).get).get
+    assert(carried.ndv == Map("k1" -> 1000L), carried.toString)
+  }
+
   test("over-threshold NDV product blocks the rewrite") {
     val q = rollupQ(plantedScan(opt, declare = true,
       bounds = Map("k1" -> 100000L, "k2" -> 100000L)))
