@@ -291,6 +291,90 @@ object PlanDiag {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
       }),
+      // r20 presentation-sort A/B: the r19 single-task form
+      // (repartition(1).sortWithinPartitions) vs the registered
+      // localCheckpoint + parallel orderBy — same pipeline, same output
+      "x_sess_rep1" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        streaming.EventStreams.sessionize(Tables.load(s, dir, "events"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+          .repartition(1).sortWithinPartitions("user_id")
+      }),
+      "x_anti_rep1" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val c = Tables.catalog(s, dir)
+        c("customer").df
+          .join(c("orders").df.filter(col("o_orderstatus") === "F").select("o_custkey")
+                  .hint("shuffle_hash"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .repartition(1).sortWithinPartitions("c_custkey")
+      }),
+      "x_asof_rep1" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val ev = Tables.load(s, dir, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id").as("v_user"), col("ts").as("vts"),
+            col("event_id").as("view_id"))
+        operators.AsOf.asOfJoinBucketed(purchases, views, "user_id", "v_user", "ts", "vts",
+            payload = Seq("view_id"), toleranceMillis = 3600_000L, bucketMillis = 3600_000L,
+            tieBreak = Some("view_id"))
+          .select(col("event_id"), col("view_id").as("asof_view_id"))
+          .repartition(1).sortWithinPartitions("event_id")
+      }),
+      // q_anti_join levers (r20): bloom-prefilter the customer probe
+      // (the q_dedup_exact_inc discipline — negatives skip the join), and
+      // the key-sorted layout making a distinct-first build combine
+      // map-side (the q_agg_topcust_sorted lesson)
+      "x_anti_bloom" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.graftshim.ColumnShim
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "268435456")
+        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "33554432")
+        val c = Tables.catalog(s, dir)
+        val ordersF = c("orders").df.filter(col("o_orderstatus") === "F").select("o_custkey")
+        val items = 16777216L
+        val bloomDf = ordersF.select(
+          ColumnShim.bloomFilterAgg(xxhash64(col("o_custkey")), items, items * 8).as("bf"))
+        val flagged = c("customer").df.select("c_custkey", "c_name")
+          .withColumn("__maybe",
+            coalesce(ColumnShim.mightContain(ColumnShim.scalarSubquery(bloomDf),
+              xxhash64(col("c_custkey"))), lit(false)))
+        val negatives = flagged.filter(!col("__maybe")).select("c_custkey", "c_name")
+        val positives = flagged.filter(col("__maybe")).select("c_custkey", "c_name")
+        negatives.unionByName(
+            positives.join(ordersF.hint("shuffle_hash"),
+              col("c_custkey") === col("o_custkey"), "left_anti")
+              .select("c_custkey", "c_name"))
+          .localCheckpoint().orderBy("c_custkey")
+      }),
+      "x_anti_sorted" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        val so = s.read.parquet(SparkEntry.custkeySortedOrders(s, dir))
+        Tables.catalog(s, dir)("customer").df
+          .join(so.filter(col("o_orderstatus") === "F").select("o_custkey")
+                  .distinct().hint("shuffle_hash"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .localCheckpoint().orderBy("c_custkey")
+      }),
+      // q_text_topwords decomposition: tokenize-scan floor (no explode/agg)
+      // and the aggregate without the trailing TakeOrdered
+      "x_topwords_scan" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents")
+          .select(sum(size(functions.TextFunctions.tokens(col("text")))).as("n_tokens"))
+      }),
+      "x_topwords_agg" -> ((s, dir) => {
+        import org.apache.spark.sql.functions._
+        Tables.load(s, dir, "documents")
+          .select(explode(functions.TextFunctions.tokens(col("text"))).as("word"))
+          .groupBy("word")
+          .agg(count(lit(1)).as("cnt"))
+      }),
       // anti-join build-side dedup: the shuffled-hash anti join builds a
       // HashedRelation of EVERY build row when only key PRESENCE matters —
       // a distinct() first shrinks the build ~5× (orders-F rows → distinct

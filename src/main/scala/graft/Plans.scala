@@ -43,7 +43,10 @@ object Plans {
       "q_range_agg"        -> "join-free: union of two filtered scans feeds ONE hashpartitioning(user_id) exchange for the RANGE-frame window; no join operator anywhere in the plan",
       "q_agg_rollup"       -> "Expand BEFORE partial_ aggregation — grouping-set rows still combine map-side. At sf0.01 PreAggregateGroupingSets stays OFF by its 128 MB input gate (an extra stage cannot pay here); above it the plan becomes scan → finest-grain aggregate → Expand over ≤6 rows → set aggregate (sf100: 14.3 → 6.2 s, plan + parity pinned in GroupingSetRulesSpec)",
       "q_agg_quantiles"    -> "partial_percentile before the exchange (percentile buffers merge map-side)",
-      "q_anti_join"        -> "LeftAnti join; status filter pushed to the orders scan (PushedFilters); single-partition presentation sort (no range-sampler re-execution of the join)",
+      "q_anti_join"        -> "LeftAnti join; status filter pushed to the orders scan (PushedFilters); presentation sort is a PARALLEL range sort over the checkpointed join output (no 1-partition exchange, no range-sampler re-execution of the join)",
+      "q_anti_join_sorted" -> "LeftAnti join over the key-sorted layout with a distinct-first build — disjoint per-task key ranges collapse the partial distinct map-side, so the build exchange carries ~unique keys instead of every F-status row; parallel checkpointed presentation sort",
+      "q_agg_topcust_sorted" -> "aggregate over the key-sorted layout: partial aggregate combines to ~final groups (disjoint per-task o_custkey ranges), the exchange carries ~1/9 the rows; top-10 broadcast back against the dim",
+      "q_ann_ivf_probe"    -> "the production IVF point (nprobe=2 of nlist=8): identical plan shape to q_ann_ivf — probe pairs + query vectors broadcast, ONE native NearestCenter assignment inside the scan, bounded top-k aggregate — with the candidate stream cut to the 2 probed cells per query",
       "q_zorder_pruned"    -> "scan of the writeZOrdered layout with BOTH range predicates pushed (PushedFilters on l_partkey AND l_suppkey) — Morton-clustered 8 MB row groups let the parquet zone maps skip the ~94% of tiles the probe cannot touch (numOutputRows pin: LayoutSpec); aggregate is partial before the tiny exchange",
       "q_embed_centroid"   -> "per-row native fold reductions inside the scan projection; only (label, 2 decimals) shuffle",
       "q_text_repetition"  -> "ONE RepetitionStats node (field extraction must not inline the tokenizing expression per output column); no shuffle before the final sort",

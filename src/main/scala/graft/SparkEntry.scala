@@ -631,6 +631,24 @@ object SparkEntry {
                 col("c_custkey") === col("o_custkey"), "left_anti")
           .select("c_custkey", "c_name"),
         "c_custkey")
+    }),
+    "q_anti_join_sorted" -> ((s, dir) => {
+      // The anti-join over the key-sorted orders layout
+      // ([[custkeySortedOrders]]), with a distinct-first build: disjoint
+      // per-task o_custkey ranges collapse the distinct map-side, so the
+      // build exchange carries ~unique keys instead of every F-status row
+      // (−33% same-window at sf100, 1.75× DuckDB vs 2.5× raw; the bloom
+      // prefilter variant measured 2.4× WORSE and is recorded rejected —
+      // BASELINE.md r20). Same DuckDB twin as q_anti_join, from the raw
+      // table: hash-equality certifies the layout rewrite too.
+      val so = s.read.parquet(custkeySortedOrders(s, dir))
+      presentationSort(
+        Tables.load(s, dir, "customer")
+          .join(so.filter(col("o_orderstatus") === "F").select("o_custkey")
+                  .distinct().hint("shuffle_hash"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name"),
+        "c_custkey")
     })
   )
 
@@ -789,6 +807,13 @@ object SparkEntry {
                 round(quantile_cont(l_quantity, 0.95), 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+    // sorted-layout variant: twin recomputes from the RAW table (the layout
+    // rewrite is row-preserving)
+    "q_anti_join_sorted" ->
       """SELECT c_custkey, c_name FROM customer c
          WHERE NOT EXISTS (SELECT 1 FROM orders o
                            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
@@ -1620,6 +1645,25 @@ object SparkEntry {
         .select("query_id", "rank", "vec_id")
         .orderBy("query_id", "rank")
     }),
+    "q_ann_ivf_probe" -> ((s, dir) => {
+      // The PRODUCTION IVF setting — nprobe=2 of nlist=8: each query scores
+      // only its 2 nearest cells' members (~1/4 of the corpus), which is
+      // the entire point of the index. Approximate by design ⇒ rows-only
+      // (a SQL twin cannot exist); the cost/recall point a user would run
+      // is measured beside it in BASELINE.md (recall@5 vs the exact
+      // nprobe=nlist run, tools/RecallProbe) and distribution-pinned in
+      // SkewIvfStreamSpec.
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.load(s, dir, "embeddings")
+      val index = memoIvfIndex(s, dir, 8)
+      val queries = emb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("embedding"))
+      val w = Window.partitionBy("query_id").orderBy(desc("score"), col("vec_id"))
+      index.topKBatch(queries, k = 5, nprobe = 2, excludeSelf = true)
+        .withColumn("rank", row_number().over(w))
+        .select("query_id", "rank", "vec_id")
+        .orderBy("query_id", "rank")
+    }),
     "q_dedup_semantic" -> ((s, dir) => {
       // SemDedup (embedding-cluster semantic dedup): every 50th vector is
       // planted again at id+10^9; the operator must find exactly those
@@ -1851,7 +1895,7 @@ object SparkEntry {
     * like [[zorderedLineitem]]; `Layout.writeSorted` carries the RELY
     * facts onto the copy.
     */
-  private def custkeySortedOrders(s: SparkSession, dir: String): String = {
+  private[graft] def custkeySortedOrders(s: SparkSession, dir: String): String = {
     pruneStoredIndexes()
     storedIndexes.getOrElseUpdate((s, dir, "osorted"), {
       val p = new java.io.File(s"spark-warehouse/graft_osorted_${tableTag(dir)}").getAbsolutePath
@@ -3092,7 +3136,9 @@ object SparkEntry {
       ("bm25 index", "q_text_bm25_indexed", () => storedBm25Index(s, dir)),
       ("ivf stored index", "q_ann_ivf_stored", () => storedIvfIndex(s, dir, nlist = 8)),
       ("ivf in-memory index", "q_ann_ivf", () => memoIvfIndex(s, dir, nlist = 8)),
+      ("ivf in-memory index", "q_ann_ivf_probe", () => memoIvfIndex(s, dir, nlist = 8)),
       ("custkey-sorted orders", "q_agg_topcust_sorted", () => custkeySortedOrders(s, dir)),
+      ("custkey-sorted orders", "q_anti_join_sorted", () => custkeySortedOrders(s, dir)),
       ("markdown tree", "q_md_source", () => mdTree(s, dir)))
     builds.foreach { case (what, consumer, run) =>
       if (keep(consumer)) {

@@ -57,6 +57,7 @@ object StreamBench {
       }
       val totalRows = ev.count()
       val schema = spark.read.parquet(srcDir.toString).schema
+      var sessionsLine = ""
 
       def source(s: SparkSession) = graft.Tables.normalizeEventsTs(
         s.readStream.schema(schema)
@@ -111,6 +112,36 @@ object StreamBench {
       q2b.stop()
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
 
+      // ---- 2c. streaming sessionization (flatMapGroupsWithState) ---------
+      // The stream-shaped form of q_sessionize: batch pays a full sort per
+      // run (the measured sf100 floor); the stream pays per-key state
+      // updates as events arrive and never re-sorts history — this row is
+      // the amortization evidence beside the batch number. Same replayed
+      // slices; watermark wide enough that the replay's time-compressed
+      // arrival never mass-drops.
+      {
+        import spark.implicits._
+        val ckptSess = new java.io.File(work, "ckpt_sess").toString
+        val t1c = System.nanoTime()
+        val sessIn = source(spark)
+          .select(col("ts").cast("timestamp").as("ts"), col("user_id"))
+          .where(col("user_id").isNotNull)
+          .as[EventStreams.Event]
+        val q2c = EventStreams.streamingSessions(sessIn, gapMinutes = 30,
+            watermark = "24 hours")
+          .writeStream.format("noop")
+          .option("checkpointLocation", ckptSess)
+          .start()
+        q2c.processAllAvailable()
+        val sessSec = (System.nanoTime() - t1c) / 1e9
+        val sessBatchRate = medianRate(q2c)
+        q2c.stop()
+        sessionsLine = s""""sessions_sec":${
+          BigDecimal(sessSec).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sessions_rows_per_sec":${
+          BigDecimal(totalRows / sessSec).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sessions_batch_rows_per_sec":${
+          BigDecimal(sessBatchRate).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"""
+      }
+
       // ---- 3. checkpoint recovery ----------------------------------------
       // First half of the slices through a fresh checkpointed query, stop;
       // reveal the rest; restart and time (a) first committed batch — the
@@ -155,6 +186,7 @@ object StreamBench {
         s""""hourly_sink_sec":${fmt(hourlySec)},"hourly_rows_per_sec":${fmt(totalRows / hourlySec)},"hourly_batch_rows_per_sec":${fmt(hourlyBatchRate)},""" +
         s""""dedup_sec":${fmt(dedupSec)},"dedup_rows_per_sec":${fmt(totalRows / dedupSec)},"dedup_batch_rows_per_sec":${fmt(dedupBatchRate)},""" +
         s""""dedup_rocksdb_sec":${fmt(dedupRocksSec)},"dedup_rocksdb_rows_per_sec":${fmt(totalRows / dedupRocksSec)},"dedup_rocksdb_batch_rows_per_sec":${fmt(dedupRocksBatchRate)},""" +
+        sessionsLine +
         s""""recovery_first_commit_sec":${fmt(firstCommit)},"recovery_catchup_sec":${fmt(catchupSec)}}"""
       println(line)
     } finally {

@@ -130,7 +130,23 @@ class PlanPropertiesSpec extends SparkSpec {
   }
 
   test("q_asof_bucketed: boundary-row carry — partial-agg boundary, no replication Generate") {
-    val p = plan("q_asof_bucketed")
+    // the registered row's presentation sort checkpoints the pipeline (its
+    // executed plan ends at a Scan ExistingRDD), so the shape audit targets
+    // the pipeline itself: the same asOfJoinBucketed call, pre-sort
+    val p = {
+      import org.apache.spark.sql.functions._
+      val ev = Tables.load(spark, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id").as("v_user"), col("ts").as("vts"),
+          col("event_id").as("view_id"))
+      operators.AsOf.asOfJoinBucketed(purchases, views, "user_id", "v_user", "ts", "vts",
+          payload = Seq("view_id"), toleranceMillis = 3600_000L, bucketMillis = 3600_000L,
+          tieBreak = Some("view_id"))
+        .select(col("event_id"), col("view_id").as("asof_view_id"))
+        .queryExecution.executedPlan.toString
+    }
     // r15 boundary form: bucket b's single winning right row (a map-side
     // combining max_by per (key, bucket)) is shifted into b+1 instead of
     // replicating EVERY right row — no explode Generate anywhere.
