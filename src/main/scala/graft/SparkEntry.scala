@@ -336,6 +336,27 @@ object SparkEntry {
             .as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
+    "q_agg_pricing_sorted" -> ((s, dir) =>
+      // The same TPC-H Q1 aggregate over the GROUP-KEY-sorted stored layout
+      // ([[groupSortedLineitem]]): clustering (l_returnflag, l_linestatus)
+      // RLE-compresses the keys (−22% table bytes) and collates each
+      // group's rows — measured −31% at sf100 / −40% at sf10, moving the
+      // ratio 2.5× → 1.73× (BASELINE.md "Layout attack, round 2").
+      // Registered like q_agg_topcust_sorted so the deployment lever is
+      // correctness-gated: DuckDB's twin recomputes from the RAW table, so
+      // hash-equality certifies the rewrite's row preservation too.
+      s.read.parquet(groupSortedLineitem(s, dir))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
+          plans.Decimal128.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+          plans.Decimal128.sum128(
+            plans.Decimal128.mul(
+              plans.Decimal128.scaled(col("l_extendedprice"), 2),
+              lit(10000L) - plans.Decimal128.scaled(col("l_discount"), 4)), 6)
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
     "q_agg_topcust" -> ((s, dir) => {
       // Top-k BEFORE the dim join: the aggregate's 10 winners broadcast
       // against the customer scan, instead of broadcasting the WHOLE
@@ -654,6 +675,16 @@ object SparkEntry {
 
   private def analyticsOracle: Map[String, String] = Map(
     "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    // the sorted-layout variant recomputes from the RAW table (see
+    // q_agg_topcust_sorted): identical hashes certify aggregate AND rewrite
+    "q_agg_pricing_sorted" ->
       """SELECT l_returnflag, l_linestatus,
                 CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                 CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
@@ -1905,6 +1936,49 @@ object SparkEntry {
     })
   }
 
+  /** Memoized GROUP-KEY-sorted lineitem — `Layout.writeSorted` on
+    * (l_returnflag, l_linestatus) with 16 MB row groups, the clustering
+    * measured at −31% on the q_agg_pricing shape at sf100 (−40% at sf10;
+    * BASELINE.md "Layout attack, round 2"). 16 MB groups are load-bearing:
+    * range partitioning on a 6-value key lands the table in ~6 fat files,
+    * and with default 128 MB row groups the scan-split granularity degrades
+    * 32-core task balance enough to REGRESS the full-scan aggregate.
+    * `writeSorted` auto-carries the RELY facts onto the copy.
+    */
+  private[graft] def groupSortedLineitem(s: SparkSession, dir: String): String = {
+    pruneStoredIndexes()
+    storedIndexes.getOrElseUpdate((s, dir, "lsorted"), {
+      val p = new java.io.File(s"spark-warehouse/graft_lsorted_${tableTag(dir)}").getAbsolutePath
+      operators.Layout.writeSorted(Tables.load(s, dir, "lineitem"), p,
+        Seq("l_returnflag", "l_linestatus"), rowGroupBytes = Some(16L << 20))
+      p
+    })
+  }
+
+  /** Memoized user-bucketed + bucket-sorted events catalog table: 32 buckets
+    * on user_id, each bucket sorted by (user_id, ts) in a single file
+    * (writeBucketed enforces one file per bucket for sorted writes — the
+    * precondition for the scan to report its ordering). This layout
+    * satisfies BOTH requirements of the sessionize window
+    * (hashpartitioning(user_id) distribution AND (user_id, ts) ordering)
+    * and of the downstream per-user groupBy, so the whole pipeline plans
+    * with ZERO shuffle exchanges and ZERO sorts — the exchange+sort that
+    * r19's decomposition named as q_sessionize's floor is a LAYOUT
+    * property, like the high-NDV agg floor. Build paid once per
+    * (session, sf-dir); at 100 TB this is the stored event-log layout a
+    * deployment owns anyway (bucket count sized corpus/partition as
+    * Bucketing's scaladoc says).
+    */
+  private[graft] def bucketedEvents(s: SparkSession, dir: String): String = {
+    pruneStoredIndexes()
+    storedIndexes.getOrElseUpdate((s, dir, "ebucketed"), {
+      val t = s"graft_events_bkt_${tableTag(dir)}"
+      operators.Bucketing.writeBucketed(Tables.load(s, dir, "events"),
+        t, buckets = 32, keys = Seq("user_id"), sortKeys = Seq("user_id", "ts"))
+      t
+    })
+  }
+
   private def storedIvfIndex(s: SparkSession, dir: String, nlist: Int): String = {
     pruneStoredIndexes()
     storedIndexes.getOrElseUpdate((s, dir, s"ivf$nlist"), {
@@ -3089,6 +3163,22 @@ object SparkEntry {
           .groupBy("user_id")
           .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions")),
         "user_id")),
+    "q_sessionize_bucketed" -> ((s, dir) =>
+      // The same sessionize pipeline over the user-bucketed, bucket-sorted
+      // stored layout ([[bucketedEvents]]): the scan's hashpartitioning +
+      // (user_id, ts) ordering satisfy the window AND the per-user groupBy,
+      // so the whole pipeline plans with ZERO shuffle exchanges and ZERO
+      // sorts (scan → window → window → agg) — the exchange+sort floor
+      // r19's decomposition named is a layout property (shape pinned in
+      // PlanPropertiesSpec). DuckDB's twin recomputes from the RAW events
+      // table: the bucketed rewrite is row-preserving, so hash-equality
+      // certifies the rewrite too.
+      presentationSort(
+        streaming.EventStreams.sessionize(
+            operators.Bucketing.table(s, bucketedEvents(s, dir)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions")),
+        "user_id")),
     "q_md_source" -> ((s, dir) => {
       // DSv2 connector round-trip with a REAL oracle: the first 200 documents
       // are materialized as a markdown+front-matter tree (deterministic file
@@ -3139,6 +3229,8 @@ object SparkEntry {
       ("ivf in-memory index", "q_ann_ivf_probe", () => memoIvfIndex(s, dir, nlist = 8)),
       ("custkey-sorted orders", "q_agg_topcust_sorted", () => custkeySortedOrders(s, dir)),
       ("custkey-sorted orders", "q_anti_join_sorted", () => custkeySortedOrders(s, dir)),
+      ("group-key-sorted lineitem", "q_agg_pricing_sorted", () => groupSortedLineitem(s, dir)),
+      ("user-bucketed events", "q_sessionize_bucketed", () => bucketedEvents(s, dir)),
       ("markdown tree", "q_md_source", () => mdTree(s, dir)))
     builds.foreach { case (what, consumer, run) =>
       if (keep(consumer)) {
@@ -3218,6 +3310,18 @@ object SparkEntry {
                          AND n_chars IS NOT NULL AND n_chars >= 0) AS is_valid
          FROM documents ORDER BY doc_id""",
     "q_sessionize" ->
+      """WITH g AS (
+           SELECT user_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         )
+         SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+         FROM g GROUP BY user_id ORDER BY user_id""",
+    // bucketed-layout variant recomputes from the RAW events table — the
+    // hash check certifies the bucketed rewrite's row preservation too
+    "q_sessionize_bucketed" ->
       """WITH g AS (
            SELECT user_id,
                   CASE WHEN lag(ts) OVER w IS NULL

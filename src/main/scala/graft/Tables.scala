@@ -188,6 +188,16 @@ object Tables {
       // dying. 64k keys × bounded buffers is ~10 MB per partition; for
       // unbounded collect_* states the fallback still engages, just later.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      // Consume bucket-SORT metadata: with this off (the 3.0+ default,
+      // changed for listing-cost reasons, not soundness) a sorted bucketed
+      // scan never reports its ordering and every window/merge-join over it
+      // re-sorts data that is already sorted on disk. Spark itself still
+      // guards the claim per scan — FileSourceScanLike computes outputOrdering
+      // only when ScanFileListing.bucketsContainSingleFile() holds and no
+      // bucket coalescing applies — so a multi-file bucket can never claim
+      // an order it doesn't have. Bucketing.writeBucketed guarantees the
+      // single-file invariant for every graft sorted-bucket write.
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     // Both scan-split knobs are HARNESS tuning (small local inputs):
     // library sessions keep Spark's defaults (128 MB splits, 4 MB open
     // cost) — right for real data.

@@ -33,7 +33,15 @@ object Bucketing {
     keys.foreach(k => require(df.columns.contains(k),
       s"Bucketing: input has no '$k' column"))
     clearTable(df.sparkSession, table)
-    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+    // A sorted-bucket write must land ONE file per bucket, or the scan can
+    // never report its ordering (FileSourceScanLike claims outputOrdering
+    // only when bucketsContainSingleFile()) and every downstream window /
+    // merge-join re-sorts data that is already sorted on disk. repartition
+    // on the bucket keys uses the same murmur3-pmod hash as the bucket
+    // spec, so each write task holds exactly one bucket's rows → one file.
+    val src =
+      if (sortKeys.nonEmpty) df.repartition(buckets, keys.map(df.col): _*) else df
+    val w = src.write.format("parquet").mode(SaveMode.Overwrite)
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
       .saveAsTable(table)

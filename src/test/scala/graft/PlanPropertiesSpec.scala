@@ -194,4 +194,33 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains(" INSET ") && !p.toLowerCase.contains("isin"),
       s"no isin/INSET literal list — nothing on the driver may scale with change volume:\n$p")
   }
+
+  test("q_agg_pricing_sorted: bit-identical to the raw-layout row (the rewrite is row-preserving)") {
+    val raw = SparkEntry.queries("q_agg_pricing")(spark, dir).collect().toSeq
+    val srt = SparkEntry.queries("q_agg_pricing_sorted")(spark, dir).collect().toSeq
+    assert(srt == raw, "sorted-layout aggregate diverged from the raw-layout aggregate")
+  }
+
+  test("q_sessionize_bucketed: ZERO exchanges AND ZERO sorts in the pipeline, rows match raw") {
+    import org.apache.spark.sql.functions._
+    // pre-presentationSort pipeline (the checkpoint truncates the registered
+    // row's executed plan, same treatment as the asof shape audit): the
+    // bucketed scan's hashpartitioning(user_id) satisfies the window and
+    // the per-user groupBy, and its single-file-per-bucket (user_id, ts)
+    // sort metadata satisfies the window's ordering — scan → window →
+    // window → agg, nothing else. The exchange+sort floor r19's
+    // decomposition named for q_sessionize is a layout property.
+    val pipe = streaming.EventStreams.sessionize(
+        operators.Bucketing.table(spark, SparkEntry.bucketedEvents(spark, dir)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+    val p = pipe.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed sessionize must plan exchange-free:\n$p")
+    assert(!p.contains("Sort ["),
+      s"bucketed sessionize must consume the bucket-sort metadata (no Sort operator):\n$p")
+    val raw = SparkEntry.queries("q_sessionize")(spark, dir).collect().toSeq
+    val bkt = SparkEntry.queries("q_sessionize_bucketed")(spark, dir).collect().toSeq
+    assert(bkt == raw, "bucketed-layout sessionize diverged from the raw-layout pipeline")
+  }
 }

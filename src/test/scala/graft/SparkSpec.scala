@@ -10,6 +10,9 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    // mirror the harness session (Tables.build): consume bucket-sort
+    // metadata — Spark still verifies bucketsContainSingleFile per scan
+    .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
     .getOrCreate()
 }
 
