@@ -35,6 +35,12 @@ object AggLayoutBench {
       else f.length()
     try {
       val li = Tables.load(spark, sfDir, "lineitem")
+      // Declare the RELY NDV facts up front so BOTH layouts probe with the
+      // same optimizer license: a fresh READONLY session has an empty
+      // per-JVM fact registry, so without the redeclare below the sorted
+      // probe measured the PreAggregateGroupingSets-off plan — the r19
+      // "+37% rollup regression" was the rule's absence, not the layout.
+      Tables.declareDomainNdvs(spark, sfDir)
 
       def pricing(df: DataFrame): DataFrame = df
         .groupBy("l_returnflag", "l_linestatus")
@@ -102,7 +108,12 @@ object AggLayoutBench {
         System.gc(); Thread.sleep(1000)
       }
       out += s""""sorted_bytes":${dirBytes(new java.io.File(path))}"""
-      probeAll("sorted", spark.read.parquet(path))
+      val sorted = spark.read.parquet(path)
+      // carry the facts onto the probed copy (write-time auto-carry only
+      // reaches the WRITING session's registry; READONLY probes run in a
+      // fresh JVM)
+      plans.Constraints.redeclare(li, sorted)
+      probeAll("sorted", sorted)
 
       println(s"""{"metric":"agg_layout_bench","sf":"$sfDir",${out.mkString(",")}}""")
     } finally {

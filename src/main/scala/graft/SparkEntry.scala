@@ -585,6 +585,33 @@ object SparkEntry {
           col("sum_qty"), col("cnt"))
         .orderBy("returnflag", "linestatus")
     }),
+    "q_agg_rollup_sorted" -> ((s, dir) => {
+      // ROLLUP over the group-key-sorted layout ([[groupSortedLineitem]])
+      // WITH the NDV facts re-carried onto the copy. Both halves matter:
+      // r19 measured this layout +37% on rollup because the fresh scan had
+      // no facts and PreAggregateGroupingSets silently switched off; with
+      // the license carried the same probe reads −17% (clean session,
+      // sf100: 4.92 → 4.08 s, BASELINE.md r20). The explicit redeclare
+      // makes the license independent of which query built the memoized
+      // artifact first (the build path carries whatever was declared AT
+      // BUILD TIME; this row needs the domain NDVs specifically).
+      Tables.declareDomainNdvs(s, dir)
+      val sorted = s.read.parquet(groupSortedLineitem(s, dir))
+      plans.Constraints.redeclare(Tables.load(s, dir, "lineitem"), sorted)
+      sorted
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
+             count(lit(1)).as("cnt"),
+             grouping(col("l_returnflag")).as("g1"),
+             grouping(col("l_linestatus")).as("g2"))
+        .select(
+          when(col("g1") === 1, lit("(all)"))
+            .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("returnflag"),
+          when(col("g2") === 1, lit("(all)"))
+            .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("linestatus"),
+          col("sum_qty"), col("cnt"))
+        .orderBy("returnflag", "linestatus")
+    }),
     "q_agg_cube" -> ((s, dir) => {
       // CUBE over the declared-small orders domains (3 statuses × 5
       // priorities → 4 grouping sets), FORCED through
@@ -813,6 +840,17 @@ object SparkEntry {
                            AND v.vts > p.ts - INTERVAL 1 HOUR AND v.vts <= p.ts
          GROUP BY p.event_id ORDER BY p.event_id""",
     "q_agg_rollup" ->
+      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+                     ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
+                CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+                     ELSE coalesce(l_linestatus, '(null)') END AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus""",
+    // sorted-layout variant recomputes from the RAW table (see
+    // q_agg_topcust_sorted): identical hashes certify rollup AND rewrite
+    "q_agg_rollup_sorted" ->
       """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
                      ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
                 CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
@@ -1880,12 +1918,66 @@ object SparkEntry {
   private def pruneStoredIndexes(): Unit =
     storedIndexes.keys.filter(_._1.sparkContext.isStopped).foreach(storedIndexes.remove)
 
+  /** Test hook — drop the session-keyed artifact memo so a spec can drive
+    * the cross-session [[reuseOrBuild]] path inside one JVM. */
+  private[graft] def clearStoredArtifactMemo(): Unit = storedIndexes.clear()
+
   // md5, not String.hashCode: 32-bit hashCode collisions are constructible,
   // and two dirs sharing a tag would silently serve each other's indexes
   private def tableTag(dir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .take(6).map(b => f"${b & 0xff}%02x").mkString
+
+  /** Fingerprint of the SOURCE parquet a stored artifact derives from —
+    * part-file names, sizes, and mtimes. The artifact tag keys on the sf-dir
+    * PATH, and the driver regenerates testdata at the SAME path each round,
+    * so a path-keyed artifact can go stale while its path stays valid; the
+    * fingerprint catches exactly that (any rewrite of the source changes
+    * size or mtime).
+    */
+  private def sourceFingerprint(dir: String, table: String): String = {
+    val f = new java.io.File(dir, s"$table.parquet")
+    val parts: Array[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
+      else Array(f)
+    val sig = parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Reuse a path-based stored artifact ACROSS SESSIONS when its source
+    * table is unchanged, else (re)build. Valid = `_SUCCESS` present (a
+    * partial write never serves — the PlanDiag r19-advice lesson: a bare
+    * exists() check reads interrupted writes) AND the `_GRAFT_SRC_FPR`
+    * marker matches the current [[sourceFingerprint]] (a driver-regenerated
+    * testdata vintage never serves a stale rewrite). This is the production
+    * shape — a deployment builds its stored layouts once and probes them
+    * from every later job — and it is also what keeps bench probes clean:
+    * the r19 sf100 lesson was that a 600M-row rewrite's session pressure
+    * swings SAME-SESSION probe timings ±2.4×, so per-session rebuilds
+    * contaminate exactly the rows the layout is meant to speed up. On reuse
+    * the source's RELY facts are re-carried onto the copy (the registry is
+    * per-JVM; without this every fact-licensed rule silently switches off —
+    * the measured rollup +37%).
+    */
+  private def reuseOrBuild(s: SparkSession, dir: String, table: String, path: String)
+                          (build: => Unit): String = {
+    val marker = new java.io.File(path, "_GRAFT_SRC_FPR")
+    val fpr = sourceFingerprint(dir, table)
+    val valid = new java.io.File(path, "_SUCCESS").exists() && marker.exists() &&
+      scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+        java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(fpr)
+    if (valid)
+      plans.Constraints.redeclare(Tables.load(s, dir, table), s.read.parquet(path))
+    else {
+      build // SaveMode.Overwrite clears the dir, stale marker included
+      java.nio.file.Files.write(marker.toPath,
+        fpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    path
+  }
 
   // Bucket count 32 = the harness core count: the stored layout is also the
   // scan parallelism floor (8 buckets left 24 of 32 cores idle on every
@@ -1910,9 +2002,10 @@ object SparkEntry {
     pruneStoredIndexes()
     storedIndexes.getOrElseUpdate((s, dir, "zorder"), {
       val p = new java.io.File(s"spark-warehouse/graft_zorder_${tableTag(dir)}").getAbsolutePath
-      operators.Layout.writeZOrdered(Tables.load(s, dir, "lineitem"), p,
-        "l_partkey", "l_suppkey", bits = 8, rowGroupBytes = Some(8L << 20))
-      p
+      reuseOrBuild(s, dir, "lineitem", p) {
+        operators.Layout.writeZOrdered(Tables.load(s, dir, "lineitem"), p,
+          "l_partkey", "l_suppkey", bits = 8, rowGroupBytes = Some(8L << 20))
+      }
     })
   }
 
@@ -1930,9 +2023,10 @@ object SparkEntry {
     pruneStoredIndexes()
     storedIndexes.getOrElseUpdate((s, dir, "osorted"), {
       val p = new java.io.File(s"spark-warehouse/graft_osorted_${tableTag(dir)}").getAbsolutePath
-      operators.Layout.writeSorted(Tables.load(s, dir, "orders"), p,
-        Seq("o_custkey"), rowGroupBytes = Some(16L << 20))
-      p
+      reuseOrBuild(s, dir, "orders", p) {
+        operators.Layout.writeSorted(Tables.load(s, dir, "orders"), p,
+          Seq("o_custkey"), rowGroupBytes = Some(16L << 20))
+      }
     })
   }
 
@@ -1949,9 +2043,10 @@ object SparkEntry {
     pruneStoredIndexes()
     storedIndexes.getOrElseUpdate((s, dir, "lsorted"), {
       val p = new java.io.File(s"spark-warehouse/graft_lsorted_${tableTag(dir)}").getAbsolutePath
-      operators.Layout.writeSorted(Tables.load(s, dir, "lineitem"), p,
-        Seq("l_returnflag", "l_linestatus"), rowGroupBytes = Some(16L << 20))
-      p
+      reuseOrBuild(s, dir, "lineitem", p) {
+        operators.Layout.writeSorted(Tables.load(s, dir, "lineitem"), p,
+          Seq("l_returnflag", "l_linestatus"), rowGroupBytes = Some(16L << 20))
+      }
     })
   }
 
@@ -3230,6 +3325,7 @@ object SparkEntry {
       ("custkey-sorted orders", "q_agg_topcust_sorted", () => custkeySortedOrders(s, dir)),
       ("custkey-sorted orders", "q_anti_join_sorted", () => custkeySortedOrders(s, dir)),
       ("group-key-sorted lineitem", "q_agg_pricing_sorted", () => groupSortedLineitem(s, dir)),
+      ("group-key-sorted lineitem", "q_agg_rollup_sorted", () => groupSortedLineitem(s, dir)),
       ("user-bucketed events", "q_sessionize_bucketed", () => bucketedEvents(s, dir)),
       ("markdown tree", "q_md_source", () => mdTree(s, dir)))
     builds.foreach { case (what, consumer, run) =>

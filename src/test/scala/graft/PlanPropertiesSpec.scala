@@ -201,6 +201,56 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(srt == raw, "sorted-layout aggregate diverged from the raw-layout aggregate")
   }
 
+  test("q_agg_rollup_sorted: rows match raw AND PreAggregateGroupingSets stays licensed on the copy") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Expand}
+    val raw = SparkEntry.queries("q_agg_rollup")(spark, dir).collect().toSeq
+    // the explicit redeclare must keep the rule LICENSED on the rewritten
+    // scan — without it the sorted probe measured +37% at sf100 (rule off),
+    // with it −17% (BASELINE.md r20). Two gates stand between this spec and
+    // the license: the rule lives in GraftExtensions (harness sessions), not
+    // the plain test session, and it has a deliberate 128 MB input-size
+    // gate (sf0.001 is far below it) — so observe the license in a child
+    // session with the rule installed and the gate lifted, exactly like
+    // GroupingSetRulesSpec's `opt` session.
+    val opt = spark.newSession()
+    opt.experimental.extraOptimizations = Seq(graft.plans.PreAggregateGroupingSets)
+    opt.conf.set(graft.plans.PreAggregateGroupingSets.MinInputBytesKey, "0")
+    val df = SparkEntry.queries("q_agg_rollup_sorted")(opt, dir)
+    val preAgg = df.queryExecution.optimizedPlan.collect {
+      case e: Expand if e.child.isInstanceOf[Aggregate] => e
+    }
+    assert(preAgg.nonEmpty,
+      s"pre-aggregate grouping-sets form missing over the sorted layout:\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect().toSeq == raw, "sorted-layout rollup diverged from the raw-layout rollup")
+    // and in the default session (gate at its production setting) the row
+    // still answers identically
+    assert(SparkEntry.queries("q_agg_rollup_sorted")(spark, dir).collect().toSeq == raw)
+  }
+
+  test("stored layouts REUSE across sessions on a matching source fingerprint; stale marker rebuilds") {
+    def newestPartMtime(p: String): Long =
+      new java.io.File(p).listFiles().filter(_.getName.startsWith("part-")).map(_.lastModified).max
+    val p = SparkEntry.groupSortedLineitem(spark, dir) // built (or reused from a prior run)
+    val m1 = newestPartMtime(p)
+    // a new session finds the artifact on disk with a matching fingerprint
+    // and must NOT rewrite it (the r19 sf100 lesson: a 600M-row in-session
+    // rewrite swings same-session probe timings ±2.4×)
+    SparkEntry.clearStoredArtifactMemo()
+    assert(SparkEntry.groupSortedLineitem(spark, dir) == p)
+    assert(newestPartMtime(p) == m1, "matching-fingerprint artifact was rebuilt")
+    // stale marker (a different testdata vintage at the same path) rebuilds
+    java.nio.file.Files.write(new java.io.File(p, "_GRAFT_SRC_FPR").toPath,
+      "stale-vintage".getBytes("UTF-8"))
+    Thread.sleep(1100) // mtime resolution
+    SparkEntry.clearStoredArtifactMemo()
+    assert(SparkEntry.groupSortedLineitem(spark, dir) == p)
+    assert(newestPartMtime(p) > m1, "stale-fingerprint artifact was served without a rebuild")
+    // and the reused layout still answers identically
+    val raw = SparkEntry.queries("q_agg_pricing")(spark, dir).collect().toSeq
+    SparkEntry.clearStoredArtifactMemo()
+    assert(SparkEntry.queries("q_agg_pricing_sorted")(spark, dir).collect().toSeq == raw)
+  }
+
   test("q_sessionize_bucketed: ZERO exchanges AND ZERO sorts in the pipeline, rows match raw") {
     import org.apache.spark.sql.functions._
     // pre-presentationSort pipeline (the checkpoint truncates the registered
