@@ -46,6 +46,9 @@ object Plans {
       "q_anti_join"        -> "LeftAnti join; status filter pushed to the orders scan (PushedFilters); presentation sort is a PARALLEL range sort over the checkpointed join output (no 1-partition exchange, no range-sampler re-execution of the join)",
       "q_anti_join_sorted" -> "LeftAnti join over the key-sorted layout with a distinct-first build — disjoint per-task key ranges collapse the partial distinct map-side, so the build exchange carries ~unique keys instead of every F-status row; parallel checkpointed presentation sort",
       "q_agg_topcust_sorted" -> "aggregate over the key-sorted layout: partial aggregate combines to ~final groups (disjoint per-task o_custkey ranges), the exchange carries ~1/9 the rows; top-10 broadcast back against the dim",
+      "q_agg_pricing_sorted" -> "the Q1 aggregate over the group-key-sorted 16 MB-row-group layout: same plan as q_agg_pricing but the partial aggregate sees collated groups and the scan reads RLE'd keys (−26% clean-session at sf100, 1.90× DuckDB vs 2.52× raw)",
+      "q_agg_rollup_sorted"  -> "rollup over the group-key-sorted layout with the NDV license redeclared onto the copy — PreAggregateGroupingSets must stay ON over the rewritten scan (it silently switched off in r19: +37%; licensed it reads −35%, 1.69×); gate behavior as q_agg_rollup",
+      "q_sessionize_bucketed" -> "sessionize over user-bucketed, bucket-sorted (single-file-per-bucket) events: scan → window → window → aggregate with ZERO exchanges and ZERO sorts — the scan's hashpartitioning + (user_id, ts) ordering satisfy every requirement (PlanPropertiesSpec pin; 3.05 s vs raw 7.67 s at sf100, 1.06× DuckDB)",
       "q_ann_ivf_probe"    -> "the production IVF point (nprobe=2 of nlist=8): identical plan shape to q_ann_ivf — probe pairs + query vectors broadcast, ONE native NearestCenter assignment inside the scan, bounded top-k aggregate — with the candidate stream cut to the 2 probed cells per query",
       "q_zorder_pruned"    -> "scan of the writeZOrdered layout with BOTH range predicates pushed (PushedFilters on l_partkey AND l_suppkey) — Morton-clustered 8 MB row groups let the parquet zone maps skip the ~94% of tiles the probe cannot touch (numOutputRows pin: LayoutSpec); aggregate is partial before the tiny exchange",
       "q_embed_centroid"   -> "per-row native fold reductions inside the scan projection; only (label, 2 decimals) shuffle",
