@@ -2068,8 +2068,28 @@ object SparkEntry {
     pruneStoredIndexes()
     storedIndexes.getOrElseUpdate((s, dir, "ebucketed"), {
       val t = s"graft_events_bkt_${tableTag(dir)}"
-      operators.Bucketing.writeBucketed(Tables.load(s, dir, "events"),
-        t, buckets = 32, keys = Seq("user_id"), sortKeys = Seq("user_id", "ts"))
+      // EXTERNAL location + fingerprint marker = the same cross-JVM reuse
+      // contract as the path-based layouts ([[reuseOrBuild]]): a fresh
+      // session re-ATTACHES the bucketed files (catalog DDL only, bucket
+      // ids live in the part-file names) instead of re-shuffling 100M+
+      // events; a regenerated testdata vintage fails the fingerprint and
+      // rebuilds.
+      val loc = new java.io.File(s"spark-warehouse/${t}_data").getAbsolutePath
+      val marker = new java.io.File(loc, "_GRAFT_SRC_FPR")
+      val fpr = sourceFingerprint(dir, "events")
+      val valid = new java.io.File(loc, "_SUCCESS").exists() && marker.exists() &&
+        scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath),
+          java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(fpr)
+      if (valid) {
+        if (!s.catalog.tableExists(t))
+          operators.Bucketing.registerBucketed(s, t, loc,
+            buckets = 32, keys = Seq("user_id"), sortKeys = Seq("user_id", "ts"))
+      } else {
+        operators.Bucketing.writeBucketedAt(Tables.load(s, dir, "events"), t, loc,
+          buckets = 32, keys = Seq("user_id"), sortKeys = Seq("user_id", "ts"))
+        java.nio.file.Files.write(marker.toPath,
+          fpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
       t
     })
   }

@@ -47,6 +47,58 @@ object Bucketing {
       .saveAsTable(table)
   }
 
+  /** [[writeBucketed]] to an EXPLICIT location — the table becomes EXTERNAL,
+    * so dropping the catalog entry keeps the files and a later session can
+    * re-attach them with [[registerBucketed]] instead of re-shuffling the
+    * corpus (the cross-JVM reuse story stored layouts already have).
+    */
+  def writeBucketedAt(df: DataFrame, table: String, location: String, buckets: Int,
+                      keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
+    require(buckets > 0, s"Bucketing: bucket count must be positive, got $buckets")
+    require(keys.nonEmpty, "Bucketing: at least one bucket key required")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"Bucketing: input has no '$k' column"))
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(location)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    val src =
+      if (sortKeys.nonEmpty) df.repartition(buckets, keys.map(df.col): _*) else df
+    val w = src.write.format("parquet").mode(SaveMode.Overwrite)
+      .option("path", location)
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
+      .saveAsTable(table)
+  }
+
+  /** Attach an EXISTING bucketed-table location to a fresh session's catalog
+    * WITHOUT rewriting the data: bucket ids live in the part-file names
+    * (`part-...._00007....`), so a `CREATE TABLE ... CLUSTERED BY ...
+    * LOCATION` over the same files reads with the full bucket (and, for
+    * single-file-per-bucket sorted writes, sort) metadata. The caller owns
+    * validating the files first ([[graft.SparkEntry]] checks `_SUCCESS` +
+    * a source fingerprint) — attaching the wrong files would serve wrong
+    * buckets silently. Schema is read from the parquet footers, so the DDL
+    * can never drift from the data.
+    */
+  def registerBucketed(spark: SparkSession, table: String, location: String,
+                       buckets: Int, keys: Seq[String],
+                       sortKeys: Seq[String] = Nil): Unit = {
+    require(!spark.catalog.tableExists(table),
+      s"Bucketing.registerBucketed: table '$table' already exists")
+    val schemaDdl = spark.read.parquet(location).schema.toDDL
+    val sorted =
+      if (sortKeys.nonEmpty) s" SORTED BY (${sortKeys.map(k => s"`$k`").mkString(", ")})"
+      else ""
+    spark.sql(
+      s"""CREATE TABLE `$table` ($schemaDdl) USING PARQUET
+         |CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")})$sorted
+         |INTO $buckets BUCKETS
+         |LOCATION '$location'""".stripMargin)
+    ()
+  }
+
   /** Make Overwrite mean overwrite ACROSS processes: drop the table if the
     * session knows it, then delete its orphaned warehouse location if one
     * survives from a previous JVM — a fresh session's in-memory catalog has

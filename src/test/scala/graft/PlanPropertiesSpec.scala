@@ -272,5 +272,26 @@ class PlanPropertiesSpec extends SparkSpec {
     val raw = SparkEntry.queries("q_sessionize")(spark, dir).collect().toSeq
     val bkt = SparkEntry.queries("q_sessionize_bucketed")(spark, dir).collect().toSeq
     assert(bkt == raw, "bucketed-layout sessionize diverged from the raw-layout pipeline")
+
+    // Cross-JVM reuse: the table is EXTERNAL — drop the catalog entry
+    // (files survive), clear the session memo, and the helper must
+    // RE-ATTACH the existing files (catalog DDL only, no rewrite), with the
+    // exchange-free + sort-free shape and identical rows intact.
+    val t = SparkEntry.bucketedEvents(spark, dir)
+    val loc = new java.io.File(s"spark-warehouse/${t}_data")
+    def newestPart(): Long =
+      loc.listFiles().filter(_.getName.startsWith("part-")).map(_.lastModified).max
+    val m1 = newestPart()
+    spark.sql(s"DROP TABLE `$t`")
+    SparkEntry.clearStoredArtifactMemo()
+    val reattached = streaming.EventStreams.sessionize(
+        operators.Bucketing.table(spark, SparkEntry.bucketedEvents(spark, dir)))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"), max(col("session_seq")).as("n_sessions"))
+    val p2 = reattached.queryExecution.executedPlan.toString
+    assert(newestPart() == m1, "re-attach rewrote the bucketed files")
+    assert(!p2.contains("Exchange hashpartitioning") && !p2.contains("Sort ["),
+      s"re-attached table lost its bucket/sort metadata:\n$p2")
+    assert(SparkEntry.queries("q_sessionize_bucketed")(spark, dir).collect().toSeq == raw)
   }
 }
