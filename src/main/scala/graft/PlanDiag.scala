@@ -332,24 +332,38 @@ object PlanDiag {
       "x_anti_bloom" -> ((s, dir) => {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.graftshim.ColumnShim
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "268435456")
-        s.conf.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "33554432")
-        val c = Tables.catalog(s, dir)
-        val ordersF = c("orders").df.filter(col("o_orderstatus") === "F").select("o_custkey")
-        val items = 16777216L
-        val bloomDf = ordersF.select(
-          ColumnShim.bloomFilterAgg(xxhash64(col("o_custkey")), items, items * 8).as("bf"))
-        val flagged = c("customer").df.select("c_custkey", "c_name")
-          .withColumn("__maybe",
-            coalesce(ColumnShim.mightContain(ColumnShim.scalarSubquery(bloomDf),
-              xxhash64(col("c_custkey"))), lit(false)))
-        val negatives = flagged.filter(!col("__maybe")).select("c_custkey", "c_name")
-        val positives = flagged.filter(col("__maybe")).select("c_custkey", "c_name")
-        negatives.unionByName(
-            positives.join(ordersF.hint("shuffle_hash"),
-              col("c_custkey") === col("o_custkey"), "left_anti")
-              .select("c_custkey", "c_name"))
-          .localCheckpoint().orderBy("c_custkey")
+        // raise the bloom caps for THIS pipeline only, and restore after:
+        // the caps also size Spark's own InjectRuntimeFilter blooms, so a
+        // leaked raise would plan every LATER diag row under a different
+        // optimizer configuration than a fresh session — exactly the
+        // same-window discipline this tool exists to protect. The eager
+        // localCheckpoint executes the bloom pipeline inside the window;
+        // only the presentation sort runs after restore.
+        val keys = Seq("spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+                       "spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+        val saved = keys.map(k => k -> s.conf.getOption(k))
+        keys.zip(Seq("268435456", "33554432")).foreach { case (k, v) => s.conf.set(k, v) }
+        try {
+          val c = Tables.catalog(s, dir)
+          val ordersF = c("orders").df.filter(col("o_orderstatus") === "F").select("o_custkey")
+          val items = 16777216L
+          val bloomDf = ordersF.select(
+            ColumnShim.bloomFilterAgg(xxhash64(col("o_custkey")), items, items * 8).as("bf"))
+          val flagged = c("customer").df.select("c_custkey", "c_name")
+            .withColumn("__maybe",
+              coalesce(ColumnShim.mightContain(ColumnShim.scalarSubquery(bloomDf),
+                xxhash64(col("c_custkey"))), lit(false)))
+          val negatives = flagged.filter(!col("__maybe")).select("c_custkey", "c_name")
+          val positives = flagged.filter(col("__maybe")).select("c_custkey", "c_name")
+          negatives.unionByName(
+              positives.join(ordersF.hint("shuffle_hash"),
+                col("c_custkey") === col("o_custkey"), "left_anti")
+                .select("c_custkey", "c_name"))
+            .localCheckpoint().orderBy("c_custkey")
+        } finally saved.foreach {
+          case (k, Some(v)) => s.conf.set(k, v)
+          case (k, None)    => s.conf.unset(k)
+        }
       }),
       "x_anti_sorted" -> ((s, dir) => {
         import org.apache.spark.sql.functions._

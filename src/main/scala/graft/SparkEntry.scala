@@ -321,42 +321,53 @@ object SparkEntry {
   private def dec(c: org.apache.spark.sql.Column, scale: Int = 2) =
     c.cast(s"decimal(18,$scale)")
 
+  /** The TPC-H Q1 aggregate — ONE definition for the raw row and its
+    * sorted-layout twin: the pair is hash-certified against the SAME DuckDB
+    * twin, so a fix applied to one but not the other would silently make
+    * the two registered rows compute different things. */
+  private def pricingAgg(lineitem: DataFrame): DataFrame = lineitem
+    .groupBy("l_returnflag", "l_linestatus")
+    .agg(
+      plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
+      plans.Decimal128.sumMoney(col("l_extendedprice")).as("sum_base_price"),
+      plans.Decimal128.sum128(
+        plans.Decimal128.mul(
+          plans.Decimal128.scaled(col("l_extendedprice"), 2),
+          lit(10000L) - plans.Decimal128.scaled(col("l_discount"), 4)), 6)
+        .as("sum_disc_price"),
+      count(lit(1)).as("count_order"))
+    .orderBy("l_returnflag", "l_linestatus")
+
+  /** The ROLLUP shape — ONE definition for the raw row and its sorted-
+    * layout twin (same drift argument as [[pricingAgg]]). */
+  private def rollupShape(lineitem: DataFrame): DataFrame = lineitem
+    .rollup("l_returnflag", "l_linestatus")
+    .agg(plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
+         count(lit(1)).as("cnt"),
+         grouping(col("l_returnflag")).as("g1"),
+         grouping(col("l_linestatus")).as("g2"))
+    .select(
+      when(col("g1") === 1, lit("(all)"))
+        .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("returnflag"),
+      when(col("g2") === 1, lit("(all)"))
+        .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("linestatus"),
+      col("sum_qty"), col("cnt"))
+    .orderBy("returnflag", "linestatus")
+
   private def analytics: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_pricing" -> ((s, dir) =>
       // TPC-H Q1 shape: full-scan aggregate with partial (map-side) aggregation.
-      Tables.load(s, dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
-          plans.Decimal128.sumMoney(col("l_extendedprice")).as("sum_base_price"),
-          plans.Decimal128.sum128(
-            plans.Decimal128.mul(
-              plans.Decimal128.scaled(col("l_extendedprice"), 2),
-              lit(10000L) - plans.Decimal128.scaled(col("l_discount"), 4)), 6)
-            .as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+      pricingAgg(Tables.load(s, dir, "lineitem"))),
     "q_agg_pricing_sorted" -> ((s, dir) =>
       // The same TPC-H Q1 aggregate over the GROUP-KEY-sorted stored layout
       // ([[groupSortedLineitem]]): clustering (l_returnflag, l_linestatus)
       // RLE-compresses the keys (−22% table bytes) and collates each
-      // group's rows — measured −31% at sf100 / −40% at sf10, moving the
-      // ratio 2.5× → 1.73× (BASELINE.md "Layout attack, round 2").
-      // Registered like q_agg_topcust_sorted so the deployment lever is
-      // correctness-gated: DuckDB's twin recomputes from the RAW table, so
-      // hash-equality certifies the rewrite's row preservation too.
-      s.read.parquet(groupSortedLineitem(s, dir))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
-          plans.Decimal128.sumMoney(col("l_extendedprice")).as("sum_base_price"),
-          plans.Decimal128.sum128(
-            plans.Decimal128.mul(
-              plans.Decimal128.scaled(col("l_extendedprice"), 2),
-              lit(10000L) - plans.Decimal128.scaled(col("l_discount"), 4)), 6)
-            .as("sum_disc_price"),
-          count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")),
+      // group's rows — measured −26% clean-session at sf100, moving the
+      // ratio 2.52× → 1.90× (BASELINE.md r20). Registered like
+      // q_agg_topcust_sorted so the deployment lever is correctness-gated:
+      // DuckDB's twin recomputes from the RAW table, so hash-equality
+      // certifies the rewrite's row preservation too.
+      pricingAgg(s.read.parquet(groupSortedLineitem(s, dir)))),
     "q_agg_topcust" -> ((s, dir) => {
       // Top-k BEFORE the dim join: the aggregate's 10 winners broadcast
       // against the customer scan, instead of broadcasting the WHOLE
@@ -571,46 +582,23 @@ object SparkEntry {
       // to aggregate ONCE at the finest grain and expand the ≤6-row
       // intermediate instead of tripling the fact scan.
       Tables.declareDomainNdvs(s, dir)
-      Tables.load(s, dir, "lineitem")
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
-             count(lit(1)).as("cnt"),
-             grouping(col("l_returnflag")).as("g1"),
-             grouping(col("l_linestatus")).as("g2"))
-        .select(
-          when(col("g1") === 1, lit("(all)"))
-            .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("returnflag"),
-          when(col("g2") === 1, lit("(all)"))
-            .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("linestatus"),
-          col("sum_qty"), col("cnt"))
-        .orderBy("returnflag", "linestatus")
+      rollupShape(Tables.load(s, dir, "lineitem"))
     }),
     "q_agg_rollup_sorted" -> ((s, dir) => {
       // ROLLUP over the group-key-sorted layout ([[groupSortedLineitem]])
       // WITH the NDV facts re-carried onto the copy. Both halves matter:
       // r19 measured this layout +37% on rollup because the fresh scan had
       // no facts and PreAggregateGroupingSets silently switched off; with
-      // the license carried the same probe reads −17% (clean session,
-      // sf100: 4.92 → 4.08 s, BASELINE.md r20). The explicit redeclare
-      // makes the license independent of which query built the memoized
-      // artifact first (the build path carries whatever was declared AT
-      // BUILD TIME; this row needs the domain NDVs specifically).
+      // the license carried the registered pair reads 4.82 → 3.13 s at
+      // sf100 (−35%, 1.69× DuckDB — BASELINE.md r20). The explicit
+      // redeclare makes the license independent of which query built the
+      // memoized artifact first (the build path carries whatever was
+      // declared AT BUILD TIME; this row needs the domain NDVs
+      // specifically).
       Tables.declareDomainNdvs(s, dir)
       val sorted = s.read.parquet(groupSortedLineitem(s, dir))
       plans.Constraints.redeclare(Tables.load(s, dir, "lineitem"), sorted)
-      sorted
-        .rollup("l_returnflag", "l_linestatus")
-        .agg(plans.Decimal128.sumMoney(col("l_quantity")).as("sum_qty"),
-             count(lit(1)).as("cnt"),
-             grouping(col("l_returnflag")).as("g1"),
-             grouping(col("l_linestatus")).as("g2"))
-        .select(
-          when(col("g1") === 1, lit("(all)"))
-            .otherwise(coalesce(col("l_returnflag"), lit("(null)"))).as("returnflag"),
-          when(col("g2") === 1, lit("(all)"))
-            .otherwise(coalesce(col("l_linestatus"), lit("(null)"))).as("linestatus"),
-          col("sum_qty"), col("cnt"))
-        .orderBy("returnflag", "linestatus")
+      rollupShape(sorted)
     }),
     "q_agg_cube" -> ((s, dir) => {
       // CUBE over the declared-small orders domains (3 statuses × 5
@@ -700,42 +688,46 @@ object SparkEntry {
     })
   )
 
+  // Shared DuckDB twins for the raw/lever row pairs — see the note at the
+  // first use: one string per certified pair, zero drift surface.
+  private val PricingTwinSql =
+    """SELECT l_returnflag, l_linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                COUNT(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus"""
+  private val TopcustTwinSql =
+    """SELECT c_custkey, c_name,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+                COUNT(*) AS order_cnt
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name
+         ORDER BY revenue DESC, c_custkey LIMIT 10"""
+  private val RollupTwinSql =
+    """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
+                     ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
+                CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
+                     ELSE coalesce(l_linestatus, '(null)') END AS linestatus,
+                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                COUNT(*) AS cnt
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY returnflag, linestatus"""
+  private val AntiJoinTwinSql =
+    """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey"""
+
   private def analyticsOracle: Map[String, String] = Map(
-    "q_agg_pricing" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-                COUNT(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-    // the sorted-layout variant recomputes from the RAW table (see
-    // q_agg_topcust_sorted): identical hashes certify aggregate AND rewrite
-    "q_agg_pricing_sorted" ->
-      """SELECT l_returnflag, l_linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-                COUNT(*) AS count_order
-         FROM lineitem GROUP BY l_returnflag, l_linestatus
-         ORDER BY l_returnflag, l_linestatus""",
-    "q_agg_topcust" ->
-      """SELECT c_custkey, c_name,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-                COUNT(*) AS order_cnt
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_custkey, c_name
-         ORDER BY revenue DESC, c_custkey LIMIT 10""",
-    // the sorted-layout variant recomputes from the RAW table: the layout
+    // each *_sorted twin IS the raw twin (one shared val): the layout
     // rewrite is row-preserving, so identical hashes certify both the
-    // aggregate and the rewrite
-    "q_agg_topcust_sorted" ->
-      """SELECT c_custkey, c_name,
-                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
-                COUNT(*) AS order_cnt
-         FROM orders JOIN customer ON o_custkey = c_custkey
-         GROUP BY c_custkey, c_name
-         ORDER BY revenue DESC, c_custkey LIMIT 10""",
+    // operator and the rewrite — and one SQL string cannot drift in two.
+    "q_agg_pricing" -> PricingTwinSql,
+    "q_agg_pricing_sorted" -> PricingTwinSql,
+    "q_agg_topcust" -> TopcustTwinSql,
+    "q_agg_topcust_sorted" -> TopcustTwinSql,
     "q_agg_mktseg_nation" ->
       """SELECT c_mktsegment, n_name, COUNT(*) AS cust_cnt,
                 CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
@@ -839,26 +831,8 @@ object SparkEntry {
          FROM p LEFT JOIN v ON p.user_id = v.v_user
                            AND v.vts > p.ts - INTERVAL 1 HOUR AND v.vts <= p.ts
          GROUP BY p.event_id ORDER BY p.event_id""",
-    "q_agg_rollup" ->
-      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
-                     ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
-                CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
-                     ELSE coalesce(l_linestatus, '(null)') END AS linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                COUNT(*) AS cnt
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY returnflag, linestatus""",
-    // sorted-layout variant recomputes from the RAW table (see
-    // q_agg_topcust_sorted): identical hashes certify rollup AND rewrite
-    "q_agg_rollup_sorted" ->
-      """SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '(all)'
-                     ELSE coalesce(l_returnflag, '(null)') END AS returnflag,
-                CASE WHEN GROUPING(l_linestatus) = 1 THEN '(all)'
-                     ELSE coalesce(l_linestatus, '(null)') END AS linestatus,
-                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-                COUNT(*) AS cnt
-         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-         ORDER BY returnflag, linestatus""",
+    "q_agg_rollup" -> RollupTwinSql,
+    "q_agg_rollup_sorted" -> RollupTwinSql,
     "q_agg_cube" ->
       """SELECT CASE WHEN GROUPING(o_orderstatus) = 1 THEN '(all)'
                      ELSE coalesce(o_orderstatus, '(null)') END AS status,
@@ -875,18 +849,8 @@ object SparkEntry {
                 round(quantile_cont(l_quantity, 0.75), 4) AS p75,
                 round(quantile_cont(l_quantity, 0.95), 4) AS p95
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
-    "q_anti_join" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-         ORDER BY c_custkey""",
-    // sorted-layout variant: twin recomputes from the RAW table (the layout
-    // rewrite is row-preserving)
-    "q_anti_join_sorted" ->
-      """SELECT c_custkey, c_name FROM customer c
-         WHERE NOT EXISTS (SELECT 1 FROM orders o
-                           WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
-         ORDER BY c_custkey"""
+    "q_anti_join" -> AntiJoinTwinSql,
+    "q_anti_join_sorted" -> AntiJoinTwinSql
   )
 
   // ---- LLM-pipeline: dedup / text / similarity (SURVEY §2 #32-#42) -------
@@ -1962,19 +1926,31 @@ object SparkEntry {
     * per-JVM; without this every fact-licensed rule silently switches off —
     * the measured rollup +37%).
     */
-  private def reuseOrBuild(s: SparkSession, dir: String, table: String, path: String)
-                          (build: => Unit): String = {
+  /** The artifact-validity half of the reuse protocol, shared by
+    * [[reuseOrBuild]] and [[bucketedEvents]] — one source of truth for the
+    * marker name and the read: valid = `_SUCCESS` present AND the marker
+    * matches the expected fingerprint. */
+  private def artifactValid(path: String, fpr: String): Boolean = {
     val marker = new java.io.File(path, "_GRAFT_SRC_FPR")
-    val fpr = sourceFingerprint(dir, table)
-    val valid = new java.io.File(path, "_SUCCESS").exists() && marker.exists() &&
+    new java.io.File(path, "_SUCCESS").exists() && marker.exists() &&
       scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath),
         java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(fpr)
-    if (valid)
+  }
+
+  private def writeArtifactMarker(path: String, fpr: String): Unit = {
+    java.nio.file.Files.write(new java.io.File(path, "_GRAFT_SRC_FPR").toPath,
+      fpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  private def reuseOrBuild(s: SparkSession, dir: String, table: String, path: String)
+                          (build: => Unit): String = {
+    val fpr = sourceFingerprint(dir, table)
+    if (artifactValid(path, fpr))
       plans.Constraints.redeclare(Tables.load(s, dir, table), s.read.parquet(path))
     else {
       build // SaveMode.Overwrite clears the dir, stale marker included
-      java.nio.file.Files.write(marker.toPath,
-        fpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      writeArtifactMarker(path, fpr)
     }
     path
   }
@@ -2075,20 +2051,15 @@ object SparkEntry {
       // events; a regenerated testdata vintage fails the fingerprint and
       // rebuilds.
       val loc = new java.io.File(s"spark-warehouse/${t}_data").getAbsolutePath
-      val marker = new java.io.File(loc, "_GRAFT_SRC_FPR")
       val fpr = sourceFingerprint(dir, "events")
-      val valid = new java.io.File(loc, "_SUCCESS").exists() && marker.exists() &&
-        scala.util.Try(new String(java.nio.file.Files.readAllBytes(marker.toPath),
-          java.nio.charset.StandardCharsets.UTF_8)).toOption.contains(fpr)
-      if (valid) {
+      if (artifactValid(loc, fpr)) {
         if (!s.catalog.tableExists(t))
           operators.Bucketing.registerBucketed(s, t, loc,
             buckets = 32, keys = Seq("user_id"), sortKeys = Seq("user_id", "ts"))
       } else {
         operators.Bucketing.writeBucketedAt(Tables.load(s, dir, "events"), t, loc,
           buckets = 32, keys = Seq("user_id"), sortKeys = Seq("user_id", "ts"))
-        java.nio.file.Files.write(marker.toPath,
-          fpr.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        writeArtifactMarker(loc, fpr)
       }
       t
     })
@@ -2123,6 +2094,17 @@ object SparkEntry {
       idx.copy(assigned = assigned)
     })
   }
+
+  private val SessionizeTwinSql =
+    """WITH g AS (
+           SELECT user_id,
+                  CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                       THEN 1 ELSE 0 END AS new_s
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         )
+         SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_s) AS BIGINT) AS n_sessions
+         FROM g GROUP BY user_id ORDER BY user_id"""
 
   private def pipelineOracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -3425,28 +3407,8 @@ object SparkEntry {
       """SELECT doc_id, (text IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL
                          AND n_chars IS NOT NULL AND n_chars >= 0) AS is_valid
          FROM documents ORDER BY doc_id""",
-    "q_sessionize" ->
-      """WITH g AS (
-           SELECT user_id,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
-                       THEN 1 ELSE 0 END AS new_s
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-         )
-         SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_s) AS BIGINT) AS n_sessions
-         FROM g GROUP BY user_id ORDER BY user_id""",
-    // bucketed-layout variant recomputes from the RAW events table — the
-    // hash check certifies the bucketed rewrite's row preservation too
-    "q_sessionize_bucketed" ->
-      """WITH g AS (
-           SELECT user_id,
-                  CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
-                       THEN 1 ELSE 0 END AS new_s
-           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
-         )
-         SELECT user_id, COUNT(*) AS n_events, CAST(SUM(new_s) AS BIGINT) AS n_sessions
-         FROM g GROUP BY user_id ORDER BY user_id"""
+    "q_sessionize" -> SessionizeTwinSql,
+    "q_sessionize_bucketed" -> SessionizeTwinSql
   )
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -28,23 +28,8 @@ object Bucketing {
     */
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
                     keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
-    require(buckets > 0, s"Bucketing: bucket count must be positive, got $buckets")
-    require(keys.nonEmpty, "Bucketing: at least one bucket key required")
-    keys.foreach(k => require(df.columns.contains(k),
-      s"Bucketing: input has no '$k' column"))
     clearTable(df.sparkSession, table)
-    // A sorted-bucket write must land ONE file per bucket, or the scan can
-    // never report its ordering (FileSourceScanLike claims outputOrdering
-    // only when bucketsContainSingleFile()) and every downstream window /
-    // merge-join re-sorts data that is already sorted on disk. repartition
-    // on the bucket keys uses the same murmur3-pmod hash as the bucket
-    // spec, so each write task holds exactly one bucket's rows → one file.
-    val src =
-      if (sortKeys.nonEmpty) df.repartition(buckets, keys.map(df.col): _*) else df
-    val w = src.write.format("parquet").mode(SaveMode.Overwrite)
-      .bucketBy(buckets, keys.head, keys.tail: _*)
-    (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
-      .saveAsTable(table)
+    doWrite(df, table, None, buckets, keys, sortKeys)
   }
 
   /** [[writeBucketed]] to an EXPLICIT location — the table becomes EXTERNAL,
@@ -54,19 +39,33 @@ object Bucketing {
     */
   def writeBucketedAt(df: DataFrame, table: String, location: String, buckets: Int,
                       keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
-    require(buckets > 0, s"Bucketing: bucket count must be positive, got $buckets")
-    require(keys.nonEmpty, "Bucketing: at least one bucket key required")
-    keys.foreach(k => require(df.columns.contains(k),
-      s"Bucketing: input has no '$k' column"))
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    doWrite(df, table, Some(location), buckets, keys, sortKeys)
+  }
+
+  /** The one writer body behind both entry points — the single-file-per-
+    * bucket discipline must never diverge between them: a sorted-bucket
+    * write must land ONE file per bucket, or the scan can never report its
+    * ordering (FileSourceScanLike claims outputOrdering only when
+    * bucketsContainSingleFile()) and every downstream window / merge-join
+    * re-sorts data that is already sorted on disk. The repartition on the
+    * bucket keys uses the same murmur3-pmod hash as the bucket spec, so
+    * each write task holds exactly one bucket's rows → one file.
+    */
+  private def doWrite(df: DataFrame, table: String, location: Option[String],
+                      buckets: Int, keys: Seq[String], sortKeys: Seq[String]): Unit = {
+    require(buckets > 0, s"Bucketing: bucket count must be positive, got $buckets")
+    require(keys.nonEmpty, "Bucketing: at least one bucket key required")
+    keys.foreach(k => require(df.columns.contains(k),
+      s"Bucketing: input has no '$k' column"))
     val src =
       if (sortKeys.nonEmpty) df.repartition(buckets, keys.map(df.col): _*) else df
-    val w = src.write.format("parquet").mode(SaveMode.Overwrite)
-      .option("path", location)
+    val w0 = src.write.format("parquet").mode(SaveMode.Overwrite)
+    val w = location.fold(w0)(p => w0.option("path", p))
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortKeys.nonEmpty) w.sortBy(sortKeys.head, sortKeys.tail: _*) else w)
       .saveAsTable(table)

@@ -91,21 +91,43 @@ object FusedTopK {
     dt
   }
 
+  /** Backstop for the CORPUS id: the fused scans round-trip it through
+    * `cast("long")` exactly like the query id, so the same lossless gate
+    * applies — a decimal(p>18,0) corpus id beyond Long range would null out
+    * or wrap and silently merge/lose neighbors. Callers check
+    * [[exactIntegerIdType]] on both sides and fall back to the join path
+    * (where the corpus id is loudly analysis-gated by TopKByScore); this
+    * require is the in-operator backstop for direct calls.
+    */
+  private def requireFusableCorpusId(df: DataFrame, idCol: String, who: String): Unit = {
+    val dt = df.schema(idCol).dataType
+    require(exactIntegerIdType(dt),
+      s"$who: fused path needs an exact-integer corpus id (integral or decimal(p,0), " +
+        s"precision <= 18), got ${dt.catalogString} — use the join path (fused = false)")
+  }
+
   /** Run the fused scan over the query frame in driver-bounded SHARDS.
     *
     * Fast path: one `limit(cap + 1)` probe; a frame within the cap runs as
     * a single shard with zero extra jobs (the r19 behavior minus the
-    * raise). Above the cap the frame is chunked — `repartition` to
-    * ~cap-sized partitions (bounds `toLocalIterator`'s one-partition driver
-    * buffer), then `grouped(cap)` over the streamed rows — and each chunk
-    * runs the full fused scan. Per-shard results are `localCheckpoint`ed
-    * (eager): the merge output is tiny (≤ cap × k rows), materializing it
-    * truncates the lineage so the shard's query broadcast becomes
-    * GC-collectable before the next shard builds its own — driver + task
-    * memory stay bounded by ONE shard at every point. The union of the
-    * per-shard TopKAggregate merges is bitwise the single-pass result:
-    * every query id lives in exactly one shard, and its heap only ever saw
-    * the full corpus scan regardless of which shard carried it.
+    * raise). Above the cap the frame is `localCheckpoint`ed ONCE (the
+    * probe already paid one evaluation; without the materialization the
+    * count and the iterator below would re-run the caller's query pipeline
+    * twice more), then streamed in id-SORTED order — `repartitionByRange` +
+    * `sortWithinPartitions` on the id column (ordinal 0 of the projection,
+    * both call sites) keeps `toLocalIterator`'s one-partition driver buffer
+    * ~cap-sized while yielding a globally sorted stream — and chunked with
+    * one rule beyond `grouped(cap)`: a chunk EXTENDS through a run of equal
+    * ids, so no query id ever straddles two shards. That rule is what makes
+    * the union of per-shard merges bitwise the single-pass result even for
+    * frames with DUPLICATE query ids (degenerate but legal — both paths
+    * then aggregate the duplicates into ONE group per id; naive chunking
+    * would emit two k-row groups for an id split across shards). Per-shard
+    * results are `localCheckpoint`ed (eager): the merge output is tiny
+    * (≤ cap × k rows), materializing it truncates the lineage so the
+    * shard's query broadcast becomes GC-collectable before the next shard
+    * builds its own — driver + task memory stay bounded by ONE shard (plus
+    * any single id's duplicate run) at every point.
     */
   private def shardedRun(spark: org.apache.spark.sql.SparkSession, qProj: DataFrame,
       maxQueries: Int, runShard: Array[org.apache.spark.sql.Row] => DataFrame): DataFrame = {
@@ -113,11 +135,24 @@ object FusedTopK {
     val probe = qProj.limit(maxQueries + 1).collect()
     if (probe.length <= maxQueries) runShard(probe)
     else {
-      val n = qProj.count()
+      val mat = qProj.localCheckpoint()
+      val n = mat.count()
       val parts = math.min(Int.MaxValue.toLong, (n + maxQueries - 1) / maxQueries).toInt
-      qProj.repartition(parts).toLocalIterator().asScala
-        .grouped(maxQueries)
-        .map(chunk => runShard(chunk.toArray).localCheckpoint())
+      val idCol0 = col(mat.columns.head)
+      val rows = mat.repartitionByRange(parts, idCol0)
+        .sortWithinPartitions(idCol0)
+        .toLocalIterator().asScala.buffered
+      val chunks = new Iterator[Array[org.apache.spark.sql.Row]] {
+        override def hasNext: Boolean = rows.hasNext
+        override def next(): Array[org.apache.spark.sql.Row] = {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          while (rows.hasNext && buf.length < maxQueries) buf += rows.next()
+          while (rows.hasNext && rows.head.get(0) == buf.last.get(0)) buf += rows.next()
+          buf.toArray
+        }
+      }
+      chunks
+        .map(chunk => runShard(chunk).localCheckpoint())
         .reduce(_ unionByName _)
     }
   }
@@ -147,6 +182,7 @@ object FusedTopK {
       "FusedTopK: cellCol and queryCellsCol come together")
     val celled = cellCol.isDefined
     val qidType = requireFusableQueryId(queries, queryIdCol, "FusedTopK.cosineTopK")
+    requireFusableCorpusId(corpus, idCol, "FusedTopK.cosineTopK")
 
     // queries collected through Spark itself (bounded per shard — see
     // the sharding block below) — driver extracts primitive payloads;
@@ -294,6 +330,7 @@ object FusedTopK {
       maxQueries: Int = MaxFusedQueries): DataFrame = {
     val spark = encoded.sparkSession
     val qidType = requireFusableQueryId(queryTables, queryIdCol, "FusedTopK.adcTopK")
+    requireFusableCorpusId(encoded, idCol, "FusedTopK.adcTopK")
     def toQuery(r: org.apache.spark.sql.Row): (Long, Array[Double]) = {
       if (r.isNullAt(0)) throw new IllegalArgumentException(
         "FusedTopK: query id is null — query ids must be non-null exact integers")

@@ -113,7 +113,8 @@ object Pq {
     // scoring loop inside one mapPartitions pass (FusedTopK)
     val q = queries.select(col(queryIdCol),
       V.pqDistTable(col(vecCol), cb.asSeq).as("__qtab"))
-    if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType))
+    if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType)
+        && FusedTopK.exactIntegerIdType(encoded.schema(idCol).dataType))
       // non-integral query ids take the join path below (FusedTopK's heaps
       // are long-keyed — see exactIntegerIdType)
       FusedTopK.adcTopK(encoded, q, k, cb.ksub, idCol, codesCol, queryIdCol,

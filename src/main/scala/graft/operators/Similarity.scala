@@ -48,7 +48,8 @@ object Similarity {
                      queryIdCol: String = "query_id",
                      excludeSelf: Boolean = false,
                      fused: Boolean = true): DataFrame =
-    if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType))
+    if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType)
+        && FusedTopK.exactIntegerIdType(corpus.schema(idCol).dataType))
       // fused mapPartitions pass (FusedTopK): same scores bit-for-bit, same
       // tie discipline, same slim exchange — without materializing a row
       // per scored pair (~5× at sf10, see BASELINE.md). `fused = false`
@@ -326,7 +327,8 @@ object Similarity {
         if (storedCellLayout && centers.length < spark0.sparkContext.defaultParallelism)
           assigned.repartition(spark0.sparkContext.defaultParallelism)
         else assigned
-      if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType))
+      if (fused && FusedTopK.exactIntegerIdType(queries.schema(queryIdCol).dataType)
+          && FusedTopK.exactIntegerIdType(spread.schema(idCol).dataType))
         // same probe-cell choice (withCells above, identical HOF
         // arithmetic), scored in FusedTopK's single pass: the cell
         // equi-join becomes an O(1) membership test per pair — see
@@ -589,7 +591,8 @@ object Similarity {
       s"hardNegatives: anchors have no '$c' column"))
     require(anchors.columns.contains(anchorIdCol),
       s"hardNegatives: anchors have no '$anchorIdCol' column")
-    if (fused && FusedTopK.exactIntegerIdType(anchors.schema(anchorIdCol).dataType))
+    if (fused && FusedTopK.exactIntegerIdType(anchors.schema(anchorIdCol).dataType)
+        && FusedTopK.exactIntegerIdType(corpus.schema(idCol).dataType))
       // the label-mismatch predicate rides the fused pass (both-non-null-
       // and-different — the `=!=` three-valued semantics); see
       // bruteForceTopK's note for the fused/join contract (incl. the

@@ -58,6 +58,8 @@ object StreamBench {
       val totalRows = ev.count()
       val schema = spark.read.parquet(srcDir.toString).schema
       var sessionsLine = ""
+      def fmt(v: Double): String =
+        BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
 
       def source(s: SparkSession) = graft.Tables.normalizeEventsTs(
         s.readStream.schema(schema)
@@ -136,10 +138,8 @@ object StreamBench {
         val sessSec = (System.nanoTime() - t1c) / 1e9
         val sessBatchRate = medianRate(q2c)
         q2c.stop()
-        sessionsLine = s""""sessions_sec":${
-          BigDecimal(sessSec).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sessions_rows_per_sec":${
-          BigDecimal(totalRows / sessSec).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"sessions_batch_rows_per_sec":${
-          BigDecimal(sessBatchRate).setScale(1, BigDecimal.RoundingMode.HALF_UP)},"""
+        sessionsLine = s""""sessions_sec":${fmt(sessSec)},"sessions_rows_per_sec":${
+          fmt(totalRows / sessSec)},"sessions_batch_rows_per_sec":${fmt(sessBatchRate)},"""
       }
 
       // ---- 3. checkpoint recovery ----------------------------------------
@@ -179,8 +179,6 @@ object StreamBench {
       val catchupSec = (System.nanoTime() - t2) / 1e9
       qb.stop()
 
-      def fmt(v: Double): String =
-        BigDecimal(v).setScale(1, BigDecimal.RoundingMode.HALF_UP).toString
       val line =
         s"""{"metric":"stream_bench","sf":"$sfDir","rows":$totalRows,"files":${parts.length},"files_per_trigger":$fpt,""" +
         s""""hourly_sink_sec":${fmt(hourlySec)},"hourly_rows_per_sec":${fmt(totalRows / hourlySec)},"hourly_batch_rows_per_sec":${fmt(hourlyBatchRate)},""" +

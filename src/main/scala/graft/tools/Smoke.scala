@@ -1,10 +1,17 @@
 package graft.tools
+
+/** Driver t1 equivalent: SparkEntry.entry must return rows on sf0.001.
+  * `require`, not `assert` — an assertion-elided build must still fail
+  * loudly on an empty flagship result. Dir overridable for other machines.
+  */
 object Smoke {
   def main(args: Array[String]): Unit = {
-    val spark = graft.Tables.harnessSessionFor("/root/testdata/sf0.001")
-    val rows = graft.SparkEntry.entry(spark).collect()
-    println(s"[smoke] entry rows = ${rows.length}")
-    assert(rows.nonEmpty)
+    val dir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001"))
+    val spark = graft.Tables.harnessSessionFor(dir)
+    val n = graft.SparkEntry.entry(spark).count()
+    println(s"[smoke] entry rows = $n")
+    require(n > 0, "flagship entry returned no rows")
     spark.stop()
   }
 }

@@ -227,6 +227,43 @@ class FusedTopKSpec extends SparkSpec {
     assert(adcSharded.select("query_id").distinct().count() == 6)
   }
 
+  test("DUPLICATE query ids never straddle shards: sharded == single pass with dup ids") {
+    // A duplicated id split across two shards would emit TWO k-row groups
+    // where the single pass emits ONE (both occurrences aggregate into one
+    // heap). The id-sorted, run-extending chunker keeps each id in exactly
+    // one shard, so the union stays row-identical even on degenerate
+    // duplicate-id frames: 9 base queries + 3 duplicates of ids {1, 5, 9},
+    // cap 4 → boundaries land inside the duplicate runs without the rule.
+    val base = planted.select(col("vec_id").as("query_id"), col("embedding"))
+    val dups = base.filter(col("query_id").isin(1L, 5L, 9L))
+    val queries = base.unionByName(dups)
+    val sharded = FusedTopK.cosineTopK(planted, queries, k = 2, "vec_id", "embedding",
+      "query_id", excludeSelf = false, labelCol = None, maxQueries = 4)
+    val single = FusedTopK.cosineTopK(planted, queries, k = 2, "vec_id", "embedding",
+      "query_id", excludeSelf = false, labelCol = None)
+    assert(sortedRows(sharded) == sortedRows(single))
+    // one group per id — never k extra rows for a duplicated id
+    assert(sharded.select("query_id").distinct().count() == 9)
+    assert(sharded.count() == single.count())
+  }
+
+  test("decimal CORPUS ids beyond long precision take the join path (no lossy cast)") {
+    // the corpus id rides the same cast("long") round-trip inside the fused
+    // scans as the query id — the caller gate must check BOTH sides
+    val corpusDec = planted.withColumn("vec_id", col("vec_id").cast(DecimalType(19, 0)))
+    val q = planted.filter(col("vec_id") <= 3)
+      .select(col("vec_id").as("query_id"), col("embedding"))
+    val viaDefault = Similarity.bruteForceTopK(corpusDec, q, k = 2, fused = true)
+    val viaJoin    = Similarity.bruteForceTopK(corpusDec, q, k = 2, fused = false)
+    assert(sortedRows(viaDefault) == sortedRows(viaJoin))
+    // and the in-operator backstop is loud for direct fused calls
+    val e = intercept[IllegalArgumentException] {
+      FusedTopK.cosineTopK(corpusDec, q, k = 2, "vec_id", "embedding",
+        "query_id", excludeSelf = false, labelCol = None)
+    }
+    assert(e.getMessage.contains("corpus id"))
+  }
+
   test("decimal query ids beyond long precision take the join path (no lossy cast)") {
     // decimal(19,0) CAN hold values a long cannot — the fused gate must
     // reject the TYPE (precision > 18), not trust runtime values
