@@ -38,11 +38,12 @@ object SparkEntry {
   private def presentationSort(df: DataFrame, cols: String*): DataFrame =
     df.localCheckpoint().orderBy(cols.head, cols.tail: _*)
 
-  /** Flagship on sf0.001: filter + three-hop broadcast join + aggregation +
-    * order — revenue per region/market-segment over the full star schema.
+  /** Flagship on sf0.001 (dir overridable — ADVICE r20: Smoke's dir
+    * override must reach the query, not only the session tuning): filter +
+    * three-hop broadcast join + aggregation + order — revenue per
+    * region/market-segment over the full star schema.
     */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+  def entry(spark: SparkSession, dir: String = "/root/testdata/sf0.001"): DataFrame = {
     def t(n: String) = Tables.load(spark, dir, n)
     t("lineitem")
       .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
@@ -425,15 +426,32 @@ object SparkEntry {
         .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
         .orderBy("o_custkey", "rn")
     }),
-    "q_text_topwords" -> ((s, dir) =>
-      // corpus vocabulary profile: explode + count, the canonical map-side-
-      // combinable aggregation over text
+    "q_text_topwords" -> ((s, dir) => {
+      // corpus vocabulary profile. r21: per-doc DISTINCT terms with
+      // multiplicities from the native scan-side TermCounts (the repo-wide
+      // "count inside codegen, explode only types" discipline — the old
+      // explode(tokens) materialized every token OCCURRENCE as a row into
+      // the partial aggregate; sum(n) over per-doc types is the same total
+      // with ~tokens/doc-distinct fewer aggregate probes per document).
+      // Equivalence to explode(tokens) is exact, including the split
+      // artifact: for non-null text, tokens() yields [""] iff the
+      // edge-stripped text is empty, which is exactly when TermCounts
+      // (which skips empty tokens) returns zero entries — so an empty
+      // entries array stands for one "" occurrence, restored below.
+      // Oracle (unnest of the same split) unchanged; hash-checked.
+      val tc = plans.TextExpressions.termCounts(col("text"))
+      val entries = when(size(tc.getField("entries")) === 0,
+          array(struct(lit("").as("term"), lit(1).cast("int").as("n"))))
+        .otherwise(tc.getField("entries"))
       Tables.load(s, dir, "documents")
-        .select(explode(functions.TextFunctions.tokens(col("text"))).as("word"))
+        .filter(col("text").isNotNull)
+        .select(explode(entries).as("e"))
+        .select(col("e.term").as("word"), col("e.n").cast("long").as("k"))
         .groupBy("word")
-        .agg(count(lit(1)).as("cnt"))
+        .agg(sum(col("k")).as("cnt"))
         .orderBy(desc("cnt"), col("word"))
-        .limit(50)),
+        .limit(50)
+    }),
     "q_events_funnel" -> ((s, dir) => {
       // Classic funnel: users whose first 'purchase' follows their first
       // 'view'. ONE conditional aggregate over ONE scan — min(when(...))
@@ -1104,8 +1122,13 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.load(s, dir, "documents")
       val lm = operators.Perplexity.train(docs.filter(col("doc_id") % 2 === 0))
-      val scored = operators.Perplexity.score(docs, lm)
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      // lang rides the scoring projection (scoreCarrying) instead of joining
+      // the corpus-sized score relation back against the corpus on doc_id —
+      // that join was a second documents scan plus a corpus-wide exchange of
+      // both sides at scale (and the old score()'s internal orderBy fed a
+      // wasted doc_id sort below the lang window). Same rows, same scores
+      // (r21 plan diff: 1 scan + 1 join fewer, oracle hash unchanged).
+      val scored = operators.Perplexity.scoreCarrying(docs, lm, carry = Seq("lang"))
       val pr = percent_rank().over(
         Window.partitionBy("lang").orderBy(col("ppl"), col("doc_id")))
       scored.withColumn("__pr", pr)
@@ -1192,9 +1215,21 @@ object SparkEntry {
       // recomputes from the ORIGINAL lineitem (same rows, any layout).
       // Bounds derive from the data (two-long stats collect) so the probe
       // stays ~6% selective at every scale factor.
-      val li = s.read.parquet(zorderedLineitem(s, dir))
-      val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
-      val (pq, sq) = (mx.getLong(0) / 4, mx.getLong(1) / 4)
+      val zpath = zorderedLineitem(s, dir)
+      val li = s.read.parquet(zpath)
+      // Bounds from parquet FOOTER statistics (r21, guide §6): the stats
+      // job was a full two-column scan of the copy on EVERY probe — the
+      // footers already state the exact int64 max, so read them (driver-
+      // side metadata, one bounded read per part file). Identical values
+      // by parquet's stats contract; scan fallback if any footer lacks
+      // stats, so the bounds can never silently differ.
+      val (pq, sq) = operators.Layout.footerLongMax(s, zpath,
+          Seq("l_partkey", "l_suppkey")) match {
+        case Some(m) => (m("l_partkey") / 4, m("l_suppkey") / 4)
+        case None =>
+          val mx = li.agg(max(col("l_partkey")), max(col("l_suppkey"))).head()
+          (mx.getLong(0) / 4, mx.getLong(1) / 4)
+      }
       li.filter(col("l_partkey") <= pq && col("l_suppkey") <= sq)
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_rows"),
@@ -1905,10 +1940,30 @@ object SparkEntry {
     val parts: Array[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).sortBy(_.getName)
       else Array(f)
-    val sig = parts.map(p => s"${p.getName}:${p.length}:${p.lastModified}").mkString("|")
-    java.security.MessageDigest.getInstance("MD5")
-      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      .map(b => f"${b & 0xff}%02x").mkString
+    // name:size:mtime PLUS a head+tail content sample (4 KB each) per part
+    // (ADVICE r20: a source regenerated within the filesystem's mtime
+    // granularity with identical names/sizes would otherwise serve a stale
+    // artifact — the parquet footer lives in the tail sample, so any
+    // rewrite that changes row groups or stats changes the fingerprint
+    // even under an mtime collision). Cost: two bounded reads per part,
+    // once per artifact validate/build — not per query.
+    val md = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach { p =>
+      md.update(s"${p.getName}:${p.length}:${p.lastModified}|"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (p.isFile && p.length > 0) {
+        val raf = new java.io.RandomAccessFile(p, "r")
+        try {
+          val head = new Array[Byte](math.min(4096L, raf.length).toInt)
+          raf.readFully(head); md.update(head)
+          if (raf.length > 4096) {
+            val tail = new Array[Byte](math.min(4096L, raf.length - 4096).toInt)
+            raf.seek(raf.length - tail.length); raf.readFully(tail); md.update(tail)
+          }
+        } finally raf.close()
+      }
+    }
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
   }
 
   /** Reuse a path-based stored artifact ACROSS SESSIONS when its source
@@ -1925,6 +1980,13 @@ object SparkEntry {
     * the source's RELY facts are re-carried onto the copy (the registry is
     * per-JVM; without this every fact-licensed rule silently switches off —
     * the measured rollup +37%).
+    *
+    * CONVENTION (ADVICE r20): the redeclare here snapshots the source's
+    * facts at FIRST memoization — a consumer that declares NDVs after this
+    * helper ran loses the license silently. Every fact-dependent query row
+    * must therefore own its declare+redeclare at use time, the way
+    * q_agg_rollup_sorted does (declareDomainNdvs + explicit redeclare on
+    * the copy), rather than relying on this call's timing.
     */
   /** The artifact-validity half of the reuse protocol, shared by
     * [[reuseOrBuild]] and [[bucketedEvents]] — one source of truth for the
@@ -3329,6 +3391,11 @@ object SparkEntry {
       ("group-key-sorted lineitem", "q_agg_pricing_sorted", () => groupSortedLineitem(s, dir)),
       ("group-key-sorted lineitem", "q_agg_rollup_sorted", () => groupSortedLineitem(s, dir)),
       ("user-bucketed events", "q_sessionize_bucketed", () => bucketedEvents(s, dir)),
+      // r21: the one stored artifact the list missed — its (re)build ran
+      // inside q_zorder_pruned's first timed sample on any fresh
+      // session/box, and the rewrite's write I/O bled into neighboring
+      // samples (exactly the r13 variance this prewarm exists to stop)
+      ("zordered lineitem", "q_zorder_pruned", () => zorderedLineitem(s, dir)),
       ("markdown tree", "q_md_source", () => mdTree(s, dir)))
     builds.foreach { case (what, consumer, run) =>
       if (keep(consumer)) {

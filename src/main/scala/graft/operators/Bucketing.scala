@@ -90,11 +90,15 @@ object Bucketing {
     val sorted =
       if (sortKeys.nonEmpty) s" SORTED BY (${sortKeys.map(k => s"`$k`").mkString(", ")})"
       else ""
+    // location is interpolated into DDL — escape single quotes (ADVICE r20:
+    // a path containing ' broke the statement; this is a public API, not
+    // just the harness's safe paths)
+    val loc = location.replace("'", "\\'")
     spark.sql(
       s"""CREATE TABLE `$table` ($schemaDdl) USING PARQUET
          |CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")})$sorted
          |INTO $buckets BUCKETS
-         |LOCATION '$location'""".stripMargin)
+         |LOCATION '$loc'""".stripMargin)
     ()
   }
 

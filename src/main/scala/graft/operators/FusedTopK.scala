@@ -132,6 +132,14 @@ object FusedTopK {
   private def shardedRun(spark: org.apache.spark.sql.SparkSession, qProj: DataFrame,
       maxQueries: Int, runShard: Array[org.apache.spark.sql.Row] => DataFrame): DataFrame = {
     require(maxQueries > 0, s"FusedTopK: maxQueries must be positive, got $maxQueries")
+    // Contract (ADVICE r20, made explicit): the query id must be ORDINAL 0
+    // of qProj — the range partitioning, the sorted stream, and the
+    // equal-id chunk extension below all read get(0). Both call sites
+    // project the id first; this guard makes a future caller that doesn't
+    // fail loudly instead of sharding on a non-id column.
+    require(exactIntegerIdType(qProj.schema.head.dataType),
+      s"FusedTopK.shardedRun: ordinal 0 of the query projection must be the " +
+        s"exact-integer query id, got ${qProj.schema.head.dataType.catalogString}")
     val probe = qProj.limit(maxQueries + 1).collect()
     if (probe.length <= maxQueries) runShard(probe)
     else {
@@ -151,9 +159,19 @@ object FusedTopK {
           buf.toArray
         }
       }
-      chunks
+      val out = chunks
         .map(chunk => runShard(chunk).localCheckpoint())
         .reduce(_ unionByName _)
+      // The reduce above has consumed the iterator, so every shard result is
+      // already materialized (eager localCheckpoint) and the returned plan
+      // reads only those — release the full query-frame checkpoint NOW
+      // instead of pinning the whole frame in executor storage until the
+      // ContextCleaner happens to GC it (a sharded run exists precisely
+      // because the frame is big).
+      mat.queryExecution.optimizedPlan.collectFirst {
+        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      }
+      out
     }
   }
 

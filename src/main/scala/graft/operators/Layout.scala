@@ -56,6 +56,73 @@ object Layout {
     ()
   }
 
+  /** Exact per-column MAX of integer columns from parquet FOOTER statistics
+    * — a driver-side metadata read (guide §6: statistics exist so readers
+    * skip data; a bounds probe that feeds a pruning predicate should not
+    * pay a full column scan to learn what every footer already states).
+    * Parquet int32/int64 min/max stats are exact (computed from the
+    * values, no truncation), so the result equals `agg(max(col))`
+    * bit-for-bit whenever it returns `Some` — and it returns `None` (fall
+    * back to the scan) when ANY block lacks usable stats for ANY requested
+    * column, or the columns aren't plain integer-typed, so a caller can
+    * never read a wrong bound. Cost: one bounded footer read per part
+    * file, vs one full scan task per split.
+    */
+  def footerLongMax(spark: org.apache.spark.sql.SparkSession, path: String,
+                    cols: Seq[String]): Option[Map[String, Long]] = {
+    require(cols.nonEmpty, "Layout.footerLongMax: no columns requested")
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val conf = spark.sessionState.newHadoopConf()
+    val f = new java.io.File(path)
+    val parts: Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
+          .filter(p => p.isFile && p.getName.endsWith(".parquet"))
+      else Seq(f)
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    var usable = parts.nonEmpty
+    try {
+      val it = parts.iterator
+      while (usable && it.hasNext) {
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(it.next().getPath), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.iterator()
+          while (usable && blocks.hasNext) {
+            val block = blocks.next()
+            if (block.getRowCount > 0) {
+              val byName = {
+                val m = scala.collection.mutable.Map
+                  .empty[String, org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+                block.getColumns.forEach(cc => { m(cc.getPath.toDotString) = cc; () })
+                m
+              }
+              cols.foreach { c =>
+                byName.get(c) match {
+                  case None => usable = false // column missing: no safe answer
+                  case Some(cc) =>
+                    val st = cc.getStatistics
+                    // stats absent/unreadable → fall back; a block whose
+                    // rows are ALL null simply contributes nothing
+                    if (st == null || st.isEmpty) usable = false
+                    else if (st.hasNonNullValue) st.genericGetMax match {
+                      case l: java.lang.Long =>
+                        acc(c) = acc.get(c).fold(l.longValue)(math.max(_, l.longValue))
+                      case i: java.lang.Integer =>
+                        acc(c) = acc.get(c).fold(i.longValue)(math.max(_, i.longValue))
+                      case _ => usable = false // non-integer stats type
+                    }
+                }
+              }
+            }
+          }
+        } finally reader.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => usable = false }
+    if (usable && cols.forall(acc.contains)) Some(acc.toMap) else None
+  }
+
   /** Morton (Z-order) interleave of two non-negative bucket ids, `bits` bits
     * each: bit i of `a` lands at output bit 2i, bit i of `b` at 2i+1. Built
     * entirely from `shiftright`/`shiftleft`/bitwise built-ins, so it stays

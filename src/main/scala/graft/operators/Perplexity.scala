@@ -149,22 +149,42 @@ object Perplexity {
     * model too large to ship inside a plan.
     */
   def score(docs: DataFrame, lm: BigramLm,
-            idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    Seq(idCol, textCol).foreach(c => require(docs.columns.contains(c),
+            idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    scoreCarrying(docs, lm, idCol, textCol, carry = Nil).orderBy(col(idCol))
+
+  /** [[score]] with extra input columns carried through the scoring
+    * projection, UNSORTED: `(idCol, carry…, n_bigrams, ppl)`. Compositions
+    * that need document metadata next to the score (per-language ranking,
+    * source-sliced gating) read it off the SAME scan instead of joining the
+    * corpus-sized score relation back against the corpus on `idCol` — at
+    * scale that join is a second full scan plus a corpus-wide exchange of
+    * both sides for columns the scoring pass already had in hand. Row set
+    * and score values are exactly [[score]]'s (same expression, same
+    * filters); only the column set and the absence of the presentation sort
+    * differ.
+    */
+  def scoreCarrying(docs: DataFrame, lm: BigramLm, idCol: String = "doc_id",
+                    textCol: String = "text", carry: Seq[String] = Nil): DataFrame = {
+    (Seq(idCol, textCol) ++ carry).foreach(c => require(docs.columns.contains(c),
       s"Perplexity.score: input has no '$c' column"))
+    // ONE bounded collect: contexts c(w1,·) = Σ_w2 c(w1,w2) derive from the
+    // collected bigram TYPES on the driver (same long sums, same values —
+    // lm.contexts is literally this groupBy distributed). The second
+    // collect was a whole extra job re-reading the model checkpoint per
+    // score() call. lm.contexts stays for [[scoreJoined]]'s broadcast path.
+    val bigramTypes = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
     val local = graft.plans.BigramLmLocal(
-      bigrams = lm.bigrams.collect()
-        .map(r => (r.getString(0) + " " + r.getString(1), r.getLong(2))).toMap,
-      contexts = lm.contexts.collect()
-        .map(r => (r.getString(0), r.getLong(1))).toMap,
+      bigrams = bigramTypes.map { case (w1, w2, n) => (w1 + " " + w2, n) }.toMap,
+      contexts = bigramTypes.groupMapReduce(_._1)(_._3)(_ + _),
       vocab = lm.vocab, alpha = lm.alpha)
+    val keep = (col(idCol) +: carry.map(col)).toIndexedSeq
     docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        graft.plans.TextExpressions.bigramPpl(col(textCol), local).as("__p"))
+      .select(keep :+
+        graft.plans.TextExpressions.bigramPpl(col(textCol), local).as("__p"): _*)
       .filter(col("__p.n_bigrams") > 0)
-      .select(col(idCol), col("__p.n_bigrams").as("n_bigrams"),
-        col("__p.ppl").as("ppl"))
-      .orderBy(col(idCol))
+      .select(keep ++ Seq(col("__p.n_bigrams").as("n_bigrams"),
+        col("__p.ppl").as("ppl")): _*)
   }
 
   /** The broadcast-join scoring formulation — [[score]]'s parity twin

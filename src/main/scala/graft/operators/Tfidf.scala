@@ -118,7 +118,12 @@ object Tfidf {
   private def corpusStats(docs: DataFrame, textCol: String): DataFrame =
     docs.filter(col(textCol).isNotNull)
       .agg(count(lit(1)).as("n_docs"),
-        avg(graft.plans.TextExpressions.termCounts(col(textCol)).getField("ntok"))
+        // TokStats, not TermCounts: avgdl needs only the token COUNT, and
+        // both natives define ntok identically (= size(tokens(text)),
+        // empty-string artifact included — spec-pinned parity), so this
+        // full-corpus pass reads two integers off a byte scan instead of
+        // building every document's term hash map just to discard it.
+        avg(graft.plans.TextExpressions.tokStats(col(textCol)).getField("ntok"))
           .as("avgdl"))
       .select(struct(col("n_docs"), col("avgdl")).as("s"))
 

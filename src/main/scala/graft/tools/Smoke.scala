@@ -9,7 +9,9 @@ object Smoke {
     val dir = args.headOption.getOrElse(
       sys.env.getOrElse("SPARK_GRAFT_SMOKE_DIR", "/root/testdata/sf0.001"))
     val spark = graft.Tables.harnessSessionFor(dir)
-    val n = graft.SparkEntry.entry(spark).count()
+    // dir threads through to entry too (ADVICE r20: entry hardcoded its own
+    // path, so the override only tuned the session's split size)
+    val n = graft.SparkEntry.entry(spark, dir).count()
     println(s"[smoke] entry rows = $n")
     require(n > 0, "flagship entry returned no rows")
     spark.stop()

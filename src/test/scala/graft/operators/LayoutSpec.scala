@@ -106,4 +106,25 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
       Layout.writeSorted(df, s"$dir/b", Seq())
     }
   }
+
+  test("footerLongMax equals agg(max) on int64/int32 columns, None when unsafe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_footer_max").toString
+    val df = (0L until 5000L).toDF("a")
+      .withColumn("b", (col("a") * 7 % 1234).cast("int"))
+      .withColumn("s", concat(lit("v"), col("a")))
+    // multi-file + multi-row-group so the fold crosses both boundaries
+    df.repartition(3).write.mode("overwrite")
+      .option("parquet.block.size", "65536").parquet(s"$dir/t")
+    val got = Layout.footerLongMax(spark, s"$dir/t", Seq("a", "b"))
+    val want = spark.read.parquet(s"$dir/t")
+      .agg(max(col("a")), max(col("b").cast("long"))).head()
+    assert(got.contains(Map("a" -> want.getLong(0), "b" -> want.getLong(1))),
+      s"footer stats $got != scan max $want")
+    // non-integer column: refuses rather than guessing
+    assert(Layout.footerLongMax(spark, s"$dir/t", Seq("s")).isEmpty)
+    // missing column: refuses
+    assert(Layout.footerLongMax(spark, s"$dir/t", Seq("nope")).isEmpty)
+    // empty dir: refuses
+    assert(Layout.footerLongMax(spark, s"$dir/empty", Seq("a")).isEmpty)
+  }
 }
