@@ -911,16 +911,21 @@ object SparkEntry {
     "q_pipeline_corpus" -> ((s, dir) => {
       // End-to-end training-corpus pipeline as ONE declarative plan —
       // language gate → quality gate → exact dedup → surviving documents.
-      // The gates fuse into the scans (native text expressions inside
-      // codegen). Physically: two scans of documents (winner aggregation +
-      // the semi-join probe side), one (hash, min id)-width shuffle, winners
-      // broadcast — document bodies never move. Faster than the DuckDB twin
-      // at sf0.1 (1.1 s vs 2.1 s), which re-tokenizes per list_filter.
+      // The gates fuse into the scan (native text expressions inside
+      // codegen). r21: dedup via the ONE-PASS window form — the join form
+      // evaluated the langid+quality gates TWICE (winner aggregation + the
+      // semi-join probe side each re-scanned and re-gated the corpus; this
+      // is exactly the computed-upstream case exactCorpusOnePass's cost
+      // note prescribes, and the broadcast the join form relied on dies
+      // past ~10M winner ids anyway). Physically now: ONE gated scan, one
+      // hash(text)-keyed exchange of (doc_id, lang, n_chars, _w0) — the
+      // body is hashed below the exchange and never rides it. Same
+      // survivors (min doc_id per content hash), oracle hash unchanged.
       val docs = Tables.load(s, dir, "documents")
       val gated = docs
         .filter(functions.TextFunctions.langId(col("text")) === "en")
         .filter(functions.TextFunctions.qualityScore(col("text")) >= 0.5)
-      operators.Dedup.exactCorpus(gated)
+      operators.Dedup.exactCorpusOnePass(gated)
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")
     }),
@@ -1307,10 +1312,17 @@ object SparkEntry {
       // histogram-median estimate included). The HLL estimate column is
       // engine-specific and spec-covered instead (CorpusCardSpec bounds,
       // parquet round trip, merge associativity).
+      // r21: the three day-states reduce out of ONE scan (sketchSlicesOnePass
+      // groups by the day id) instead of one full documents scan per day —
+      // the states, and therefore the merged card, are row-identical to the
+      // filter-per-day union (every state column reduces per (day, lang)
+      // either way; guide §2.4 — the three scans shared no work). The
+      // isNotNull filter preserves the old per-day `doc_id % 3 === d`
+      // semantics exactly: a NULL doc_id matched no day slice.
       val docs = Tables.load(s, dir, "documents")
-      val days = (0 until 3).map(d => docs.filter(col("doc_id") % 3 === d))
       val merged = operators.CorpusCard.merge(
-        days.map(operators.CorpusCard.sketchSlice(_)).reduce(_ unionByName _))
+        operators.CorpusCard.sketchSlicesOnePass(
+          docs.filter(col("doc_id").isNotNull), col("doc_id") % 3))
       operators.CorpusCard.finish(merged)
         .select("lang", "n_docs", "total_tokens", "avg_quality", "p50_chars_est")
         .orderBy("lang")

@@ -49,12 +49,47 @@ object CorpusCard {
   def sketchSlice(docs: DataFrame, groupCol: String = "lang",
                   textCol: String = "text", charsCol: String = "n_chars",
                   bucketWidth: Int = 50, lgConfigK: Int = 12): DataFrame = {
+    require(docs.columns.contains(groupCol),
+      s"CorpusCard.sketchSlice: input has no '$groupCol' column")
+    sketchKeyed(docs, Seq(col(groupCol)), Seq(groupCol),
+      textCol, charsCol, bucketWidth, lgConfigK)
+  }
+
+  /** Every slice's [[sketchSlice]] state in ONE corpus pass, for when the
+    * slices live in the same table (a backfill over history, or a bench
+    * simulating days out of one static table): `sliceExpr` joins the group
+    * key, so one scan + one exchange produce one state row per
+    * (slice, group) — row-identical to filtering per slice and unioning the
+    * per-slice [[sketchSlice]] outputs, because every state column reduces
+    * per (slice, group) either way (sums/histogram/HLL are order-free). The
+    * slice id is dropped from the result: [[merge]] consumes states row-wise
+    * regardless of origin, exactly as it consumes a union. The PRODUCTION
+    * rolling shape (day N arrives alone, reduces alone, history never
+    * rescanned) keeps calling [[sketchSlice]] per arriving slice — this
+    * helper exists so a backfill over co-resident slices does not pay one
+    * full corpus scan per slice (r21: q_corpus_card_daily, 3 scans → 1).
+    */
+  def sketchSlicesOnePass(docs: DataFrame, sliceExpr: org.apache.spark.sql.Column,
+                          groupCol: String = "lang",
+                          textCol: String = "text", charsCol: String = "n_chars",
+                          bucketWidth: Int = 50, lgConfigK: Int = 12): DataFrame = {
+    require(docs.columns.contains(groupCol),
+      s"CorpusCard.sketchSlicesOnePass: input has no '$groupCol' column")
+    sketchKeyed(docs, Seq(sliceExpr.as("__graft_slice"), col(groupCol)),
+        Seq("__graft_slice", groupCol), textCol, charsCol, bucketWidth, lgConfigK)
+      .drop("__graft_slice")
+  }
+
+  private def sketchKeyed(docs: DataFrame, keys: Seq[org.apache.spark.sql.Column],
+                          keyNames: Seq[String],
+                          textCol: String, charsCol: String,
+                          bucketWidth: Int, lgConfigK: Int): DataFrame = {
     require(bucketWidth > 0, s"CorpusCard: bucketWidth=$bucketWidth must be positive")
-    Seq(groupCol, textCol, charsCol).foreach(c => require(docs.columns.contains(c),
+    Seq(textCol, charsCol).foreach(c => require(docs.columns.contains(c),
       s"CorpusCard.sketchSlice: input has no '$c' column"))
     val bucket = (col(charsCol) / bucketWidth).cast("int")
     docs
-      .groupBy(col(groupCol), bucket.as("__bucket"))
+      .groupBy(keys :+ bucket.as("__bucket"): _*)
       .agg(
         count(lit(1)).as("__n"),
         sum(TextFunctions.tokenCount(col(textCol)).cast("long")).as("__tok"),
@@ -65,7 +100,7 @@ object CorpusCard {
       // the per-bucket partial sums/sketches union up. Both aggregates
       // are partial-combining; the exchange carries (group × buckets)
       // sketch-width rows, never documents.
-      .groupBy(col(groupCol))
+      .groupBy(keyNames.map(col): _*)
       .agg(
         sum("__n").as("n_docs"),
         sum("__tok").as("total_tokens"),

@@ -147,8 +147,14 @@ object ExactSubstr {
       .agg(count(lit(1)).as("n_spans"), sum(col("span_tokens")).as("n_tokens_removed"))
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
-        size(filter(split(trim(col(textCol)), "\\s+"), t => t =!= lit("")))
-          .as("n_tokens"))
+        // r21: native one-pass TokStats instead of the interpreted
+        // split/filter chain (same count — TokStats.ntok counts \s-runs —
+        // except the degenerate zero-token text, where TokStats reports the
+        // [""]-artifact 1; the rlike guard restores the 0 the split form
+        // produced). ExactSubstrSpec pins the empty/whitespace rows.
+        when(col(textCol).rlike("\\S"),
+            graft.functions.TextFunctions.tokenCount(col(textCol)))
+          .otherwise(lit(0)).as("n_tokens"))
       .join(spans, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),

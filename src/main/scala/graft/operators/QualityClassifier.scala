@@ -60,7 +60,19 @@ object QualityClassifier {
       s"QualityClassifier.score: input has no '$c' column"))
     val st = TextExpressions.hashedNgramLogit(
       col(textCol), model.weightsMilli, model.includeBigrams)
-    finish(docs.filter(col(textCol).isNotNull)
+    // Zero-gram drop as a CHEAP text predicate instead of [[finish]]'s
+    // `n_grams > 0`: Catalyst pushes a filter on a projected field below the
+    // projection by inlining the expression, so the full hashed-ngram logit
+    // evaluated TWICE per row — once in the Filter, once in the Project
+    // (r21 plan audit; the optimization guide's duplicated-UDF shape).
+    // Equivalence: n_grams > 0 ⟺ ntok ≥ 1 ⟺ text has a non-whitespace char,
+    // and the tokenizer's whitespace class (FastMd5.isWs) is exactly Java
+    // regex `\s` = [ \t\n\x0B\f\r], so `rlike("\\S")` decides ntok ≥ 1
+    // bit-identically — including control chars ≤ U+0020 outside `\s`
+    // (e.g. U+001C FILE SEPARATOR) that a trim()-based predicate would misclassify.
+    // Pinned against scoreColumnar on exactly those edges in
+    // QualityClassifierSpec.
+    project(docs.filter(col(textCol).isNotNull && col(textCol).rlike("\\S"))
       .select(col(idCol), st.getField("n_grams").as("n_grams"),
         (lit(model.biasMilli) + st.getField("sum_wmilli")).as("logit_milli")))
   }
@@ -89,8 +101,16 @@ object QualityClassifier {
         (lit(model.biasMilli) + sumw).as("logit_milli")))
   }
 
+  /** [[finish]] keeps the zero-gram filter for the columnar twin (whose
+    * gram arithmetic is cheap enough that the pushed-down duplicate does
+    * not matter); the native [[score]] pre-filters on the text instead and
+    * takes only the projection half.
+    */
   private def finish(scored: DataFrame): DataFrame =
-    scored.filter(col("n_grams") > 0)
+    project(scored.filter(col("n_grams") > 0))
+
+  private def project(scored: DataFrame): DataFrame =
+    scored
       // + 0.0 collapses IEEE -0.0 (a tiny negative logit rounding to zero)
       // to +0.0 — the oracle applies the same normalization
       .withColumn("score",

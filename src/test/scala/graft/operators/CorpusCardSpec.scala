@@ -35,6 +35,24 @@ class CorpusCardSpec extends SparkSpec {
     assert(mc == wc, s"merged=$mc whole=$wc")
   }
 
+  test("sketchSlicesOnePass states equal the per-slice sketchSlice union (r21 single-scan rewrite)") {
+    val all = docs(400)
+    val union = (0 until 3).map(d => CorpusCard.sketchSlice(all.filter(col("doc_id") % 3 === d)))
+      .reduce(_ unionByName _)
+    val onePass = CorpusCard.sketchSlicesOnePass(all, col("doc_id") % 3)
+    def stateRows(df: DataFrame) = df
+      .select(col("lang"), col("n_docs"), col("total_tokens"), col("quality_sum"),
+        to_json(col("chars_hist")).as("hist"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).toString, r.getString(4))).toSeq.sorted
+    // the exact state columns must match row-for-row (one state per (day, lang),
+    // slice id dropped); the HLL binary's serialized form may legally differ
+    // with accumulation order, so the estimate is checked through finish()
+    assert(stateRows(onePass) == stateRows(union))
+    assert(card(CorpusCard.finish(CorpusCard.merge(onePass)))
+      == card(CorpusCard.finish(CorpusCard.merge(union))))
+  }
+
   test("sketch state survives a parquet round trip (HLL binary + histogram map)") {
     val all = docs(300)
     val dir = java.nio.file.Files.createTempDirectory("graft-card").toString

@@ -66,6 +66,17 @@ class ExactSubstrSpec extends SparkSpec {
     assert(stats.map(_.getLong(0)).toSeq == Seq(1L))
   }
 
+  test("removalStats n_tokens: native TokStats count matches the split form on degenerate texts (r21)") {
+    // r21 swapped the interpreted split/filter token count for the native
+    // TokStats pass; the rlike guard must keep the empty/whitespace-only
+    // rows at 0 (TokStats alone reports the [""]-artifact 1 there).
+    val edge = Seq((1L, ""), (2L, " \t\n "), (3L, "a"), (4L, "  a  b  "))
+      .toDF("doc_id", "text")
+    val got = ExactSubstr.removalStats(edge, k = 5, minTokens = 10)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)), s"got $got")
+  }
+
   test("guards: k/minTokens relation, missing columns") {
     intercept[IllegalArgumentException](ExactSubstr.repeatedSpans(docs, k = 0))
     intercept[IllegalArgumentException](ExactSubstr.repeatedSpans(docs, k = 10, minTokens = 5))

@@ -60,6 +60,22 @@ class PerplexitySpec extends SparkSpec {
     assert(out.collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
+  test("no-bigram drop via the rlike pre-filter matches tokenizer semantics on control chars (r21)") {
+    // r21 replaced the pushed-down `__p.n_bigrams > 0` filter (which
+    // re-evaluated BigramPpl in the Filter) with `rlike("\\S\\s+\\S")` —
+    // equivalent only because Tok splits on Java-regex \s+. Control chars
+    // outside \s (FS = \u001C here) are token CHARACTERS: "\u001C \u001C" is
+    // two tokens -> one bigram -> kept; "x\u000By" splits on VT (a \s char)
+    // into two tokens -> kept; "solo", "\u001C" alone, and all-\s texts drop.
+    val lm = Perplexity.train(Seq((0L, "a b")).toDF("doc_id", "text"))
+    val out = Perplexity.score(
+      Seq((1L, "\u001C \u001C"), (2L, "x\u000By"), (3L, "solo"), (4L, "\t\r\n"),
+        (5L, "\u001C"), (6L, " a  b "), (7L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text"), lm)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (6L, 1L)), s"got $out")
+  }
+
   test("score plans as a pure scan projection: no join, no aggregate exchange") {
     val docs = (0L until 50L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
       .toDF("doc_id", "text")

@@ -31,6 +31,30 @@ class QualityClassifierSpec extends SparkSpec {
     assert(n.map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 6L, 7L))
   }
 
+  test("zero-gram drop via the rlike pre-filter matches tokenizer semantics on control chars (r21)") {
+    // r21 replaced finish()'s pushed-down `n_grams > 0` (which re-evaluated
+    // the full logit in the Filter) with `rlike("\\S")` — equivalent ONLY
+    // because the tokenizer's whitespace class is exactly Java-regex \s.
+    // Control chars <= U+0020 outside \s (FS, NUL here) are TOKENS: a doc of
+    // just "\u001C" must survive with 1 gram on both paths (a Java
+    // String.trim-based predicate would wrongly drop it).
+    val edge = Seq(
+      (10L, "\u001C"),                  // FS: non-\s control char -> one token
+      (11L, "\u000B\u000C\r"),          // VT/FF/CR: all \s -> zero tokens, drop
+      (12L, "\u0000"),                  // NUL: non-\s -> one token
+      (13L, "\u0000 x y \u001D"),       // mixed: 4 tokens
+      (14L, "\t \n")                    // \s only -> drop
+    ).toDF("doc_id", "text")
+    val m = formulaModel(512)
+    val n = score(edge, m).orderBy("doc_id").collect()
+    val c = scoreColumnar(edge, m).orderBy("doc_id").collect()
+    assert(n.toSeq == c.toSeq, s"native ${n.toSeq} != columnar ${c.toSeq}")
+    assert(n.map(_.getLong(0)).toSet == Set(10L, 12L, 13L))
+    // single-token FS doc: 1 unigram + 0 bigrams
+    assert(n.find(_.getLong(0) == 10L).get.getInt(1) == 1)
+    assert(n.find(_.getLong(0) == 13L).get.getInt(1) == 4 + 3)
+  }
+
   test("hand-computed logit: gram stream, bucket, weight sum") {
     // doc 6: tokens [a b a b a b] -> 6 unigrams + 5 bigrams = 11 grams
     val m = formulaModel(512)
