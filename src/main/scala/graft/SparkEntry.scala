@@ -1244,33 +1244,41 @@ object SparkEntry {
     "q_corpus_card" -> ((s, dir) => {
       // The corpus DATASHEET — per-language doc counts, token totals, mean
       // quality (decimal money-sum, order-free), exact median length, and
-      // the exact-dup signal (distinct md5 vs rows). The distinct count
-      // runs as its OWN single-distinct aggregate joined back on lang:
-      // mixing countDistinct with the other aggregates makes Catalyst
-      // Expand every row ×2 and push the doubled stream (exact-percentile
-      // buffers included) through the first aggregate — measured 25%
-      // slower than the two-aggregate join at sf10. lang is a handful of
-      // groups, so the join is a broadcast of a dozen rows.
+      // the exact-dup signal (distinct md5 vs rows). r21: ONE text scan —
+      // pre-group by (lang, md5(text), n_chars), then reduce the narrow
+      // group states per lang. The two earlier shapes each read text twice
+      // (base aggregate + its own distinct-count aggregate joined back;
+      // the single-aggregate form Expanded every DOC row ×2 with exact-
+      // percentile buffers riding the doubled stream — measured 25% worse
+      // at sf10). Pre-grouping moves the Expand ABOVE the reduction: it
+      // doubles content-hash-level rows (~60 B each), never documents, and
+      // the percentile reads frequency-weighted (value, count) pairs —
+      // identical multiset, exact by Percentile's frequency contract.
+      // n_chars joins the group key so no constant-per-hash assumption is
+      // needed; the quality sum stays exact through the two levels via the
+      // 128-bit partial/merge pair (sumMoneyPartial/sumMoneyMerge — a plain
+      // sum of per-group DOUBLES would re-round per add). NULL lang is a
+      // normal group (the old two-aggregate form needed a null-safe join
+      // for it); NULL text ⇒ NULL hash group: counted in n_docs, skipped
+      // by count(text)/countDistinct exactly as before.
       val docs = Tables.load(s, dir, "documents")
-      val base = docs.groupBy("lang")
+      docs
+        .groupBy(col("lang"), md5(col("text")).as("__h"), col("n_chars"))
         .agg(
-          count(lit(1)).as("n_docs"),
+          count(lit(1)).as("__n"),
+          count(col("text")).as("__nt"),
           sum(functions.TextFunctions.tokenCount(col("text")).cast("long"))
-            .as("total_tokens"),
-          round(plans.Decimal128.sumMoney(
-              functions.TextFunctions.qualityScore(col("text")), 6)
-              / count(col("text")), 4)
-            .as("avg_quality"),
-          round(expr("percentile(n_chars, 0.5D)"), 4).as("p50_chars"))
-      // Null-safe join key: lang is nullable and a NULL-lang group survives
-      // both groupBys — a plain equi-join would drop it (null != null)
-      // while the single-aggregate form and the SQL twin's GROUP BY keep
-      // it. The rename sidesteps self-join attribute ambiguity (both
-      // aggregates' grouping columns carry the scan's exprId).
-      val uniq = docs.groupBy("lang")
-        .agg(countDistinct(md5(col("text"))).as("n_unique"))
-        .withColumnRenamed("lang", "__ulang")
-      base.join(uniq, col("lang") <=> col("__ulang"))
+            .as("__tok"),
+          plans.Decimal128.sumMoneyPartial(
+            functions.TextFunctions.qualityScore(col("text")), 6).as("__q"))
+        .groupBy("lang")
+        .agg(
+          sum(col("__n")).as("n_docs"),
+          sum(col("__tok")).as("total_tokens"),
+          round(plans.Decimal128.sumMoneyMerge(col("__q"), 6)
+            / sum(col("__nt")), 4).as("avg_quality"),
+          round(expr("percentile(n_chars, 0.5D, __n)"), 4).as("p50_chars"),
+          countDistinct(col("__h")).as("n_unique"))
         .select("lang", "n_docs", "total_tokens", "avg_quality", "p50_chars", "n_unique")
         .orderBy("lang")
     }),

@@ -73,6 +73,26 @@ object Decimal128 {
   /** Drop-in for `sum(c.cast("decimal(18,s)")).cast("double")`. */
   def sumMoney(c: Column, scale: Int = 2): Column = sum128(scaled(c, scale), scale)
 
+  /** Level-1 half of a TWO-LEVEL exact money sum: per-group 128-bit partial
+    * state (`struct<hi,lo,isEmpty>` — [[Decimal128SumPartial]]). Combine the
+    * group states with [[sumMoneyMerge]]; the merged double is bit-identical
+    * to a one-level [[sumMoney]] over the same rows (128-bit adds are
+    * associative; one double conversion at the very end — the same
+    * partial/merge pair GroupingSetRules injects, equality pinned in
+    * GroupingSetRulesSpec and Decimal128Spec). Use when an aggregation
+    * pre-groups on a finer key and the exact total must survive the second
+    * level — a plain `sum` over [[sumMoney]]'s per-group DOUBLES would
+    * re-round at every add.
+    */
+  def sumMoneyPartial(c: Column, scale: Int = 2): Column =
+    ColumnShim.column(Decimal128SumPartial(
+      ColumnShim.expression(scaled(c, scale)), scale).toAggregateExpression())
+
+  /** Level-2 half of the two-level exact money sum — see [[sumMoneyPartial]]. */
+  def sumMoneyMerge(c: Column, scale: Int = 2): Column =
+    ColumnShim.column(Decimal128SumMerge(
+      ColumnShim.expression(c), scale).toAggregateExpression())
+
   // ---- static runtime (shared by eval and generated code) ----------------
 
   private val POW10: Array[Double] =

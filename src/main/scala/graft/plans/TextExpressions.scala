@@ -1312,24 +1312,45 @@ case class BigramLmLocal(bigrams: Map[String, Long], contexts: Map[String, Long]
     val s = new java.util.HashSet[String](vocab.size * 2)
     vocab.foreach(s.add); s
   }
-  /** "w1 w2" → micros for every trained pair (space join is collision-free:
-    * tokens come from a `\s+` split). */
-  @transient lazy val seenMicros: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](bigrams.size * 2)
+  /** w1 → (w2 → seen-pair micros, unseen-continuation micros), the
+    * CONTEXT-NESTED layout of the former flat `"w1 w2" → micros` map: the
+    * scoring loop probes the inner map per occurrence and re-resolves the
+    * context entry only on token transition — no per-bigram "w1 w2" string
+    * concatenation (r21: the one remaining per-occurrence allocation in
+    * the hot loop). Values are the identical precomputed micros: seen pairs
+    * with their context counts (cn = 0 for a pair whose w1 never appears as
+    * a context — the flat map's `getOrElse` semantics), unseen
+    * continuations of a trained context at micros(0, cn), and a context
+    * absent here scores [[noCtxMicros]], exactly as the flat map's miss
+    * path did.
+    */
+  @transient lazy val ctxMicros: java.util.HashMap[String, BigramLmLocal.Ctx] = {
+    val m = new java.util.HashMap[String, BigramLmLocal.Ctx](contexts.size * 2)
+    contexts.foreach { case (w1, cn) =>
+      m.put(w1, new BigramLmLocal.Ctx(
+        new java.util.HashMap[String, java.lang.Long](4), micros(0L, cn)))
+    }
     bigrams.foreach { case (k, n) =>
       val w1 = k.substring(0, k.indexOf(' '))
-      m.put(k, micros(n, contexts.getOrElse(w1, 0L)))
+      val w2 = k.substring(k.indexOf(' ') + 1)
+      var c = m.get(w1)
+      if (c == null) { // defensive: pair whose w1 the contexts map lacks
+        c = new BigramLmLocal.Ctx(
+          new java.util.HashMap[String, java.lang.Long](4), micros(0L, 0L))
+        m.put(w1, c)
+      }
+      c.inner.put(w2, micros(n, contexts.getOrElse(w1, 0L)))
     }
-    m
-  }
-  /** w1 → micros of an UNSEEN continuation of that context. */
-  @transient lazy val unseenMicros: java.util.HashMap[String, java.lang.Long] = {
-    val m = new java.util.HashMap[String, java.lang.Long](contexts.size * 2)
-    contexts.foreach { case (w1, cn) => m.put(w1, micros(0L, cn)) }
     m
   }
   /** micros when w1 itself was never a context (cn = 0). */
   @transient lazy val noCtxMicros: Long = micros(0L, 0L)
+}
+
+object BigramLmLocal {
+  /** One trained context's scoring state — see [[BigramLmLocal.ctxMicros]]. */
+  final class Ctx(val inner: java.util.HashMap[String, java.lang.Long],
+                  val unseen: Long)
 }
 
 object BigramPpl {
@@ -1349,17 +1370,19 @@ object BigramPpl {
     if (n <= 0) return InternalRow(0L, null)
     def mapped(t: String): String = if (m.vocabSet.contains(t)) t else Unk
     var sum = 0L
-    var w1 = mapped(toks(0))
+    var ctx = m.ctxMicros.get(mapped(toks(0)))
     var i = 0
     while (i < n) {
       val w2 = mapped(toks(i + 1))
-      val seen = m.seenMicros.get(w1 + " " + w2)
-      sum += (if (seen != null) seen.longValue()
+      // context-nested probes instead of a per-occurrence "w1 w2" concat:
+      // seen pair → its micros; trained context, unseen pair → ctx.unseen;
+      // untrained context → noCtxMicros (identical values to the flat map)
+      sum += (if (ctx == null) m.noCtxMicros
               else {
-                val un = m.unseenMicros.get(w1)
-                if (un != null) un.longValue() else m.noCtxMicros
+                val seen = ctx.inner.get(w2)
+                if (seen != null) seen.longValue() else ctx.unseen
               })
-      w1 = w2
+      ctx = m.ctxMicros.get(w2)
       i += 1
     }
     val s = new java.math.BigDecimal(java.math.BigInteger.valueOf(sum), 6).doubleValue()

@@ -74,12 +74,22 @@ class PlanPropertiesSpec extends SparkSpec {
       s"split assignment must add no shuffle beyond the final orderBy:\n$p")
   }
 
-  test("pipeline corpus: winners broadcast into a semi-join; bodies never shuffle") {
+  test("pipeline corpus: one gated scan, one-pass window dedup; bodies never shuffle") {
+    // r21: the join-form dedup (winner aggregate + broadcast semi-join)
+    // re-scanned and re-gated the corpus on both sides — langid +
+    // qualityScore evaluated twice — and its winner broadcast dies at
+    // scale. The one-pass form gates ONE scan and dedups via the
+    // row_number window over sha2(text).
     val p = plan("q_pipeline_corpus")
-    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
-      s"winners not broadcast-semi-joined:\n$p")
-    // the only non-sort exchange carries (hash, min id) aggregates — if the
-    // text column ever appears in an Exchange's schema, bodies are moving
+    assert(!p.contains("Join"), s"one-pass corpus dedup must not join:\n$p")
+    // exactly one Filter/Project OPERATOR evaluates the gates (the FileScan
+    // line echoes the pushed DataFilters — that echo is not an evaluation)
+    val gateOps = p.linesIterator.filter(l =>
+      l.contains("langid(") && !l.contains("FileScan")).toSeq
+    assert(gateOps.length == 1,
+      s"gates must evaluate in exactly one operator, found ${gateOps.length}:\n$p")
+    // the window exchange carries (ids, metadata, sha2) — if the text
+    // column ever appears in an Exchange's schema, bodies are moving
     val exchanges = "Exchange [^\\n]*".r.findAllIn(p).mkString("\n")
     assert(!exchanges.contains("text#"), s"document bodies shuffle:\n$exchanges")
   }

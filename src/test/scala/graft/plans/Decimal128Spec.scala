@@ -34,6 +34,30 @@ class Decimal128Spec extends SparkSpec {
     }
   }
 
+  test("two-level sumMoneyPartial/sumMoneyMerge is bit-equal to one-level sumMoney (r21)") {
+    // The q_corpus_card pre-group shape: sum per fine group, merge per
+    // coarse group. 128-bit adds are associative and the double conversion
+    // happens once at the end, so the merged value must match one-level
+    // sumMoney on the raw bits — a plain sum of the per-group doubles
+    // would not (re-rounds per add; this pin is why the helpers exist).
+    val rows = pool(77, 4000).zipWithIndex
+      .map { case (v, i) => (i % 7, i % 131, v) } // coarse key, fine key
+    val df = rows.toDF("g", "f", "x")
+    for (scale <- Seq(2, 6)) {
+      val one = df.groupBy("g")
+        .agg(Decimal128.sumMoney(col("x"), scale).as("s"))
+        .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+      val two = df.groupBy("g", "f")
+        .agg(Decimal128.sumMoneyPartial(col("x"), scale).as("p"))
+        .groupBy("g")
+        .agg(Decimal128.sumMoneyMerge(col("p"), scale).as("s"))
+        .collect().map(r => r.getInt(0) -> r.get(1)).toMap
+      one.foreach { case (g, v) =>
+        assert(bitEqual(v, two(g)), s"scale=$scale g=$g one-level=$v two-level=${two(g)}")
+      }
+    }
+  }
+
   test("toScaledLong is bit-equal to cast(double as decimal(18,s)) per row") {
     for (scale <- Seq(2, 4, 6)) {
       // The session runs ANSI (Spark 4 default): the reference cast THROWS
