@@ -437,12 +437,18 @@ object SparkEntry {
       // artifact: for non-null text, tokens() yields [""] iff the
       // edge-stripped text is empty, which is exactly when TermCounts
       // (which skips empty tokens) returns zero entries — so an empty
-      // entries array stands for one "" occurrence, restored below.
+      // entries array stands for one "" occurrence, restored below. The
+      // zero-entry test is the cheap `rlike("\\S")` text predicate (ntok
+      // ≥ 1 ⟺ a non-whitespace char — the classifier/perplexity
+      // equivalence, same Java-regex-\s tokenizer class), NOT
+      // `size(entries) === 0`: a size() condition re-evaluates the full
+      // TermCounts pass in the CASE's condition arm, and Generate gets no
+      // subexpression elimination (r21 review — the duplicated work was
+      // half of what this rewrite saves).
       // Oracle (unnest of the same split) unchanged; hash-checked.
       val tc = plans.TextExpressions.termCounts(col("text"))
-      val entries = when(size(tc.getField("entries")) === 0,
-          array(struct(lit("").as("term"), lit(1).cast("int").as("n"))))
-        .otherwise(tc.getField("entries"))
+      val entries = when(col("text").rlike("\\S"), tc.getField("entries"))
+        .otherwise(array(struct(lit("").as("term"), lit(1).cast("int").as("n"))))
       Tables.load(s, dir, "documents")
         .filter(col("text").isNotNull)
         .select(explode(entries).as("e"))
@@ -1325,12 +1331,16 @@ object SparkEntry {
       // the states, and therefore the merged card, are row-identical to the
       // filter-per-day union (every state column reduces per (day, lang)
       // either way; guide §2.4 — the three scans shared no work). The
-      // isNotNull filter preserves the old per-day `doc_id % 3 === d`
-      // semantics exactly: a NULL doc_id matched no day slice.
+      // isin(0,1,2) filter is the EXACT translation of the old per-day
+      // `doc_id % 3 === d` enumeration: a NULL doc_id matched no slice, and
+      // neither would a negative one (Spark % keeps the dividend's sign) —
+      // groupBy alone is total over the slice expression, the filter
+      // restores the enumeration's domain (r21 review).
       val docs = Tables.load(s, dir, "documents")
       val merged = operators.CorpusCard.merge(
         operators.CorpusCard.sketchSlicesOnePass(
-          docs.filter(col("doc_id").isNotNull), col("doc_id") % 3))
+          docs.filter((col("doc_id") % 3).isInCollection(Seq(0, 1, 2))),
+          col("doc_id") % 3))
       operators.CorpusCard.finish(merged)
         .select("lang", "n_docs", "total_tokens", "avg_quality", "p50_chars_est")
         .orderBy("lang")

@@ -90,10 +90,7 @@ object Bucketing {
     val sorted =
       if (sortKeys.nonEmpty) s" SORTED BY (${sortKeys.map(k => s"`$k`").mkString(", ")})"
       else ""
-    // location is interpolated into DDL — escape single quotes (ADVICE r20:
-    // a path containing ' broke the statement; this is a public API, not
-    // just the harness's safe paths)
-    val loc = location.replace("'", "\\'")
+    val loc = escapeDdlString(location)
     spark.sql(
       s"""CREATE TABLE `$table` ($schemaDdl) USING PARQUET
          |CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")})$sorted
@@ -101,6 +98,18 @@ object Bucketing {
          |LOCATION '$loc'""".stripMargin)
     ()
   }
+
+  /** String-literal escape for values interpolated into DDL: backslashes
+    * doubled FIRST, then single quotes (ADVICE r20 + r21 review — a path
+    * containing ' broke the statement; without the backslash pass a
+    * trailing \ would escape the closing quote and mid-path \t/\n byte
+    * pairs would decode as control chars). Note paths containing
+    * backslashes still fail UPSTREAM of any DDL (Hadoop's glob expander
+    * rejects them in `spark.read.parquet`) — this escape just guarantees
+    * the DDL layer never corrupts or breaks on its own.
+    */
+  private[operators] def escapeDdlString(s: String): String =
+    s.replace("\\", "\\\\").replace("'", "\\'")
 
   /** Make Overwrite mean overwrite ACROSS processes: drop the table if the
     * session knows it, then delete its orphaned warehouse location if one

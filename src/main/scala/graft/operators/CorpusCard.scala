@@ -61,7 +61,13 @@ object CorpusCard {
     * key, so one scan + one exchange produce one state row per
     * (slice, group) — row-identical to filtering per slice and unioning the
     * per-slice [[sketchSlice]] outputs, because every state column reduces
-    * per (slice, group) either way (sums/histogram/HLL are order-free). The
+    * per (slice, group) either way (sums/histogram/HLL are order-free).
+    * CAVEAT (the one asymmetry vs a filter union): groupBy is TOTAL over
+    * `sliceExpr` — rows whose slice value a filter enumeration would never
+    * match (NULL, a negative remainder) still form a slice here and flow
+    * into the merged card. A caller replicating an explicit enumeration
+    * must pre-filter to its domain (q_corpus_card_daily filters
+    * `(doc_id % 3).isin(0,1,2)`). The
     * slice id is dropped from the result: [[merge]] consumes states row-wise
     * regardless of origin, exactly as it consumes a union. The PRODUCTION
     * rolling shape (day N arrives alone, reduces alone, history never

@@ -159,19 +159,20 @@ object FusedTopK {
           buf.toArray
         }
       }
-      val out = chunks
+      // Once the reduce has consumed the iterator, every shard result is
+      // materialized (eager localCheckpoint) and the returned plan reads
+      // only those — release the full query-frame checkpoint NOW instead of
+      // pinning the whole frame in executor storage until the
+      // ContextCleaner happens to GC it (a sharded run exists precisely
+      // because the frame is big). finally: a shard job that THROWS
+      // mid-reduce must release the frame too (r21 review) — the pinning
+      // would otherwise outlive the failed query.
+      try chunks
         .map(chunk => runShard(chunk).localCheckpoint())
         .reduce(_ unionByName _)
-      // The reduce above has consumed the iterator, so every shard result is
-      // already materialized (eager localCheckpoint) and the returned plan
-      // reads only those — release the full query-frame checkpoint NOW
-      // instead of pinning the whole frame in executor storage until the
-      // ContextCleaner happens to GC it (a sharded run exists precisely
-      // because the frame is big).
-      mat.queryExecution.optimizedPlan.collectFirst {
+      finally mat.queryExecution.optimizedPlan.collectFirst {
         case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       }
-      out
     }
   }
 

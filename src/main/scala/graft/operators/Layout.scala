@@ -102,10 +102,29 @@ object Layout {
                 byName.get(c) match {
                   case None => usable = false // column missing: no safe answer
                   case Some(cc) =>
+                    // The LOGICAL type must be a plain signed int: int32/
+                    // int64-BACKED columns with a decimal/timestamp/date/
+                    // unsigned annotation also carry Integer/Long stats
+                    // objects, but their values are raw physical longs
+                    // (unscaled decimals, unsigned bit patterns) — matching
+                    // on the stats object's runtime class alone would
+                    // return a silently wrong bound for them (r21 review).
+                    val pt = cc.getPrimitiveType
+                    val ptn = pt.getPrimitiveTypeName
+                    val intBacked =
+                      ptn == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 ||
+                      ptn == org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32
+                    val plainSigned = pt.getLogicalTypeAnnotation match {
+                      case null => true
+                      case a: org.apache.parquet.schema.LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+                        a.isSigned
+                      case _ => false // decimal/timestamp/date/unsigned/...
+                    }
                     val st = cc.getStatistics
                     // stats absent/unreadable → fall back; a block whose
                     // rows are ALL null simply contributes nothing
-                    if (st == null || st.isEmpty) usable = false
+                    if (!(intBacked && plainSigned)) usable = false
+                    else if (st == null || st.isEmpty) usable = false
                     else if (st.hasNonNullValue) st.genericGetMax match {
                       case l: java.lang.Long =>
                         acc(c) = acc.get(c).fold(l.longValue)(math.max(_, l.longValue))

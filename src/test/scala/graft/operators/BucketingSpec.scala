@@ -31,6 +31,26 @@ class BucketingSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     dropTables("bk_a", "bk_b")
   }
 
+  test("registerBucketed escapes quotes in the location DDL; backslash escape at the unit level (r21)") {
+    // end-to-end with a single quote (backslash paths die upstream of any
+    // DDL — Hadoop's glob expander rejects them in spark.read.parquet, so
+    // the escape's backslash half is pinned at the unit level below)
+    val base = java.nio.file.Files.createTempDirectory("graft_bk_esc").toString
+    val loc = s"$base/we'ird dir"
+    dropTables("bk_esc")
+    val df = (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+    Bucketing.writeBucketedAt(df, "bk_esc", loc, 2, Seq("k"), Seq("k"))
+    spark.sql("DROP TABLE `bk_esc`") // external: files survive the drop
+    Bucketing.registerBucketed(spark, "bk_esc", loc, 2, Seq("k"), Seq("k"))
+    assert(Bucketing.table(spark, "bk_esc").count() == 50)
+    dropTables("bk_esc")
+    // backslashes double FIRST, then quotes — a trailing \ must not be able
+    // to eat the closing quote, and \' must not collapse into a lone quote
+    assert(Bucketing.escapeDdlString("""a\tb""") == """a\\tb""")
+    assert(Bucketing.escapeDdlString("""end\""") == """end\\""")
+    assert(Bucketing.escapeDdlString("""q'\'""") == """q\'\\\'""")
+  }
+
   test("bucketed group-by on the bucket key skips its exchange") {
     val a = (0L until 200L).map(i => (i % 10, i)).toDF("k", "v")
     dropTables("bk_g")

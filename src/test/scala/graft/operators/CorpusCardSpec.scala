@@ -36,10 +36,17 @@ class CorpusCardSpec extends SparkSpec {
   }
 
   test("sketchSlicesOnePass states equal the per-slice sketchSlice union (r21 single-scan rewrite)") {
-    val all = docs(400)
+    // includes NEGATIVE doc_ids: the union's `% 3 === d` enumeration never
+    // matches them (Spark % keeps the dividend's sign), and groupBy is
+    // TOTAL over the slice expression — so the documented recipe is a
+    // domain pre-filter on the one-pass side, which must then be
+    // row-identical to the union.
+    val all = docs(400).unionByName(
+      docs(30).withColumn("doc_id", -col("doc_id") - 1))
     val union = (0 until 3).map(d => CorpusCard.sketchSlice(all.filter(col("doc_id") % 3 === d)))
       .reduce(_ unionByName _)
-    val onePass = CorpusCard.sketchSlicesOnePass(all, col("doc_id") % 3)
+    val onePass = CorpusCard.sketchSlicesOnePass(
+      all.filter((col("doc_id") % 3).isInCollection(Seq(0, 1, 2))), col("doc_id") % 3)
     def stateRows(df: DataFrame) = df
       .select(col("lang"), col("n_docs"), col("total_tokens"), col("quality_sum"),
         to_json(col("chars_hist")).as("hist"))

@@ -127,4 +127,23 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     // empty dir: refuses
     assert(Layout.footerLongMax(spark, s"$dir/empty", Seq("a")).isEmpty)
   }
+
+  test("footerLongMax refuses int-BACKED logical types whose stats are raw physical values (r21)") {
+    // decimal(10,2) is int64-backed in parquet: its footer max is the
+    // UNSCALED long (12345 for 123.45) wrapped in a java.lang.Long — a
+    // runtime-class match alone would return a 100x-wrong bound. Same for
+    // date (int32-backed days) and timestamp. The logical-type gate must
+    // send all of these to the scan fallback.
+    val dir = java.nio.file.Files.createTempDirectory("graft_footer_logical").toString
+    (0L until 100L).toDF("a")
+      .withColumn("dec", (col("a") / 100.0).cast("decimal(10,2)"))
+      .withColumn("dt", to_date(lit("2026-01-01")))
+      .withColumn("ts", to_timestamp(lit("2026-01-01 00:00:00")))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    assert(Layout.footerLongMax(spark, s"$dir/t", Seq("dec")).isEmpty)
+    assert(Layout.footerLongMax(spark, s"$dir/t", Seq("dt")).isEmpty)
+    assert(Layout.footerLongMax(spark, s"$dir/t", Seq("ts")).isEmpty)
+    // the plain long column next to them still answers
+    assert(Layout.footerLongMax(spark, s"$dir/t", Seq("a")).contains(Map("a" -> 99L)))
+  }
 }
