@@ -1332,10 +1332,13 @@ object SparkEntry {
       // filter-per-day union (every state column reduces per (day, lang)
       // either way; guide §2.4 — the three scans shared no work). The
       // isin(0,1,2) filter is the EXACT translation of the old per-day
-      // `doc_id % 3 === d` enumeration: a NULL doc_id matched no slice, and
-      // neither would a negative one (Spark % keeps the dividend's sign) —
-      // groupBy alone is total over the slice expression, the filter
-      // restores the enumeration's domain (r21 review).
+      // `doc_id % 3 === d` enumeration: a NULL doc_id matched no slice, a
+      // negative NON-multiple of 3 matched none either (Spark % keeps the
+      // dividend's sign: -1 % 3 = -1), while a negative MULTIPLE of 3
+      // (-3 % 3 = 0) DID land in day 0 — isin(0,1,2) reproduces all three
+      // cases; do not "simplify" it to doc_id >= 0. groupBy alone is total
+      // over the slice expression; the filter restores the enumeration's
+      // domain (r21 review).
       val docs = Tables.load(s, dir, "documents")
       val merged = operators.CorpusCard.merge(
         operators.CorpusCard.sketchSlicesOnePass(

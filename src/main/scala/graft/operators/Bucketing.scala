@@ -40,7 +40,7 @@ object Bucketing {
   def writeBucketedAt(df: DataFrame, table: String, location: String, buckets: Int,
                       keys: Seq[String], sortKeys: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${escapeIdent(table)}`")
     val loc = new org.apache.hadoop.fs.Path(location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
@@ -88,12 +88,13 @@ object Bucketing {
       s"Bucketing.registerBucketed: table '$table' already exists")
     val schemaDdl = spark.read.parquet(location).schema.toDDL
     val sorted =
-      if (sortKeys.nonEmpty) s" SORTED BY (${sortKeys.map(k => s"`$k`").mkString(", ")})"
+      if (sortKeys.nonEmpty)
+        s" SORTED BY (${sortKeys.map(k => s"`${escapeIdent(k)}`").mkString(", ")})"
       else ""
     val loc = escapeDdlString(location)
     spark.sql(
-      s"""CREATE TABLE `$table` ($schemaDdl) USING PARQUET
-         |CLUSTERED BY (${keys.map(k => s"`$k`").mkString(", ")})$sorted
+      s"""CREATE TABLE `${escapeIdent(table)}` ($schemaDdl) USING PARQUET
+         |CLUSTERED BY (${keys.map(k => s"`${escapeIdent(k)}`").mkString(", ")})$sorted
          |INTO $buckets BUCKETS
          |LOCATION '$loc'""".stripMargin)
     ()
@@ -110,6 +111,14 @@ object Bucketing {
     */
   private[operators] def escapeDdlString(s: String): String =
     s.replace("\\", "\\\\").replace("'", "\\'")
+
+  /** Backtick-quoted-identifier escape (backticks doubled) — table and
+    * column names are interpolated into the same DDL as the location and
+    * need their own escape class (r21 review: a backtick in a name would
+    * terminate the quoted identifier early).
+    */
+  private[operators] def escapeIdent(s: String): String =
+    s.replace("`", "``")
 
   /** Make Overwrite mean overwrite ACROSS processes: drop the table if the
     * session knows it, then delete its orphaned warehouse location if one
@@ -133,7 +142,7 @@ object Bucketing {
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
           .location).toOption
       else None
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"DROP TABLE IF EXISTS `${escapeIdent(table)}`")
     val loc = knownLoc.map(u => new org.apache.hadoop.fs.Path(u)).getOrElse(
       new org.apache.hadoop.fs.Path(
         spark.conf.get("spark.sql.warehouse.dir"),

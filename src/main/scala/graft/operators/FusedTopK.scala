@@ -170,9 +170,13 @@ object FusedTopK {
       try chunks
         .map(chunk => runShard(chunk).localCheckpoint())
         .reduce(_ unionByName _)
-      finally mat.queryExecution.optimizedPlan.collectFirst {
-        case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-      }
+      finally
+        // best-effort: if the shard failure is a dying/stopped context, the
+        // unpersist itself can throw — that must not MASK the original
+        // exception (r21 review); the blocks die with the context anyway
+        try mat.queryExecution.optimizedPlan.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+        } catch { case scala.util.control.NonFatal(_) => }
     }
   }
 

@@ -36,11 +36,13 @@ class CorpusCardSpec extends SparkSpec {
   }
 
   test("sketchSlicesOnePass states equal the per-slice sketchSlice union (r21 single-scan rewrite)") {
-    // includes NEGATIVE doc_ids: the union's `% 3 === d` enumeration never
-    // matches them (Spark % keeps the dividend's sign), and groupBy is
-    // TOTAL over the slice expression — so the documented recipe is a
-    // domain pre-filter on the one-pass side, which must then be
-    // row-identical to the union.
+    // includes NEGATIVE doc_ids: the union's `% 3 === d` enumeration
+    // excludes negative NON-multiples of 3 (Spark % keeps the dividend's
+    // sign: -1 % 3 = -1) but negative MULTIPLES of 3 land in d = 0
+    // (-3 % 3 = 0), and groupBy is TOTAL over the slice expression — so
+    // the documented recipe is the isin(0,1,2) domain pre-filter on the
+    // one-pass side (NOT doc_id >= 0, which would drop the -3k rows the
+    // union keeps); the result must then be row-identical to the union.
     val all = docs(400).unionByName(
       docs(30).withColumn("doc_id", -col("doc_id") - 1))
     val union = (0 until 3).map(d => CorpusCard.sketchSlice(all.filter(col("doc_id") % 3 === d)))
