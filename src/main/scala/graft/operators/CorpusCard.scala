@@ -81,6 +81,11 @@ object CorpusCard {
                           bucketWidth: Int = 50, lgConfigK: Int = 12): DataFrame = {
     require(docs.columns.contains(groupCol),
       s"CorpusCard.sketchSlicesOnePass: input has no '$groupCol' column")
+    // the slice key aliases "__graft_slice" and is dropped by that name: a
+    // pre-existing column (or groupCol) of that name would make the groupBy
+    // ambiguous / the drop remove the wrong column (r21 ADVICE)
+    require(!docs.columns.contains("__graft_slice") && groupCol != "__graft_slice",
+      "CorpusCard.sketchSlicesOnePass: input already has a '__graft_slice' column — rename it first")
     sketchKeyed(docs, Seq(sliceExpr.as("__graft_slice"), col(groupCol)),
         Seq("__graft_slice", groupCol), textCol, charsCol, bucketWidth, lgConfigK)
       .drop("__graft_slice")
@@ -91,8 +96,10 @@ object CorpusCard {
                           textCol: String, charsCol: String,
                           bucketWidth: Int, lgConfigK: Int): DataFrame = {
     require(bucketWidth > 0, s"CorpusCard: bucketWidth=$bucketWidth must be positive")
+    // neutral prefix: both sketchSlice and sketchSlicesOnePass land here, so
+    // the message must not name one entry point (r21 ADVICE)
     Seq(textCol, charsCol).foreach(c => require(docs.columns.contains(c),
-      s"CorpusCard.sketchSlice: input has no '$c' column"))
+      s"CorpusCard: input has no '$c' column"))
     val bucket = (col(charsCol) / bucketWidth).cast("int")
     docs
       .groupBy(keys :+ bucket.as("__bucket"): _*)

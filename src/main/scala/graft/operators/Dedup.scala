@@ -204,18 +204,26 @@ object Dedup {
     * caller. Ids must be unique ACROSS both frames (monotone ingest ids give
     * this for free).
     *
+    * No-index corpus cost (r22): the corpus is read TWICE, never cached —
+    * one streaming pass emitting only narrow `(id, band, bhash)` rows for
+    * the candidate join, then a bounded second pass recomputing shingle
+    * hashes for band-collision candidates only (broadcast semi-join). The
+    * pre-r22 form instead persisted the full corpus MinHash state —
+    * O(corpus) executor storage per call, which no 100 TB ingest survives;
+    * two scans whose shuffled/cached volume is O(candidates) do. Survivors
+    * are identical (DedupSpec pins parity against the index branch).
+    *
     * Cache lifecycle: unlike the lazily-returned [[minhashLsh]], this call is
     * EAGER — the (tiny, id-width) drop set is materialized before returning
-    * so the big intermediates (new-batch minhash state, and the corpus-side
-    * state when no `corpusIndex` was given) can be unpersisted immediately
-    * instead of accumulating across daily-ingest calls in a long-lived
-    * session. The drop set materializes via `localCheckpoint`, NOT
-    * `persist`: a persisted Dataset is pinned by the session's CacheManager
-    * until explicit unpersist (ContextCleaner never touches it), which
-    * would leak one cached relation per daily batch; localCheckpoint blocks
-    * belong to a plain RDD that ContextCleaner DOES reclaim once the
-    * returned plan is unreachable. A caller-supplied `corpusIndex`'s own
-    * persistence is caller-managed, untouched here.
+    * so the big intermediate (the new batch's minhash state) can be
+    * unpersisted immediately instead of accumulating across daily-ingest
+    * calls in a long-lived session. The drop set materializes via
+    * `localCheckpoint`, NOT `persist`: a persisted Dataset is pinned by the
+    * session's CacheManager until explicit unpersist (ContextCleaner never
+    * touches it), which would leak one cached relation per daily batch;
+    * localCheckpoint blocks belong to a plain RDD that ContextCleaner DOES
+    * reclaim once the returned plan is unreachable. A caller-supplied
+    * `corpusIndex`'s own persistence is caller-managed, untouched here.
     */
   def minhashIncremental(newDocs: DataFrame, corpus: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
@@ -225,11 +233,15 @@ object Dedup {
     val mhNew = minhashed(newDocs, idCol, textCol, k, bands, shingleW)
       .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val mhCorp = corpusIndex match {
+    val bNew = bandBuckets(mhNew)
+
+    // (candidate pairs, corpus-side shingle sets restricted to what verify
+    // will actually join) — the two corpus-derived inputs dropSet needs.
+    val (vsCorpus, shCorp) = corpusIndex match {
       case Some(idx) =>
         // minhashed() output verbatim; k/bands mismatches fail fast per-row
         // instead of silently missing near-dups under meaningless buckets.
-        idx.select(
+        val mhCorp = idx.select(
           col(idCol).as("id"),
           when(size(col("signature")) === k, col("shingle_hashes"))
             .otherwise(raise_error(format_string(
@@ -239,32 +251,61 @@ object Dedup {
             .otherwise(raise_error(format_string(
               "graft.Dedup.minhashIncremental: corpusIndex built with bands=%d but call uses bands=%d — rebuild the index with matching parameters",
               size(col("band_hashes")), lit(bands)))).as("band_hashes"))
+        // new × corpus candidates: only (id, band, bhash) widths shuffle.
+        // Lazy is fine here — the pair set has one consumer (the verify
+        // join), and the index side is caller-persisted storage, not a
+        // recomputation hazard.
+        val pairs = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
+          .join(bandBuckets(mhCorp).select(col("band"), col("bhash"), col("id").as("id_b")),
+            Seq("band", "bhash"))
+          .select("id_a", "id_b").distinct()
+        (pairs, mhCorp.select(col("id"), col("sh")))
       case None =>
-        // No pre-built index: the corpus-side minhash pipeline feeds BOTH the
-        // band probe and the Jaccard verify leg — persist so the (huge)
-        // corpus scan + signature computation runs once, as in minhashLsh.
-        minhashed(corpus, idCol, textCol, k, bands, shingleW)
-          .select(col(idCol).as("id"), col("shingle_hashes").as("sh"), col("band_hashes"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // No pre-built index — the r22 shape: NO full-corpus persist (the
+        // old form cached every document's shingle-hash set, O(corpus)
+        // executor storage on the library's one no-index ingest path).
+        // Instead, guide-§8 proxy discipline: decide with small rows, touch
+        // heavy rows once more only where the decision says to.
+        //  1. ONE streaming corpus pass emits band hashes only — narrow
+        //     (id, band, bhash) rows feed the candidate equi-join directly;
+        //     the wide shingle sets never materialize corpus-wide.
+        //  2. The candidate pair set (small: true near-dups + band
+        //     collisions) materializes eagerly — it feeds both the verify
+        //     leg and the id restriction below, and without the checkpoint
+        //     the corpus band scan would re-run per consumer.
+        //  3. A SECOND, BOUNDED corpus pass recomputes shingle hashes for
+        //     candidate ids only (broadcast semi-join — bounded by the
+        //     collision count, exactly the regime note on
+        //     [[minhashIncrementalIndexed]]'s restriction). xxhash64 over
+        //     [[graft.plans.TextExpressions.shingleSet]] is the same
+        //     per-shingle hash (seed 42) minhashState emits, deduped by
+        //     string instead of by hash — Jaccard over array_intersect/
+        //     array_union is dedup-insensitive, so scores are identical
+        //     (parity pinned in DedupSpec against the Some(corpusIndex)
+        //     branch, which is bit-unchanged).
+        val bCorp = bandBuckets(
+          minhashed(corpus, idCol, textCol, k, bands, shingleW)
+            .select(col(idCol).as("id"), col("band_hashes")))
+        val pairs = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
+          .join(bCorp.select(col("band"), col("bhash"), col("id").as("id_b")),
+            Seq("band", "bhash"))
+          .select("id_a", "id_b").distinct()
+          .localCheckpoint(true)
+        val candIds = pairs.select(col("id_b").as(idCol)).distinct()
+        val sh = corpus.join(broadcast(candIds), Seq(idCol), "left_semi")
+          .select(col(idCol).as("id"),
+            transform(graft.plans.TextExpressions.shingleSet(col(textCol), shingleW),
+              s => xxhash64(s)).as("sh"))
+        (pairs, sh)
     }
 
-    val bNew = bandBuckets(mhNew)
-    val bCorp = bandBuckets(mhCorp)
-
-    // new × corpus candidates: only (id, band, bhash) widths shuffle
-    val vsCorpus = bNew.select(col("band"), col("bhash"), col("id").as("id_a"))
-      .join(bCorp.select(col("band"), col("bhash"), col("id").as("id_b")), Seq("band", "bhash"))
-      .select("id_a", "id_b").distinct()
-
     // dropSet materializes the id-width drop set eagerly (localCheckpoint),
-    // so the wide minhash caches release right after — see the lifecycle
-    // note above. blocking=false: the release is fire-and-forget, not on
-    // the caller's latency path.
+    // so the new batch's wide minhash cache releases right after — see the
+    // lifecycle note above. blocking=false: the release is fire-and-forget,
+    // not on the caller's latency path.
     val drops = dropSet(vsCorpus, withinBatchPairs(bNew),
-      mhNew.select(col("id"), col("sh")), mhCorp.select(col("id"), col("sh")),
-      jaccardThreshold)
+      mhNew.select(col("id"), col("sh")), shCorp, jaccardThreshold)
     mhNew.unpersist(blocking = false)
-    if (corpusIndex.isEmpty) mhCorp.unpersist(blocking = false)
     newDocs.join(drops, newDocs(idCol) === col("__graft_drop"), "left_anti")
   }
 

@@ -176,7 +176,12 @@ object FusedTopK {
         // exception (r21 review); the blocks die with the context anyway
         try mat.queryExecution.optimizedPlan.collectFirst {
           case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
-        } catch { case scala.util.control.NonFatal(_) => }
+        } catch { case scala.util.control.NonFatal(e) =>
+          // swallowed by design (must not mask the real failure), but a
+          // persistent unpersist failure on the SUCCESS path would silently
+          // pin the checkpoint — leave a trace for diagnosis (r21 ADVICE)
+          System.err.println(s"[graft] FusedTopK: query-frame unpersist failed (checkpoint may stay pinned): $e")
+        }
     }
   }
 

@@ -74,19 +74,28 @@ object Layout {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val conf = spark.sessionState.newHadoopConf()
-    val f = new java.io.File(path)
-    val parts: Seq[java.io.File] =
-      if (f.isDirectory)
-        Option(f.listFiles()).getOrElse(Array.empty[java.io.File]).toSeq
-          .filter(p => p.isFile && p.getName.endsWith(".parquet"))
-      else Seq(f)
     val acc = scala.collection.mutable.Map.empty[String, Long]
-    var usable = parts.nonEmpty
+    var usable = true
     try {
+      // Hadoop FileSystem listing, NOT java.io.File: the probe exists for
+      // 100 TB tables, which live on HDFS/S3 where a local-FS listing sees
+      // nothing and silently forfeits the optimization to the full-scan
+      // fallback (r21 VERDICT). The local filesystem is just another
+      // FileSystem impl here, so tests and local runs go through the same
+      // code path. Listing errors (missing path, permission) land in the
+      // NonFatal catch below → None → caller falls back to the scan.
+      val root = new org.apache.hadoop.fs.Path(path)
+      val fs = root.getFileSystem(conf)
+      val parts: Seq[org.apache.hadoop.fs.Path] =
+        if (fs.getFileStatus(root).isDirectory)
+          fs.listStatus(root).toSeq
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath)
+        else Seq(root)
+      usable = parts.nonEmpty
       val it = parts.iterator
       while (usable && it.hasNext) {
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(it.next().getPath), conf))
+        val reader = ParquetFileReader.open(HadoopInputFile.fromPath(it.next(), conf))
         try {
           val blocks = reader.getFooter.getBlocks.iterator()
           while (usable && blocks.hasNext) {

@@ -1328,7 +1328,7 @@ case class BigramLmLocal(bigrams: Map[String, Long], contexts: Map[String, Long]
     val m = new java.util.HashMap[String, BigramLmLocal.Ctx](contexts.size * 2)
     contexts.foreach { case (w1, cn) =>
       m.put(w1, new BigramLmLocal.Ctx(
-        new java.util.HashMap[String, java.lang.Long](4), micros(0L, cn)))
+        new java.util.HashMap[String, java.lang.Long](4), micros(0L, cn), cn))
     }
     bigrams.foreach { case (k, n) =>
       val w1 = k.substring(0, k.indexOf(' '))
@@ -1336,10 +1336,13 @@ case class BigramLmLocal(bigrams: Map[String, Long], contexts: Map[String, Long]
       var c = m.get(w1)
       if (c == null) { // defensive: pair whose w1 the contexts map lacks
         c = new BigramLmLocal.Ctx(
-          new java.util.HashMap[String, java.lang.Long](4), micros(0L, 0L))
+          new java.util.HashMap[String, java.lang.Long](4), micros(0L, 0L), 0L)
         m.put(w1, c)
       }
-      c.inner.put(w2, micros(n, contexts.getOrElse(w1, 0L)))
+      // cn is FIXED per w1 and already sits on the Ctx — no per-bigram
+      // contexts lookup during build (r21 ADVICE); identical values
+      // (Ctx.cn is the same contexts.getOrElse(w1, 0L), set above)
+      c.inner.put(w2, micros(n, c.cn))
     }
     m
   }
@@ -1348,9 +1351,11 @@ case class BigramLmLocal(bigrams: Map[String, Long], contexts: Map[String, Long]
 }
 
 object BigramLmLocal {
-  /** One trained context's scoring state — see [[BigramLmLocal.ctxMicros]]. */
+  /** One trained context's scoring state — see [[BigramLmLocal.ctxMicros]].
+    * `cn` is the context's training count, carried so the build loop reads
+    * it off the Ctx instead of re-probing the contexts map per bigram. */
   final class Ctx(val inner: java.util.HashMap[String, java.lang.Long],
-                  val unseen: Long)
+                  val unseen: Long, val cn: Long)
 }
 
 object BigramPpl {

@@ -126,6 +126,12 @@ class LayoutSpec extends SparkSpec with AdaptiveSparkPlanHelper {
     assert(Layout.footerLongMax(spark, s"$dir/t", Seq("nope")).isEmpty)
     // empty dir: refuses
     assert(Layout.footerLongMax(spark, s"$dir/empty", Seq("a")).isEmpty)
+    // scheme-qualified path (the non-java.io.File shape every remote
+    // FileSystem hands out): the Hadoop listing must resolve it — the old
+    // local-FS listing saw no directory here and forfeited to the scan
+    // (r22: footerLongMax must survive non-local storage)
+    val viaScheme = Layout.footerLongMax(spark, s"file:$dir/t", Seq("a", "b"))
+    assert(viaScheme == got, s"scheme-qualified listing $viaScheme != local $got")
   }
 
   test("footerLongMax refuses int-BACKED logical types whose stats are raw physical values (r21)") {
